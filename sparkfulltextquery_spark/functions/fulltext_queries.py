@@ -1,0 +1,253 @@
+"""Registered full-text queries + DuckDB oracles (driver correctness gate).
+
+Every oracle rebuilds the same pipeline in pure SQL from the shared
+tokenizer fragment, so Spark and DuckDB compute the identical definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions import fulltext as FT
+from sparkfulltextquery_spark.functions.text import (
+    STOPWORDS,
+    ngrams,
+    ngrams_duck,
+    remove_stopwords,
+    remove_stopwords_duck,
+    tokenize,
+    tokenize_duck,
+)
+from sparkfulltextquery_spark.registry import query
+from sparkfulltextquery_spark.sources import load_table
+
+_TOK = tokenize_duck("text")
+
+_POSTINGS_CTE = f"""
+    post AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tfs  AS (SELECT term, doc_id, count(*) AS tf FROM post GROUP BY term, doc_id)
+"""
+
+
+@query(
+    "fulltext_postings_topdf",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT term, count(*) AS df, cast(sum(tf) AS bigint) AS cf
+    FROM tfs GROUP BY term
+    ORDER BY df DESC, term LIMIT 20
+    """,
+)
+def fulltext_postings_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build (inverted index as DataFrame) + document/collection
+    frequency — the explode→groupBy pipeline of SURVEY.md §7 step 3."""
+    d = load_table(spark, sf_dir, "documents")
+    post = FT.postings(d)
+    return (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+@query(
+    "fulltext_tfidf_top_terms",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    dfreq AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 4) AS tfidf
+      FROM tfs t JOIN dfreq d USING (term) CROSS JOIN n
+      WHERE t.doc_id < 100
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+    """,
+)
+def fulltext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (IDF formula = reference ml.feature.IDF,
+    IDF.scala:67: log((N+1)/(df+1))). Window top-k per group — one shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded scalar; at scale cache corpus stats instead
+    post = FT.postings(d)
+    scored = (
+        FT.tf_idf(post, n_docs)
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+_BM25_QUERY_TERMS = ("data", "query", "spark", "window")
+
+
+@query(
+    "fulltext_bm25_search",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+    SELECT doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+    FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def fulltext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the query "data query spark window" (k1=1.2, b=0.75,
+    Lucene idf). Search plan: IN-list prune postings → broadcast df/stats →
+    per-doc sum → TakeOrderedAndProject top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return FT.bm25_search(d, " ".join(_BM25_QUERY_TERMS), k=10)
+
+
+@query(
+    "fulltext_phrase_search",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    )
+    SELECT a.doc_id, count(*) AS n_occurrences
+    FROM      (SELECT doc_id, pos     FROM pos WHERE term = 'batch') a
+    JOIN      (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'batch') b
+      USING (doc_id, pos)
+    GROUP BY a.doc_id
+    """,
+)
+def fulltext_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase "batch batch" via positional equi-join (posexplode →
+    join on doc_id, pos+1) — the scalable phrase plan: no theta join."""
+    d = load_table(spark, sf_dir, "documents")
+    return FT.phrase_match(d, "batch batch")
+
+
+@query(
+    "fulltext_boolean_search",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    wanted AS (SELECT * FROM tfs WHERE term IN ('join', 'spark', 'vector')),
+    per_doc AS (
+      SELECT doc_id,
+             count(DISTINCT CASE WHEN term IN ('join', 'spark') THEN term END) AS n_all,
+             count(DISTINCT term) AS n_matched
+      FROM wanted GROUP BY doc_id
+    )
+    SELECT doc_id, n_matched FROM per_doc WHERE n_all = 2
+    """,
+)
+def fulltext_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND/OR search: (spark AND join) OR vector → per-doc matched
+    term count, AND-filtered."""
+    d = load_table(spark, sf_dir, "documents")
+    return FT.boolean_search(d, all_of=["spark", "join"], any_of=["vector"])
+
+
+@query(
+    "fulltext_ngrams_top",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, unnest({ngrams_duck(_TOK, 2)}) AS bigram FROM documents
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def fulltext_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams (reference NGram.scala:37 semantics)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(ngrams(tokenize(F.col("text")), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "fulltext_stopword_filter",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK})                                  AS n_raw,
+           len({remove_stopwords_duck(_TOK)})           AS n_kept
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def fulltext_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StopWordsRemover parity (StopWordsRemover.scala:35): duplicates and
+    order preserved (filter, not array_except)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_raw"),
+        F.size(remove_stopwords(toks, STOPWORDS)).alias("n_kept"),
+    )
+
+
+@query(
+    "fulltext_predicate_search",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE lower(text) LIKE '%spark%join%'
+       OR regexp_matches(text, 'vector (query|window)')
+    """,
+)
+def fulltext_predicate_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / RLIKE predicate search — the reference's core SQL full-text
+    predicates (regexpExpressions.scala Like:72, RLike:125). Catalyst's
+    LikeSimplification (optimizer/expressions.scala:289) rewrites anchored
+    patterns to StartsWith/Contains."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.lower(F.col("text")).like("%spark%join%")
+        | F.col("text").rlike("vector (query|window)")
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "fulltext_fuzzy_vocab",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest({_TOK}) AS term FROM documents
+    )
+    SELECT term, levenshtein(term, 'spark') AS dist
+    FROM vocab
+    WHERE levenshtein(term, 'spark') <= 2
+    ORDER BY dist, term
+    """,
+)
+def fulltext_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy vocabulary match: terms within edit distance 2 of 'spark'
+    (reference Levenshtein, stringExpressions.scala:1083). At scale the vocab
+    table is small (distinct terms) — this is a broadcast-side operation."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("term")).distinct()
+    )
+    return (
+        vocab.select("term", F.levenshtein("term", F.lit("spark")).alias("dist"))
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", "term")
+    )

@@ -1,0 +1,17 @@
+"""Relational operator coverage (SURVEY.md §2.2–2.9).
+
+Each module registers named queries in ``sparkfulltextquery_spark.registry``;
+importing this package pulls in the full set. The queries double as the
+driver-checked correctness matrix and as living documentation of how every
+reference operator maps to a modern PySpark plan.
+"""
+
+from sparkfulltextquery_spark.operators import (  # noqa: F401
+    aggregates,
+    generators,
+    joins,
+    relational,
+    scalar_functions,
+    setops,
+    windows,
+)

@@ -1,0 +1,361 @@
+"""Aggregation coverage (SURVEY.md §2.4).
+
+Reference parity: Sum/Average/Count/Min/Max (catalyst expressions/aggregate/
+Sum.scala:27 etc.), First/Last (First.scala:36), central moments
+(CentralMomentAgg.scala:137-213), Corr/Covariance (Corr.scala:33,
+Covariance.scala:81), HyperLogLogPlusPlus (HyperLogLogPlusPlus.scala:54),
+ApproximatePercentile (ApproximatePercentile.scala:67), CollectList/Set
+(collect.scala:85,108), grouping sets / cube / rollup (grouping.scala:41-61 +
+ExpandExec.scala:36), pivot (RelationalGroupedDataset.scala:314), distinct
+rewrite (RewriteDistinctAggregates.scala).
+
+All are single-shuffle hash aggregations with map-side partial combine —
+the plan shape that scales linearly with input.
+
+DuckDB-parity notes: skewness/kurtosis differ between engines (Spark uses
+population moments, DuckDB sample-adjusted), so those oracles spell out the
+moment formula; approx sketches (HLL++, approx percentile) get rows-only
+checks plus an exact companion query that IS oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.registry import query
+from sparkfulltextquery_spark.sources import load_table
+
+
+@query(
+    "agg_minmax_first_last",
+    oracle="""
+    SELECT l_returnflag,
+           min(l_quantity)      AS min_qty,
+           max(l_quantity)      AS max_qty,
+           min(l_shipdate)      AS first_ship,
+           max(l_shipdate)      AS last_ship,
+           count(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_minmax_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "agg_central_moments",
+    oracle="""
+    WITH base AS (
+      SELECT o_totalprice, avg(o_totalprice) OVER () AS mu FROM orders
+    ), mom AS (
+      SELECT sum(pow(o_totalprice - mu, 2)) / count(*) AS m2,
+             sum(pow(o_totalprice - mu, 3)) / count(*) AS m3,
+             sum(pow(o_totalprice - mu, 4)) / count(*) AS m4,
+             stddev_samp(o_totalprice) AS sds,
+             stddev_pop(o_totalprice)  AS sdp,
+             var_samp(o_totalprice)    AS vs
+      FROM base
+    )
+    SELECT round(sds, 4) AS sd_samp,
+           round(sdp, 4) AS sd_pop,
+           round(vs, 2)  AS var_s,
+           round(m3 / pow(m2, 1.5), 4)    AS skew,
+           round(m4 / pow(m2, 2) - 3, 4)  AS kurt
+    FROM mom
+    """,
+)
+def agg_central_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev/variance/skewness/kurtosis (reference CentralMomentAgg.scala:137-213).
+    Spark's skewness/kurtosis are population moments (g1, g2 = m4/m2²−3); the
+    oracle reproduces that formula since DuckDB's builtins are sample-adjusted."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("o_totalprice"), 4).alias("sd_pop"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var_s"),
+        F.round(F.skewness("o_totalprice"), 4).alias("skew"),
+        F.round(F.kurtosis("o_totalprice"), 4).alias("kurt"),
+    )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6)      AS corr_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_pop,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_samp
+    FROM lineitem
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corr + covariance co-moments (reference Corr.scala:33, Covariance.scala:81)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_pop"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_samp"),
+    )
+
+
+@query(
+    "agg_distinct_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)  AS n_cust,
+           count(DISTINCT o_orderstatus) AS n_status,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple distinct aggregates — triggers the reference's Expand-based
+    RewriteDistinctAggregates (optimizer/RewriteDistinctAggregates.scala)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_approx_sketches", oracle=None)  # sketch outputs are engine-specific
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx count-distinct (reference HyperLogLogPlusPlus.scala:54)
+    and approximate percentile (ApproximatePercentile.scala:67). Sketches are
+    engine-specific → rows-only driver check; agg_distinct_exact and
+    agg_percentile_exact are the oracle-checked companions."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_iqr"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile (continuous interpolation) — matches DuckDB
+    quantile_cont; reference delegates `percentile` to Hive UDAF
+    (HiveSessionCatalog.scala:227-230), modern Spark has F.percentile."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
+@query(
+    "agg_collect_list_set",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(list(n_name))           AS nations,
+           list_sort(list(DISTINCT n_name))  AS nations_set
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollectList/CollectSet (reference collect.scala:85,108) — sorted for
+    cross-engine determinism (collect order is partition-dependent)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.array_sort(F.collect_set("n_name")).alias("nations_set"),
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation = concat_ws over a sorted collect_list."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nation_csv")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — reference GroupingSets logical + ExpandExec
+    (basicLogicalOperators.scala:622, ExpandExec.scala:36)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           cast(grouping(o_orderstatus) AS int)  AS g_status,
+           cast(grouping(o_orderpriority) AS int) AS g_prio,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() markers (reference grouping.scala:49)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               cast(grouping(o_orderstatus) AS int)  AS g_status,
+               cast(grouping(o_orderpriority) AS int) AS g_prio,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_O,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (reference PivotFirst.scala:71, RelationalGroupedDataset.scala:314)
+    with explicit value list — the scalable form (no value-discovery scan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_partkey, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_quantity) > 150
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 150)
+        .select("l_partkey", F.round(F.col("_raw_qty"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "stat_describe",
+    oracle="""
+    SELECT count(o_totalprice)                 AS n,
+           round(avg(o_totalprice), 4)         AS mean,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           min(o_totalprice)                   AS min_v,
+           max(o_totalprice)                   AS max_v
+    FROM orders
+    """,
+)
+def stat_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-equivalent summary (reference Dataset.scala:1944,
+    StatFunctions.scala) in typed form (describe() returns strings)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.count("o_totalprice").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.min("o_totalprice").alias("min_v"),
+        F.max("o_totalprice").alias("max_v"),
+    )
+
+
+@query(
+    "stat_crosstab",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH')   AS p2,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency table (reference StatFunctions.crossTabulate:178) in
+    deterministic pivot form."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("p1"),
+        F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("p2"),
+        F.count(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1)).alias("p3"),
+    )

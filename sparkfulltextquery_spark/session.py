@@ -1,0 +1,67 @@
+"""SparkSession bootstrap.
+
+Equivalent role to the reference's ``SparkSession`` entry point
+(sql/core/src/main/scala/org/apache/spark/sql/SparkSession.scala) — but all we
+need in PySpark is a builder with scale-aware defaults:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing) —
+  the modern replacement for the reference's ExchangeCoordinator
+  (sql/core/.../execution/exchange/ExchangeCoordinator.scala:82, off by default).
+- shuffle.partitions sized to the local core count for tests; on a real
+  cluster AQE coalesces from a high initial number, so the setting is safe.
+- Arrow enabled for every Python<->JVM batch crossing (pandas_udf,
+  toPandas) — the vectorized upgrade over the reference's pickle-batched
+  BatchEvalPythonExec (sql/core/.../execution/python/BatchEvalPythonExec.scala:44).
+- UTC session timezone so timestamp semantics match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "sparkfulltextquery",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Defaults are tuned for single-JVM local mode but every setting remains
+    correct on a 1000-executor cluster: AQE decides final partition counts at
+    runtime, broadcast threshold stays at Spark's default, and nothing here
+    pins data to the driver.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Parquet vectorized reader + pushdown are on by default; keep explicit
+        # so the parity with the reference's VectorizedParquetRecordReader
+        # (sql/core/.../parquet/VectorizedParquetRecordReader.java:48) is visible.
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Some producers (pandas/pyarrow) write TIMESTAMP(NANOS) which Spark
+        # has no native type for; read as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,38 @@
+"""Driver-mirror correctness gate: every registered query with an oracle is
+run on Spark and DuckDB at sf0.001 and compared order-insensitively —
+the same check the driver applies at sf0.01 (CORRECTNESS_r{N}.json).
+
+Queries without an oracle get a rows-smoke check (runs, stable schema).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from sparkfulltextquery_spark.registry import REGISTRY
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+_WITH_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle)
+_ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema) > 0
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(spark, duck, name):
+    spec = REGISTRY[name]
+    assert_query_matches_oracle(spark, duck, spec.fn, spec.oracle, name=name)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_smoke(spark, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
+    # runs, has a schema, and is collectable
+    assert len(df.schema) > 0
+    df.limit(5).collect()
