@@ -1,0 +1,157 @@
+"""MinHash + LSH near-duplicate detection, cross-engine deterministic.
+
+Pipeline (all DataFrame ops, one shuffle per stage):
+
+1. doc → distinct 3-token-shingle set → portable 28-bit hash per shingle (h28)
+2. signature: for each of H=16 fixed permutations (a·h + b) mod p, take the
+   min over the doc's tokens  → (doc_id, perm_idx, sig)
+3. LSH banding: H=16 sigs → 8 bands × 2 rows; band key = md5 of the band's
+   concatenated sig values; docs sharing a band key are candidates
+4. candidate pairs (a < b) → exact Jaccard verification over token sets
+   (|A∩B| / (|A|+|B|−|A∩B|)), keep pairs ≥ threshold
+
+With sig collision prob = jaccard s, P(candidate) = 1 − (1 − s²)⁸:
+s=0.9 → 99.9%, s=0.5 → 90%, s=0.2 → 28% — a sharp-enough curve for
+near-dup mining at 0.5+ thresholds.
+
+Scale: stage 2 is explode×H (H=16 rows per token — bounded blowup) with
+map-side partial min; stage 3 groups by band key whose buckets are small by
+construction; stage 4 joins only candidates. The identical algorithm is
+expressed in SQL for the DuckDB oracle (dedup/queries.py), which is why the
+token hash is md5-based (portable) rather than murmur3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions.hashes import MINHASH_PRIME, h28
+from sparkfulltextquery_spark.functions.text import shingles
+
+# Fixed permutation parameters (a odd, b arbitrary; < 2^31). Generated once
+# from digits of pi/e — NOT runtime-random, so signatures are reproducible
+# across engines, runs, and partitionings.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (314159265, 358979323), (846264338, 327950288), (419716939, 937510582),
+    (97494459, 230781640), (628620899, 862803482), (534211706, 798214808),
+    (651328230, 664709384), (460955058, 223172535), (940812848, 111745028),
+    (410270193, 852110555), (964462294, 895493038), (196442881, 97566593),
+    (344612847, 564823378), (678316527, 120190914), (564856692, 346034861),
+    (45432664, 821339360),
+)
+N_PERMS = len(MINHASH_PERMS)
+N_BANDS = 8
+ROWS_PER_BAND = N_PERMS // N_BANDS
+
+
+SHINGLE_K = 3
+
+
+def doc_shingle_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, token) distinct k-token shingles — the set representation.
+    Shingles (not unigrams) because MinHash jaccard over raw tokens saturates
+    on small vocabularies; k=3 word-shingles is the standard near-dup unit."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles(F.col(text_col), k)).alias("token"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(tok_sets: DataFrame) -> DataFrame:
+    """(doc_id, perm, sig): min over tokens of (a·h28(token) + b) mod p.
+
+    The H-way expansion uses posexplode over a literal array of perm params —
+    JVM-side, no Python. Partial aggregation (min) runs map-side, so shuffle
+    volume is H rows per doc regardless of doc length.
+    """
+    hashed = tok_sets.select("doc_id", h28(F.col("token")).alias("h"))
+    perms = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in MINHASH_PERMS])
+    expanded = hashed.select(
+        "doc_id", F.posexplode(perms).alias("perm", "ab"), F.col("h")
+    )
+    return (
+        expanded.select(
+            "doc_id",
+            "perm",
+            ((F.col("ab.a") * F.col("h") + F.col("ab.b")) % F.lit(MINHASH_PRIME)).alias("v"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("v").alias("sig"))
+    )
+
+
+def lsh_band_keys(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): md5 over the band's ordered sig values."""
+    banded = signatures.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        # sort_array of (perm, sig) structs orders by perm — deterministic
+        .agg(F.sort_array(F.collect_list(F.struct("perm", "sig"))).alias("ps"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat_ws(",", F.transform("ps", lambda s: s["sig"].cast("string")))
+            ).alias("band_key"),
+        )
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) sharing ≥1 band."""
+    toks = doc_shingle_sets(docs, id_col, text_col)
+    sigs = minhash_signatures(toks)
+    bands = lsh_band_keys(sigs)
+    a = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
+    b = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verified_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for candidate pairs with exact Jaccard ≥ threshold.
+
+    Jaccard is computed by joining each side's token set through the
+    candidate list — the join graph only touches candidate docs.
+    """
+    toks = doc_shingle_sets(docs, id_col, text_col)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cands = lsh_candidate_pairs(docs, id_col, text_col)
+
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("token"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("token"))
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,286 @@
+"""Registered dedup queries + DuckDB oracles.
+
+Oracles are generated from the SAME constants (permutation table, shingle
+size, bands, thresholds) as the Spark implementation, so the two engines
+compute the identical algorithm by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.dedup import minhash as MH
+from sparkfulltextquery_spark.dedup import simhash as SH
+from sparkfulltextquery_spark.functions.hashes import MINHASH_PRIME, h28_duck
+from sparkfulltextquery_spark.functions.text import normalize_text, normalize_text_duck, shingles_duck
+from sparkfulltextquery_spark.registry import query
+from sparkfulltextquery_spark.sources import load_table
+
+_SHINGLES = shingles_duck("text", MH.SHINGLE_K)
+_NORM = normalize_text_duck("text")
+
+_PERMS_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MH.MINHASH_PERMS)
+)
+
+# Shared CTE prefix: distinct shingle sets + portable 28-bit shingle hash.
+_SHINGLE_CTE = f"""
+    toks AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS token FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, {h28_duck('token')} AS h FROM toks
+    ),
+    perms(perm, a, b) AS (VALUES {_PERMS_VALUES}),
+    sigs AS (
+      SELECT doc_id, perm, min((a * h + b) % {MINHASH_PRIME}) AS sig
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc_id, perm
+    )
+"""
+
+
+@query(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_key,
+           count(*)      AS n_dups,
+           min(doc_id)   AS canonical_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 over normalized text, groups with >1 member.
+    Single hash-shuffle; at 100 TB this is the cheapest dedup pass and runs
+    first to shrink the corpus before MinHash."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@query(
+    "dedup_exact_canonical",
+    oracle=f"""
+    WITH keyed AS (SELECT doc_id, md5({_NORM}) AS content_key FROM documents)
+    SELECT count(*) AS n_docs, count(DISTINCT content_key) AS n_unique
+    FROM keyed
+    """,
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup stats: total vs content-distinct docs."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_key"))
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("content_key").alias("n_unique"),
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, perm, sig FROM sigs WHERE doc_id < 20
+    """,
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature determinism check: (doc_id, perm, sig) for the first
+    docs must be bit-identical across engines — pins the portable-hash +
+    permutation arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = MH.minhash_signatures(MH.doc_shingle_sets(d))
+    return sigs.filter(F.col("doc_id") < 20)
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bands AS (
+      SELECT doc_id, perm // {MH.ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(sig AS varchar), ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY doc_id, perm // {MH.ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cands c
+      JOIN toks ta ON ta.doc_id = c.doc_a
+      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE round(n_inter / (na.n + nb.n - n_inter), 6) >= 0.5
+    """,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures → 8×2 banding →
+    candidate join → exact-Jaccard verification ≥ 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    return MH.verified_near_dups(d, threshold=0.5)
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_SHINGLES}) AS token FROM documents)
+      GROUP BY doc_id, token
+    ),
+    hashed AS (SELECT doc_id, tf, {h28_duck('token')} AS h FROM tf),
+    bits AS (SELECT doc_id, unnest(range({SH.N_BITS})) AS j, tf, h FROM hashed),
+    votes AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN ((h >> j) & 1) = 1 THEN tf ELSE -tf END) AS s
+      FROM bits GROUP BY doc_id, j
+    ),
+    fps AS (
+      SELECT doc_id,
+             cast(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bigint) AS fp
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, fp, band,
+             (fp >> (band * {SH.BITS_PER_BAND})) & {(1 << SH.BITS_PER_BAND) - 1} AS band_bits
+      FROM (SELECT doc_id, fp, unnest(range({SH.N_BANDS})) AS band FROM fps)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (28-bit weighted fingerprint over 3-shingles,
+    4×7-bit band blocking, hamming ≤ 3 — blocking is exhaustive for d<4)."""
+    d = load_table(spark, sf_dir, "documents")
+    return SH.simhash_near_dups(d, max_hamming=3)
+
+
+@query(
+    "dedup_ngram_rare_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS s FROM documents
+    ),
+    rare AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 5
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN rare USING (s) JOIN sh b USING (s)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cands c
+      JOIN sh ta ON ta.doc_id = c.doc_a
+      JOIN sh tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(n_inter / (na.n + nb.n - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE round(n_inter / (na.n + nb.n - n_inter), 6) >= 0.6
+    """,
+)
+def dedup_ngram_rare_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard dedup with rare-shingle blocking: only shingles with
+    document frequency in [2,5] generate candidate pairs (common shingles
+    would explode the pair count; df=1 shingles can't pair). Exact Jaccard
+    over full shingle sets, threshold 0.6."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = MH.doc_shingle_sets(d).withColumnRenamed("token", "s")
+    rare = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s")).filter(
+        (F.col("df_s") >= 2) & (F.col("df_s") <= 5)
+    ).select("s")
+    a = sh.join(rare, "s").select(F.col("s"), F.col("doc_id").alias("doc_a"))
+    b = sh.select(F.col("s"), F.col("doc_id").alias("doc_b"))
+    cands = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ 0.4. Brute-force n² is the
+    verification baseline (fine ≤ ~10⁴ vectors / partition-local blocks); the
+    scale path is similarity.lsh_bucketed_pairs (random-hyperplane blocking)."""
+    from sparkfulltextquery_spark.similarity import cosine_expr
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,1 +1,164 @@
-"""Placeholder — populated in this round."""
+"""Similarity search over embedding columns (`array<float>`).
+
+Reference analogue: Word2Vec.findSynonyms (mllib/.../ml/feature/
+Word2Vec.scala:205) — cosine top-k against a model's vectors. Here the
+general form: embeddings are plain array columns (no UDT — SURVEY.md §1.2),
+and search is expressed three ways:
+
+- brute-force cosine top-k  : exact baseline; dot products via JVM-side
+  higher-order functions (zip_with + aggregate), top-k via orderBy+limit
+  (TakeOrderedAndProject per-partition heaps — no global sort)
+- IVF (inverted file)       : coarse quantization by cluster (here the
+  `label` column = cluster id, in general K-means centroids); query probes
+  the top-P nearest centroids and brute-forces only those partitions —
+  the 100 TB path (partition pruning on the cluster column)
+- random-hyperplane LSH     : deterministic ±1 projections from the portable
+  hash; sign pattern = bucket key; near-dup blocking without n² pairs
+
+No Pandas UDF needed: dim≤~1k dot products stay in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential left fold, same
+    evaluation order as the DuckDB oracle's list_inner_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query vector is a literal array (broadcast by construction); the scan
+    is embarrassingly parallel; orderBy+limit plans as per-partition top-k
+    heaps merged on the driver — O(k) driver memory at any corpus size.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, centroid array<double>) — mean vector per cluster, computed
+    with posexplode + groupBy(label, dim): shuffle-parallel, never collects
+    vectors. The IVF coarse index."""
+    dims = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    return (
+        per_dim.groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("label", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF search: rank cluster centroids by cosine to the query, brute-force
+    only the top `n_probe` clusters. At 100 TB the embedding table is
+    partitioned by cluster id, so the probe is partition pruning — the scan
+    touches n_probe/n_clusters of the data."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = label_centroids(embeddings, label_col, vec_col)
+    probes = (
+        cents.select("label", cosine_expr(F.col("centroid"), q).alias("ccos"))
+        .orderBy(F.col("ccos").desc(), F.col("label"))
+        .limit(n_probe)
+        .select("label")
+    )
+    pruned = embeddings.join(F.broadcast(probes), embeddings[label_col] == probes["label"])
+    return (
+        pruned.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_expr(F.col(vec_col).cast("array<double>"), q), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+N_HYPERPLANES = 12
+
+
+def hyperplane_patterns(dim: int, n_planes: int = N_HYPERPLANES) -> list[list[int]]:
+    """Deterministic ±1 hyperplane patterns: sign p,d = parity of the
+    portable 28-bit hash of 'p:d' (same md5 definition as functions.hashes
+    .h28, evaluated driver-side since the inputs are constants)."""
+    import hashlib
+
+    def sign(p: int, d: int) -> int:
+        h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:7], 16)
+        return 1 if h % 2 == 0 else -1
+
+    return [[sign(p, d) for d in range(dim)] for p in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = N_HYPERPLANES) -> Column:
+    """LSH bucket key (bigint bit pattern): bit p = [dot(vec, pattern_p) > 0].
+    Pure literal-array dot products — JVM-side, constant patterns."""
+    pats = hyperplane_patterns(dim, n_planes)
+    key = F.lit(0).cast("bigint")
+    for p, pat in enumerate(pats):
+        lit_pat = F.array(*[F.lit(float(s)) for s in pat])
+        key = key + F.when(
+            dot_expr(vec, lit_pat) > 0, F.shiftleft(F.lit(1).cast("bigint"), p)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return key
+
+
+def hyperplane_bucket_duck(vec_expr: str, dim: int, n_planes: int = N_HYPERPLANES) -> str:
+    """DuckDB twin of hyperplane_bucket — same literal patterns."""
+    pats = hyperplane_patterns(dim, n_planes)
+    terms = []
+    for p, pat in enumerate(pats):
+        arr = "[" + ", ".join(f"{float(s)}" for s in pat) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({vec_expr}, {arr}) > 0 "
+            f"THEN (1::BIGINT << {p}) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# registered queries import the helpers above, so this import must come last
+from sparkfulltextquery_spark.similarity import queries  # noqa: E402,F401

@@ -1,0 +1,99 @@
+"""Structured Streaming operators (SURVEY.md §2.11, §7 step 6).
+
+The reference's 2.0-era micro-batch engine (StreamExecution,
+sql/core/.../execution/streaming/StreamExecution.scala:47) supported file/
+socket/memory sources, Append/Complete/Update modes, and TimeWindow
+aggregation — but had NO watermark (grep-verified absent; late data grew
+state unboundedly). This module carries the same capabilities on modern
+Structured Streaming and adds the watermark as the documented upgrade.
+
+Operators:
+- windowed_counts      : tumbling/sliding event-time aggregation + watermark
+- streaming_dedup      : dropDuplicates over event ids within the watermark
+- sessionize           : session windows (F.session_window)
+- run_available_now    : drain a bounded source with Trigger.AvailableNow —
+                         how the batch-equivalence tests execute streams
+
+Batch/stream parity: each streaming transform has a batch twin on the same
+events table (fn_datetime_window_bucket, streaming_* queries) because
+Structured Streaming's contract IS batch-equivalence — the incremental plan
+must produce what the batch plan would (IncrementalExecution.scala:30).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed aggregation. Works identically on batch and
+    streaming frames; on streams the watermark bounds state (the upgrade over
+    the reference, which lacked EventTimeWatermark entirely)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    return (
+        df.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event feed: drop duplicate event_ids; on streams the
+    watermark lets the engine expire seen-id state."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return df.dropDuplicates(["event_id"])
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: activity separated by > gap starts a new
+    session (F.session_window — absent in the reference era, capability
+    upgrade). Returns (user_id, session_start, session_end, n_events)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+    """Execute a streaming DataFrame to completion over its currently
+    available input (Trigger.AvailableNow → memory sink), return the rows.
+    The scripted-test harness pattern (reference StreamTest.scala) without
+    an always-on cluster."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name).collect()
+
+
+# registered queries import the helpers above; keep this import last
+from sparkfulltextquery_spark.streaming import queries  # noqa: E402,F401

@@ -1,1 +1,122 @@
-"""Placeholder — populated in this round."""
+"""Text analysis for training-data pipelines: token/char statistics, quality
+scoring, language-ID heuristics, document fingerprinting.
+
+All pure `pyspark.sql.functions` expressions (codegen'd, shuffle-free per-row
+transforms) with DuckDB oracle twins. Reference anchors: the string-function
+surface (stringExpressions.scala) and ml.feature text transformers these
+statistics generalize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions.text import (
+    STOPWORDS,
+    tokenize,
+    tokenize_duck,
+)
+
+# Per-language stopword marker lists for the n-gram/stopword-hit language
+# heuristic. Tiny and fixed so both engines inline them.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "with", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "la", "los", "las", "de", "que", "es", "en", "un", "una"),
+}
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col: Column | str) -> Column:
+    """Mean token length; 0.0 for tokenless text."""
+    toks = tokenize(col)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(toks)
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of tokens that are (English) stopwords — a classic
+    natural-language-ness signal."""
+    toks = tokenize(col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        (F.length(col) - F.length(stripped)).cast("double") / F.length(col)
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic:
+    0.4·length_term + 0.3·stopword_term + 0.3·(1 − punct_ratio), where
+    length_term saturates at 50 tokens and stopword_term peaks at ratio 0.4.
+    Deterministic arithmetic only — reproducible in SQL."""
+    n = token_count(col).cast("double")
+    length_term = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) / F.lit(0.4), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_term + F.lit(0.3) * sw_term + F.lit(0.3) * (1 - punct_ratio(col)),
+        6,
+    )
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Marker-stopword-hit language ID: argmax over LANG_MARKERS hit counts,
+    'und' (undetermined) when no list scores ≥ 1 hit. Ties break by language
+    code order (en < de < es alphabetical: de, en, es)."""
+    toks = tokenize(col)
+
+    def marker_hits(markers: Column) -> Column:
+        # NB: a default-arg lambda (lambda t, m=markers: ...) would make
+        # PySpark treat it as the 2-arg (element, index) form — closure only
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):  # deterministic tie order
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append((lang, marker_hits(markers)))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, hits in scores:
+        is_better = hits > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, hits).otherwise(best_score)
+    return best
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint (OpenRefine-style): md5 of the
+    space-joined sorted distinct token set. Collapses reorderings and
+    duplicated phrases to one key — complements exact-hash dedup."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(col)))))
+
+
+def fingerprint_duck(expr: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct({tokenize_duck(expr)})), ' '))"
+    )
+
+
+# registered queries import the helpers above; keep this import last
+from sparkfulltextquery_spark.textstats import queries  # noqa: E402,F401

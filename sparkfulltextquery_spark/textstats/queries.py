@@ -1,0 +1,163 @@
+"""Registered text-analysis queries + DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions.text import STOPWORDS, tokenize_duck
+from sparkfulltextquery_spark.registry import query
+from sparkfulltextquery_spark.sources import load_table
+from sparkfulltextquery_spark.textstats import (
+    LANG_MARKERS,
+    avg_token_len,
+    char_count,
+    fingerprint,
+    fingerprint_duck,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+_TOK = tokenize_duck("text")
+_SW = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@query(
+    "textstats_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOK})     AS n_tokens,
+           length(text)    AS n_chars,
+           round(CASE WHEN len({_TOK}) = 0 THEN 0.0
+                 ELSE list_sum(list_transform({_TOK}, t -> length(t)::DOUBLE))
+                      / len({_TOK}) END, 6) AS avg_tok_len
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def textstats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/char counting — whitespace+punct tokenizer (the BPE-ish regex
+    variant lives in the tokenizer spec itself)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars"),
+        F.round(avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+    )
+
+
+@query(
+    "textstats_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len({_TOK})::DOUBLE AS n,
+             CASE WHEN len({_TOK}) = 0 THEN 0.0
+                  ELSE len(list_filter({_TOK}, t -> list_contains({_SW}, t)))::DOUBLE
+                       / len({_TOK}) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                       / length(text) END AS pr
+      FROM documents
+    )
+    SELECT doc_id,
+           round(swr, 6) AS stopword_ratio,
+           round(pr, 6)  AS punct_ratio,
+           round(0.4 * least(n / 50.0, 1.0)
+               + 0.3 * least(swr / 0.4, 1.0)
+               + 0.3 * (1 - pr), 6) AS quality
+    FROM s
+    """,
+)
+def textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation composite in [0,1]."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_oracle() -> str:
+    # same argmax/tie rules as textstats.lang_guess: iterate languages in
+    # sorted order, strictly-greater wins
+    parts = []
+    for lang in sorted(LANG_MARKERS):
+        markers = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+        parts.append(
+            f"len(list_filter({_TOK}, t -> list_contains({markers}, t))) AS hits_{lang}"
+        )
+    hits_cols = ", ".join(parts)
+    langs = sorted(LANG_MARKERS)
+    # fold: best = 'und'/0; for each lang, better iff hits > best_score
+    expr_best = "'und'"
+    expr_score = "0"
+    for lang in langs:
+        expr_best = f"(CASE WHEN hits_{lang} > {expr_score} THEN '{lang}' ELSE {expr_best} END)"
+        expr_score = f"(CASE WHEN hits_{lang} > {expr_score} THEN hits_{lang} ELSE {expr_score} END)"
+    return f"""
+    WITH h AS (SELECT doc_id, {hits_cols} FROM documents WHERE doc_id < 300)
+    SELECT doc_id, {expr_best} AS lang_guess FROM h
+    """
+
+
+@query("textstats_lang_guess", oracle=_lang_oracle())
+def textstats_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID heuristic (n-gram-free variant — the
+    synthetic corpus is word-salad, so markers are the robust signal)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return d.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "textstats_fingerprint",
+    oracle=f"""
+    SELECT {fingerprint_duck('text')} AS fp,
+           count(*)                   AS n_docs,
+           min(doc_id)                AS canonical_id
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) > 1
+    """,
+)
+def textstats_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: sorted-distinct-token md5 (OpenRefine
+    fingerprint). Groups docs equal up to token order/multiplicity."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "textstats_by_source",
+    oracle=f"""
+    SELECT source, lang,
+           count(*)                                   AS n_docs,
+           round(avg(n_chars), 4)                     AS avg_chars,
+           round(avg(len({_TOK})), 4)                 AS avg_tokens,
+           min(n_chars)                               AS min_chars,
+           max(n_chars)                               AS max_chars
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def textstats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling rollup by (source, lang) — the triage query a data
+    pipeline runs before filtering."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
