@@ -10,6 +10,8 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     aggregates,
     generators,
     joins,
+    pyfuncs,
+    rangejoin,
     relational,
     scalar_functions,
     setops,

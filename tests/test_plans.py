@@ -1,0 +1,105 @@
+"""Plan-shape guardrails: the properties that make queries survive 100 TB.
+
+These assert the *physical plan*, not results — pushdown reached the scan,
+dims broadcast, top-k avoided a global sort. A regression here is a silent
+10-100× slowdown at scale even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__  # noqa: F401  (populates the registry)
+
+from sparkfulltextquery_spark.plans import (
+    count_exchanges,
+    has_operator,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+    uses_broadcast_join,
+    uses_top_k,
+)
+from sparkfulltextquery_spark.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _q(spark, name):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_filter_and_column_pruning_reach_scan(spark):
+    df = _q(spark, "filter_project_pushdown")
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf and "l_returnflag" in pf, pf
+    cols = read_schema_columns(df)
+    # only the 6 needed columns of lineitem's 11 are read
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+    }, cols
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = _q(spark, "q5_local_supplier_volume")
+    assert uses_broadcast_join(df)
+    # the only shuffles should be the final aggregation exchange(s) — the
+    # join chain itself must not shuffle the fact table more than once
+    # (orders⋈lineitem is the single legitimate non-broadcast join here)
+    plan = physical_plan(df)
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_topk_plans_as_bounded_heap(spark):
+    for name in ("topk_orders", "q3_shipping_priority", "fulltext_bm25_search"):
+        df = _q(spark, name)
+        assert uses_top_k(df), f"{name} should plan TakeOrderedAndProject"
+        assert not has_operator(df, "GlobalLimit [0-9]*\n +Sort"), name
+
+
+def test_no_cartesian_in_equijoins(spark):
+    for name in ("join_inner_broadcast", "join_using_natural", "dedup_minhash_pairs"):
+        df = _q(spark, name)
+        assert not has_operator(df, "CartesianProduct"), name
+
+
+def test_whole_stage_codegen_covers_scan_pipeline(spark):
+    # with AQE on, codegen collapse happens per-stage at runtime and the
+    # pre-execution plan shows no *(N) markers — disable AQE just to observe
+    from sparkfulltextquery_spark.plans import codegen_stage_count
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _q(spark, "q1_pricing_summary")
+        assert codegen_stage_count(df) >= 2  # scan+filter+partial-agg / final-agg
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_semi_anti_plan_shapes(spark):
+    semi = _q(spark, "join_left_semi")
+    anti = _q(spark, "join_left_anti")
+    assert "LeftSemi" in physical_plan(semi)
+    assert "LeftAnti" in physical_plan(anti)
+
+
+def test_aggregation_is_partial_final(spark):
+    # hash agg must appear twice (partial + final) around one exchange —
+    # map-side combine is what bounds shuffle volume at scale
+    plan = physical_plan(_q(spark, "q1_pricing_summary"))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_bounded_shuffle_counts(spark):
+    # spot ceilings so operator changes that add shuffles get flagged
+    ceilings = {
+        "q1_pricing_summary": 1,
+        "distinct_projection": 1,
+        "window_ranking": 1,
+        "fulltext_postings_topdf": 3,  # tf groupBy + df groupBy + topk
+    }
+    for name, max_ex in ceilings.items():
+        n = count_exchanges(_q(spark, name))
+        assert n <= max_ex, f"{name}: {n} exchanges > ceiling {max_ex}"
