@@ -57,6 +57,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    # untimed warmup: JVM/codegen/committer init so per-query numbers are
+    # steady-state, not first-job overhead
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:

@@ -44,21 +44,32 @@ _SHINGLE_CTE = f"""
 @query(
     "dedup_exact_groups",
     oracle=f"""
+    WITH crawl AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+    )
     SELECT md5({_NORM}) AS content_key,
            count(*)      AS n_dups,
            min(doc_id)   AS canonical_id
-    FROM documents
+    FROM crawl
     GROUP BY 1
     HAVING count(*) > 1
     """,
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: md5 over normalized text, groups with >1 member.
-    Single hash-shuffle; at 100 TB this is the cheapest dedup pass and runs
-    first to shrink the corpus before MinHash."""
-    d = load_table(spark, sf_dir, "documents")
+    """Exact dedup: md5 over normalized text, groups with >1 member, on a
+    corpus with a simulated partial recrawl (every 3rd doc re-ingested under
+    a new id — the synthetic corpus itself has no exact dups). Single
+    hash-shuffle; at 100 TB this is the cheapest dedup pass and runs first
+    to shrink the corpus before MinHash."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    crawl = d.union(recrawl)
     return (
-        d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_key"))
+        crawl.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("content_key"))
         .groupBy("content_key")
         .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical_id"))
         .filter(F.col("n_dups") > 1)

@@ -15,5 +15,6 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     relational,
     scalar_functions,
     setops,
+    sql_surface,
     windows,
 )

@@ -134,13 +134,16 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LeftAnti = NOT EXISTS — customers who never ordered."""
+    """LeftAnti = NOT EXISTS — customers with no large order (every customer
+    in the synthetic corpus has at least one order, so the unfiltered anti
+    join would be vacuously empty)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

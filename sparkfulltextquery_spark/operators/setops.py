@@ -78,14 +78,16 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set) — left-anti join + distinct (reference Optimizer.scala:1086)."""
+    """EXCEPT (set) — left-anti join + distinct (reference Optimizer.scala:1086).
+    The right side is filtered to urgent orders: every customer has some
+    order, so an unfiltered EXCEPT would be vacuously empty."""
     a = _segment(spark, sf_dir, "BUILDING").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return a.exceptAll(o).distinct()
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return a.exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct()
 
 
 @query(

@@ -29,6 +29,14 @@ def test_oracle_parity(spark, duck, name):
     assert_query_matches_oracle(spark, duck, spec.fn, spec.oracle, name=name)
 
 
+def test_no_query_degenerates_to_empty(spark):
+    """An empty result passes the oracle comparison vacuously — make sure
+    every registered query actually exercises rows at the test scale."""
+    for name in _WITH_ORACLE + _ROWS_ONLY:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        assert df.limit(1).count() == 1, f"{name} returned no rows at {SF_DIR}"
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_smoke(spark, name):
     spec = REGISTRY[name]

@@ -1,0 +1,135 @@
+"""Structured Streaming tests — the scripted-action style of the reference's
+StreamTest (sql/core/src/test/scala/org/apache/spark/sql/streaming/
+StreamTest.scala) using file sources + Trigger.AvailableNow + checkpoints:
+
+  add data → run to completion → check answer → add more → re-run → check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.sources import load_table
+from sparkfulltextquery_spark.streaming import sessionize, streaming_dedup, windowed_counts
+from tests.conftest import SF_DIR
+
+
+def _events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def _write_chunk(df, path, cond):
+    df.filter(cond).write.mode("append").parquet(path)
+
+
+def _run_to_memory(sdf, name, checkpoint, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_incremental_windowed_aggregation(spark, tmp_path):
+    ev = _events(spark)
+    src = f"file://{tmp_path}/src"
+    ckpt = f"file://{tmp_path}/ckpt"
+    # chunk 1: first 500 events
+    _write_chunk(ev, src, F.col("event_id") < 500)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = windowed_counts(stream, window="1 hour", watermark="10 hours")
+    _run_to_memory(agg, "winc", ckpt, "complete")
+    first = spark.table("winc").agg(F.sum("n")).head()[0]
+    assert first == 500
+
+    # add chunk 2 → incremental batch picks up only the new files (WAL'd
+    # offsets in the checkpoint — reference HDFSMetadataLog semantics)
+    _write_chunk(ev, src, F.col("event_id") >= 500)
+    agg2 = windowed_counts(
+        spark.readStream.schema(ev.schema).parquet(src), window="1 hour", watermark="10 hours"
+    )
+    _run_to_memory(agg2, "winc2", ckpt, "complete")
+    total = spark.table("winc2").agg(F.sum("n")).head()[0]
+    assert total == ev.count()
+
+    # stream result == batch result (the Structured Streaming contract)
+    batch = windowed_counts(ev, window="1 hour")
+    got = {(r.win_start, r.event_type): (r.n, r.total) for r in spark.table("winc2").collect()}
+    want = {(r.win_start, r.event_type): (r.n, r.total) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_dedup_drops_redelivered(spark, tmp_path):
+    ev = _events(spark).limit(200)
+    src = f"file://{tmp_path}/dsrc"
+    ev.write.mode("append").parquet(src)
+    ev.write.mode("append").parquet(src)  # redelivery: every event twice
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    dd = streaming_dedup(stream, watermark="24 hours")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("ddq")
+        .outputMode("append")
+        .option("checkpointLocation", f"file://{tmp_path}/dckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("ddq")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
+
+
+def test_streaming_sessionize_equals_batch(spark, tmp_path):
+    ev = _events(spark)
+    src = f"file://{tmp_path}/ssrc"
+    ev.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sess = sessionize(stream, gap="30 minutes", watermark="24 hours")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessq")
+        .outputMode("complete")
+        .option("checkpointLocation", f"file://{tmp_path}/sckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessq").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(ev, gap="30 minutes").collect()
+    }
+    assert got == want
+
+
+def test_rate_source_liveness(spark, tmp_path):
+    """Minimal liveness on the rate source (reference socket/rate-style
+    always-on source) — a couple of micro-batches then stop."""
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+    counts = stream.groupBy().count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("rateq")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            rows = spark.table("rateq").collect()
+            if rows and rows[0][0] > 0:
+                break
+            time.sleep(0.5)
+        assert rows and rows[0][0] > 0
+    finally:
+        q.stop()
