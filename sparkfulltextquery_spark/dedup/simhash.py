@@ -16,7 +16,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkfulltextquery_spark.functions.hashes import h28
-from sparkfulltextquery_spark.functions.text import shingles
 
 N_BITS = 28
 N_BANDS = 4
@@ -25,11 +24,14 @@ BITS_PER_BAND = N_BITS // N_BANDS
 
 def simhash_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — 28-bit SimHash as a bigint."""
+    from sparkfulltextquery_spark.functions.text import ngrams, tokenize
+
+    # two-phase projection (tokenize → column → ngrams) — see minhash.py
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
     tf = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingles(F.col(text_col), 3)).alias("token"),
-        )
+        toks.select("doc_id", F.explode(ngrams(F.col("_toks"), 3)).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
         .select("doc_id", "tf", h28(F.col("token")).alias("h"))

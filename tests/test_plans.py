@@ -103,3 +103,28 @@ def test_bounded_shuffle_counts(spark):
     for name, max_ex in ceilings.items():
         n = count_exchanges(_q(spark, name))
         assert n <= max_ex, f"{name}: {n} exchanges > ceiling {max_ex}"
+
+
+def test_cached_relation_uses_inmemory_scan(spark):
+    df = _q(spark, "cached_relation_reuse")
+    df.collect()  # populate the cache
+    assert has_operator(df, "InMemoryTableScan") or "InMemoryRelation" in physical_plan(df)
+
+
+def test_repartition_and_sort_within_partitions(spark):
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    # repartition by key then sortWithinPartitions — the write-side layout
+    # pattern (reference ShuffleExchange round-robin/hash + per-partition
+    # sort, SortExec global=false)
+    df = l.repartition(8, "l_suppkey").sortWithinPartitions("l_suppkey", "l_shipdate")
+    plan = physical_plan(df, "simple")
+    assert "Exchange hashpartitioning(l_suppkey" in plan
+    assert "Sort [l_suppkey" in plan and "], false," in plan  # global=false sort
+    assert df.count() == l.count()
+    # coalesce avoids a shuffle
+    c = l.coalesce(2)
+    assert "Coalesce" in physical_plan(c)
