@@ -190,3 +190,69 @@ def stat_freq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.crossJoin(
         sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
     ).withColumn("quantiles", F.array(*[F.lit(x) for x in q]))
+
+
+_RANGE_TVF_SPARK = "SELECT id, id * id AS sq FROM range(0, 50, 3)"
+_RANGE_TVF_DUCK = """
+    SELECT id, id * id AS sq
+    FROM (SELECT unnest(range(0, 50, 3)) AS id)
+"""
+
+
+@query("sqlt_range_table_function", oracle=_RANGE_TVF_DUCK)
+def sqlt_range_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range(...) table-valued function in FROM position (reference
+    ResolveTableValuedFunctions, analysis/ResolveTableValuedFunctions.scala)."""
+    return spark.sql(_RANGE_TVF_SPARK)
+
+
+@query(
+    "fn_from_json",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS int)  AS k,
+           to_json(json_extract(props, '$'))               AS rt
+    FROM events WHERE event_id < 200
+    """,
+)
+def fn_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json/to_json struct round trip (modern superset of the
+    reference's GetJsonObject/JsonTuple — SURVEY.md §2.8 notes the snapshot
+    predates from_json)."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    parsed = e.select(
+        "event_id", F.from_json("props", "k INT").alias("p")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.to_json("p").alias("rt"),
+    )
+
+
+@query("fn_datetime_misc", oracle=None)  # cross-dialect semantics differ — rows-only
+def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime functions with engine-specific semantics: months_between
+    (fractional-month rules), next_day, weekofyear, to/from_utc_timestamp,
+    trunc, histogram_numeric (Hive-delegated in the reference,
+    HiveSessionCatalog.scala:227-230; native since Spark 3.3)."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.months_between(F.lit("1998-01-01").cast("timestamp"), ts).alias("mb"),
+        F.next_day(ts.cast("date"), "Mon").alias("next_mon"),
+        F.weekofyear(ts).alias("woy"),
+        F.to_utc_timestamp(ts, "America/New_York").alias("utc_ts"),
+        F.trunc(ts.cast("date"), "quarter").alias("q_start"),
+    ).join(
+        o.agg(
+            F.histogram_numeric(
+                "o_totalprice", F.lit(5)
+            ).alias("price_hist")
+        )
+    )

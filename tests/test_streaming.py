@@ -133,3 +133,30 @@ def test_rate_source_liveness(spark, tmp_path):
         assert rows and rows[0][0] > 0
     finally:
         q.stop()
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch sink (reference ForeachSink, execution/streaming/
+    ForeachSink.scala:32): arbitrary per-microbatch logic — here writing
+    parquet partitions with the batch id."""
+    ev = _events(spark).limit(300)
+    src = f"file://{tmp_path}/fbsrc"
+    out = f"{tmp_path}/fbout"
+    ev.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            f"file://{out}"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", f"file://{tmp_path}/fbckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(f"file://{out}")
+    assert written.count() == 300
+    assert "batch_id" in written.columns
