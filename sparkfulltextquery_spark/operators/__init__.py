@@ -17,5 +17,6 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     scalar_functions,
     setops,
     sql_surface,
+    tpch,
     windows,
 )

@@ -1,0 +1,159 @@
+"""Property-based cross-engine parity (reference analogue: the randomized
+RandomDataGenerator suites, catalyst test sql/RandomDataGenerator.scala:37).
+
+For the primitives whose *definition* must be identical in three places —
+the Python model, the Spark expression, and the DuckDB oracle fragment —
+hypothesis generates adversarial strings (unicode, empty, punctuation runs)
+and each example batch is checked through all three engines at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions.hashes import h28_duck, h60, h60_duck, h28
+from sparkfulltextquery_spark.functions.text import (
+    ngrams,
+    ngrams_duck,
+    tokenize,
+    tokenize_duck,
+)
+
+# printable-ish strings incl. unicode, punctuation runs, empties
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+        max_size=60,
+    ),
+    min_size=20,
+    max_size=40,
+)
+
+
+def _py_tokenize(s: str) -> list[str]:
+    return [t for t in re.split("[^a-z0-9]+", s.lower()) if t]
+
+
+def _py_ngrams(toks: list[str], n: int) -> list[str]:
+    if len(toks) < n:
+        return []
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def _py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_h28(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+@pytest.fixture(scope="module")
+def duck_con():
+    return duckdb.connect()
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_tokenizer_three_way_parity(spark, duck_con, texts):
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    spark_out = {
+        r.i: list(r.toks)
+        for r in sdf.select("i", tokenize(F.col("text")).alias("toks")).collect()
+    }
+    duck_out = {
+        i: list(toks)
+        for i, toks in duck_con.execute(
+            f"SELECT i, {tokenize_duck('text')} FROM (SELECT unnest(range(len($1))) AS i, unnest($1::VARCHAR[]) AS text)",
+            [texts],
+        ).fetchall()
+    }
+    py_out = {i: _py_tokenize(t) for i, t in enumerate(texts)}
+    assert spark_out == py_out
+    assert duck_out == py_out
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_ngrams_three_way_parity(spark, duck_con, texts):
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    toks_col = tokenize(F.col("text"))
+    spark_out = {
+        r.i: list(r.g)
+        for r in sdf.select("i", ngrams(toks_col, 3).alias("g")).collect()
+    }
+    duck_out = {
+        i: list(g)
+        for i, g in duck_con.execute(
+            f"SELECT i, {ngrams_duck(tokenize_duck('text'), 3)} "
+            "FROM (SELECT unnest(range(len($1))) AS i, unnest($1::VARCHAR[]) AS text)",
+            [texts],
+        ).fetchall()
+    }
+    py_out = {i: _py_ngrams(_py_tokenize(t), 3) for i, t in enumerate(texts)}
+    assert spark_out == py_out
+    assert duck_out == py_out
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(min_size=1, max_size=40), min_size=10, max_size=20))
+def test_portable_hash_three_way_parity(spark, duck_con, strings):
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(strings)], "i int, s string")
+    spark_out = {
+        r.i: (r.h6, r.h2)
+        for r in sdf.select(
+            "i", h60(F.col("s")).alias("h6"), h28(F.col("s")).alias("h2")
+        ).collect()
+    }
+    duck_out = {
+        i: (a, b)
+        for i, a, b in duck_con.execute(
+            f"SELECT i, {h60_duck('s')}, {h28_duck('s')} "
+            "FROM (SELECT unnest(range(len($1))) AS i, unnest($1::VARCHAR[]) AS s)",
+            [strings],
+        ).fetchall()
+    }
+    py_out = {i: (_py_h60(s), _py_h28(s)) for i, s in enumerate(strings)}
+    assert spark_out == py_out
+    assert duck_out == py_out
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Statistical property: on planted near-dup pairs the MinHash candidate
+    stage must recall pairs whose true shingle jaccard ≥ 0.8 (16 perms,
+    8×2 banding → P(miss) = (1−s²)⁸ ≤ 0.9%)."""
+    from sparkfulltextquery_spark.dedup.minhash import (
+        doc_shingle_sets,
+        lsh_candidate_pairs,
+        verified_near_dups,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = doc_shingle_sets(docs)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        ta.join(tb, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")) >= 0.8)
+    )
+    true_pairs = {(r.doc_a, r.doc_b) for r in truth.collect()}
+    cands = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert true_pairs <= cands, f"LSH missed {true_pairs - cands}"
+    verified = {(r.doc_a, r.doc_b) for r in verified_near_dups(docs, threshold=0.8).collect()}
+    assert verified == true_pairs
