@@ -95,5 +95,39 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> list:
     return spark.table(query_name).collect()
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful operator via applyInPandasWithState — the modern
+    form of the DStream-era updateStateByKey/mapWithState (reference
+    streaming/.../dstream/PairDStreamFunctions.scala:397/380, absent from
+    its Structured Streaming). Maintains per-user running (n_events, total)
+    across micro-batches; state survives restarts via the checkpoint.
+
+    Output (update mode): one row per user per batch with the cumulative
+    totals. State is O(distinct users) — bounded keys only, per the
+    engine's 100 TB discipline.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # registered queries import the helpers above; keep this import last
 from sparkfulltextquery_spark.streaming import queries  # noqa: E402,F401

@@ -160,3 +160,47 @@ def test_foreach_batch_sink(spark, tmp_path):
     written = spark.read.parquet(f"file://{out}")
     assert written.count() == 300
     assert "batch_id" in written.columns
+
+
+def test_stateful_operator_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-user running totals must accumulate across
+    two separate checkpointed runs (state recovery), and the final state must
+    equal the batch aggregate."""
+    from sparkfulltextquery_spark.streaming import running_user_totals
+
+    ev = _events(spark)
+    src = f"file://{tmp_path}/stsrc"
+    ckpt = f"file://{tmp_path}/stckpt"
+
+    out1 = f"file://{tmp_path}/stout1"
+    out2 = f"file://{tmp_path}/stout2"
+
+    def run(out_path):
+        # memory sink can't recover from a checkpoint — foreachBatch can
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out_path)
+
+        s = running_user_totals(spark.readStream.schema(ev.schema).parquet(src))
+        q = (
+            s.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    _write_chunk(ev, src, F.col("event_id") < 500)
+    run(out1)
+    _write_chunk(ev, src, F.col("event_id") >= 500)
+    run(out2)
+
+    # run 2's updates are cumulative across BOTH chunks (state recovered)
+    got = {r.user_id: (r.n_events, r.total) for r in spark.read.parquet(out2).collect()}
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    # every user updated in run 2 must show totals equal to the full batch agg
+    for u, (n, t) in got.items():
+        assert (n, t) == want[u], (u, (n, t), want[u])
+    assert len(got) > 0
