@@ -15,6 +15,7 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     rangejoin,
     relational,
     scalar_functions,
+    scalar_functions_ext,
     setops,
     sql_surface,
     tpch,

@@ -160,5 +160,48 @@ def hyperplane_bucket_duck(vec_expr: str, dim: int, n_planes: int = N_HYPERPLANE
     return "(" + " + ".join(terms) + ")"
 
 
+
+LSH_BANDS = 4
+LSH_PLANES_PER_BAND = 6
+
+
+def hyperplane_band_keys(vec: Column, dim: int) -> Column:
+    """Banded hyperplane LSH: 24 planes split into 4 bands of 6; returns an
+    array of 4 band keys (band_idx·2^6 + 6 sign bits). Two vectors are
+    candidates if ANY band matches: P(candidate) = 1−(1−p⁶)⁴ for sign-
+    agreement p = 1−θ/π — ~95% recall at cosine 0.95, a sharp near-dup
+    curve (single 12-bit bucketing recalls ~0% below cosine 0.7)."""
+    n_planes = LSH_BANDS * LSH_PLANES_PER_BAND
+    pats = hyperplane_patterns(dim, n_planes)
+    keys = []
+    for band in range(LSH_BANDS):
+        key = F.lit(band * (1 << LSH_PLANES_PER_BAND)).cast("bigint")
+        for j in range(LSH_PLANES_PER_BAND):
+            p = band * LSH_PLANES_PER_BAND + j
+            lit_pat = F.array(*[F.lit(float(s)) for s in pats[p]])
+            key = key + F.when(
+                dot_expr(vec, lit_pat) > 0, F.lit(1 << j).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        keys.append(key)
+    return F.array(*keys)
+
+
+def hyperplane_band_keys_duck(vec_expr: str, dim: int) -> str:
+    """DuckDB twin of hyperplane_band_keys."""
+    n_planes = LSH_BANDS * LSH_PLANES_PER_BAND
+    pats = hyperplane_patterns(dim, n_planes)
+    bands = []
+    for band in range(LSH_BANDS):
+        terms = [str(band * (1 << LSH_PLANES_PER_BAND))]
+        for j in range(LSH_PLANES_PER_BAND):
+            p = band * LSH_PLANES_PER_BAND + j
+            arr = "[" + ", ".join(f"{float(s)}" for s in pats[p]) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec_expr}, {arr}) > 0 "
+                f"THEN {1 << j} ELSE 0 END)"
+            )
+        bands.append("(" + " + ".join(terms) + ")::BIGINT")
+    return "[" + ", ".join(bands) + "]"
+
 # registered queries import the helpers above, so this import must come last
 from sparkfulltextquery_spark.similarity import queries  # noqa: E402,F401
