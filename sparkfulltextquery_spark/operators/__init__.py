@@ -9,6 +9,7 @@ reference operator maps to a modern PySpark plan.
 from sparkfulltextquery_spark.operators import (  # noqa: F401
     advanced,
     aggregates,
+    funnels,
     generators,
     joins,
     pyfuncs,

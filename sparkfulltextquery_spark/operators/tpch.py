@@ -141,3 +141,86 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + max-selection join-back (scalar
+    subquery over the aggregate — Catalyst plans a reused subquery)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx), rev.total_rev == mx.m)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost FROM cost GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
+           round(c.unit_cost, 4) AS unit_cost
+    FROM cost c JOIN best b
+      ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+    WHERE c.l_partkey < 50
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group argmin via aggregate + join-back on the
+    minimum (the decorrelated form of Q2's correlated min subquery)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    cost = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost"))
+    # rename the join-back side — cost and best share lineage, so unqualified
+    # l_partkey would be an ambiguous self-join reference
+    best = best.select(F.col("l_partkey").alias("bp"), "best_cost")
+    return (
+        cost.join(
+            best,
+            (F.col("l_partkey") == F.col("bp")) & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .filter(F.col("l_partkey") < 50)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
