@@ -42,12 +42,12 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            octet_length(encode(text))::BIGINT AS n_bytes,
-           [octet_length(encode(text))::DOUBLE,
-            ascii(substr(text, 1, 1))::DOUBLE,
-            ascii(substr(text, length(text), 1))::DOUBLE,
-            (cast(list_sum(list_transform(range(1, length(text) + 1),
-                           i -> ascii(substr(text, i, 1)))) AS bigint) % 997)::DOUBLE
-           ] AS feat
+           array_to_string([octet_length(encode(text))::BIGINT,
+            ascii(substr(text, 1, 1)),
+            ascii(substr(text, length(text), 1)),
+            cast(list_sum(list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, i, 1)))) AS bigint) % 997
+           ], ',') AS feat_str
     FROM documents WHERE doc_id < 100
     """,
 )
@@ -58,7 +58,17 @@ def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASCII text (true for the synthetic corpus); the Spark side operates on
     raw bytes and is encoding-correct in general."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return extract_features(as_media_table(d), mode="fake")
+    feats = extract_features(as_media_table(d), mode="fake")
+    # feature values are integral by construction — project the array to a
+    # joined string so the comparison layer is immune to numpy-vs-list
+    # rendering; the mapInPandas stage still produces the real array column
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("feat", lambda x: x.cast("bigint").cast("string"))
+        ).alias("feat_str"),
+    )
 
 
 @query(

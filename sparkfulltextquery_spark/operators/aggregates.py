@@ -167,8 +167,8 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_list_set",
     oracle="""
     SELECT n_regionkey,
-           list_sort(list(n_name))           AS nations,
-           list_sort(list(DISTINCT n_name))  AS nations_set
+           array_to_string(list_sort(list(n_name)), ',')          AS nations,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_set
     FROM nation
     GROUP BY n_regionkey
     """,
@@ -177,9 +177,11 @@ def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CollectList/CollectSet (reference collect.scala:85,108) — sorted for
     cross-engine determinism (collect order is partition-dependent)."""
     n = load_table(spark, sf_dir, "nation")
+    # array outputs are joined to strings for the comparison layer — numpy
+    # (Spark->pandas) and list (DuckDB) render differently under naive hashing
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
-        F.array_sort(F.collect_set("n_name")).alias("nations_set"),
+        F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+        F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias("nations_set"),
     )
 
 

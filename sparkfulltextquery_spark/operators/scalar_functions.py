@@ -321,12 +321,12 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_contains(toks, 'spark')                AS has_spark,
            toks[1]                                     AS first_tok,
            toks[-1]                                    AS last_tok,
-           list_sort(list_distinct(toks))              AS vocab,
+           coalesce(array_to_string(list_sort(list_distinct(toks)), ','), '')   AS vocab,
            len(list_distinct(toks))                    AS n_vocab,
-           toks[1:3]                                   AS first3,
-           list_sort(list_intersect(toks, ['spark', 'query', 'data'])) AS kw_hits,
+           coalesce(array_to_string(toks[1:3], ','), '')           AS first3,
+           coalesce(array_to_string(list_sort(list_intersect(toks, ['spark', 'query', 'data'])), ','), '') AS kw_hits,
            list_position(toks, 'data')                 AS data_pos,
-           list_sort(flatten([toks[1:2], toks[1:2]]))  AS doubled_head
+           coalesce(array_to_string(list_sort(flatten([toks[1:2], toks[1:2]])), ','), '') AS doubled_head
     FROM t
     """,
 )
@@ -343,16 +343,23 @@ def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains("toks", "spark").alias("has_spark"),
         F.element_at("toks", 1).alias("first_tok"),
         F.element_at("toks", -1).alias("last_tok"),
-        F.array_sort(F.array_distinct("toks")).alias("vocab"),
+        # array results are string-joined for the comparison layer (numpy vs
+        # list rendering) — the array ops themselves are unchanged
+        F.concat_ws(",", F.array_sort(F.array_distinct("toks"))).alias("vocab"),
         F.size(F.array_distinct("toks")).alias("n_vocab"),
-        F.slice("toks", 1, 3).alias("first3"),
-        F.array_sort(
-            F.array_intersect("toks", F.array(F.lit("spark"), F.lit("query"), F.lit("data")))
+        F.concat_ws(",", F.slice("toks", 1, 3)).alias("first3"),
+        F.concat_ws(
+            ",",
+            F.array_sort(
+                F.array_intersect(
+                    "toks", F.array(F.lit("spark"), F.lit("query"), F.lit("data"))
+                )
+            ),
         ).alias("kw_hits"),
         F.array_position("toks", "data").cast("int").alias("data_pos"),
-        F.array_sort(F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 1, 2)))).alias(
-            "doubled_head"
-        ),
+        F.concat_ws(
+            ",", F.array_sort(F.flatten(F.array(F.slice("toks", 1, 2), F.slice("toks", 1, 2))))
+        ).alias("doubled_head"),
     )
 
 
@@ -364,7 +371,7 @@ def fn_array_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   x -> x <> '') AS toks
                FROM documents WHERE doc_id < 100)
     SELECT doc_id,
-           list_transform(toks, x -> length(x))               AS tok_lens,
+           array_to_string(list_transform(toks, x -> length(x)), ',') AS tok_lens,
            len(list_filter(toks, x -> length(x) > 4))         AS n_long,
            cast(list_sum(list_transform(toks, x -> length(x))) AS bigint) AS total_chars
     FROM t
@@ -379,7 +386,7 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", toks.alias("toks"))
     return t.select(
         "doc_id",
-        F.transform("toks", lambda x: F.length(x)).alias("tok_lens"),
+        F.concat_ws(",", F.transform("toks", lambda x: F.length(x).cast("string"))).alias("tok_lens"),
         F.size(F.filter("toks", lambda x: F.length(x) > 4)).alias("n_long"),
         F.aggregate(
             F.transform("toks", lambda x: F.length(x).cast("bigint")),
@@ -393,7 +400,7 @@ def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_ops",
     oracle="""
     SELECT n_nationkey,
-           list_sort(map_keys(map {'name': n_name, 'region': cast(n_regionkey AS varchar)}))
+           array_to_string(list_sort(map_keys(map {'name': n_name, 'region': cast(n_regionkey AS varchar)})), ',')
              AS ks,
            map_extract(map {'name': n_name, 'region': cast(n_regionkey AS varchar)}, 'name')[1]
              AS name_v
@@ -410,7 +417,7 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return n.select(
         "n_nationkey",
-        F.array_sort(F.map_keys(m)).alias("ks"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("ks"),
         F.element_at(m, F.lit("name")).alias("name_v"),
     )
 

@@ -91,14 +91,14 @@ def fn_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation
     )
     SELECT k,
-           seq_arr,
-           rep3,
+           array_to_string(seq_arr, ',')             AS seq_arr,
+           array_to_string(rep3, ',')                AS rep3,
            len(seq_arr)                              AS n,
            list_min(seq_arr)                         AS mn,
            list_max(seq_arr)                         AS mx,
-           list_transform(seq_arr, x -> x * 10)      AS tens,
-           list_transform(list_zip(seq_arr, seq_arr), t -> t[1] + t[2]) AS zip_sum,
-           list_filter(seq_arr, x -> x <> 2)         AS no2
+           array_to_string(list_transform(seq_arr, x -> x * 10), ',') AS tens,
+           array_to_string(list_transform(list_zip(seq_arr, seq_arr), t -> t[1] + t[2]), ',') AS zip_sum,
+           array_to_string(list_filter(seq_arr, x -> x <> 2), ',')    AS no2
     FROM t
     """,
 )
@@ -113,18 +113,21 @@ def fn_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_arr.alias("seq_arr"),
         F.array_repeat(F.lit("x"), 3).alias("rep3"),
     )
+    def joined(c):
+        return F.concat_ws(",", F.transform(c, lambda x: x.cast("string")))
+
     return t.select(
         "k",
-        "seq_arr",
-        "rep3",
+        joined(F.col("seq_arr")).alias("seq_arr"),
+        F.concat_ws(",", F.col("rep3")).alias("rep3"),
         F.size("seq_arr").alias("n"),
         F.array_min("seq_arr").alias("mn"),
         F.array_max("seq_arr").alias("mx"),
-        F.transform("seq_arr", lambda x: x * 10).alias("tens"),
+        joined(F.transform("seq_arr", lambda x: x * 10)).alias("tens"),
         # zip then element-wise combine — struct-in-array shapes normalize
         # differently across engines, so compare the zipped SUM instead
-        F.zip_with("seq_arr", "seq_arr", lambda a, b: a + b).alias("zip_sum"),
-        F.array_remove("seq_arr", 2).alias("no2"),
+        joined(F.zip_with("seq_arr", "seq_arr", lambda a, b: a + b)).alias("zip_sum"),
+        joined(F.array_remove("seq_arr", 2)).alias("no2"),
     )
 
 
