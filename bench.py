@@ -29,6 +29,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "agg_distinct_exact",
     "agg_cube",
     "window_ranking",
