@@ -81,17 +81,16 @@ def tf_idf(post: DataFrame, n_docs: int) -> DataFrame:
     )
 
 
-def bm25_search(
+def bm25_scores(
     docs: DataFrame,
     query: str,
-    k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Top-k BM25 search: returns (doc_id, score) with score rounded to 4dp
-    for cross-engine determinism, ordered by (score desc, doc_id).
+    """(doc_id, score) BM25 scores for every doc matching ≥1 query term —
+    the un-truncated scoring relation (used by the boolean query language).
 
     idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))          [Lucene form]
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
@@ -134,6 +133,21 @@ def bm25_search(
         .groupBy("doc_id")
         .agg(F.round(F.sum("tscore"), 4).alias("score"))
     )
+    return scored
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k BM25 search: bm25_scores + TakeOrderedAndProject top-k, with
+    the 4dp-rounded score and (score desc, doc_id) deterministic order."""
+    scored = bm25_scores(docs, query, id_col, text_col, k1, b)
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 

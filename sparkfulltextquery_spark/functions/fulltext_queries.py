@@ -252,3 +252,54 @@ def fulltext_fuzzy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .orderBy("dist", "term")
     )
+
+
+@query(
+    "fulltext_query_language",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    phrase_docs AS (
+      SELECT DISTINCT a.doc_id
+      FROM (SELECT doc_id, pos FROM pos WHERE term = 'batch') a
+      JOIN (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'batch') b
+        USING (doc_id, pos)
+    ),
+    matched AS (
+      SELECT doc_id FROM tfs WHERE term = 'spark'
+      INTERSECT
+      SELECT doc_id FROM tfs WHERE term = 'join'
+      UNION
+      (SELECT doc_id FROM phrase_docs
+       EXCEPT
+       SELECT doc_id FROM tfs WHERE term = 'vector')
+    ),
+    qt    AS (SELECT unnest(['batch', 'join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+    """,
+)
+def fulltext_query_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean query language end-to-end:
+    '(spark AND join) OR ("batch batch" AND NOT vector)' — parsed, compiled
+    to semi/anti/union joins over the posting index, BM25-ranked. The oracle
+    reproduces the identical boolean algebra + scoring in SQL."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, '(spark AND join) OR ("batch batch" AND NOT vector)', k=10)

@@ -1,0 +1,211 @@
+"""Boolean full-text query language — the user-facing search surface.
+
+Grammar (tokens are case-insensitive; AND binds tighter than OR):
+
+    query   := or_expr
+    or_expr := and_expr (OR and_expr)*
+    and_expr:= unary (AND unary)*
+    unary   := NOT unary | atom
+    atom    := '(' query ')' | '"' phrase '"' | term
+
+Each atom compiles to a DataFrame of matching doc_ids over the posting
+index (term → pruned posting lookup; phrase → positional equi-join); AND/OR/
+NOT compose via left-semi join / union-distinct / left-anti — exactly the
+rewrites the reference's optimizer applies to INTERSECT/UNION/EXCEPT
+(Optimizer.scala:1065/1086). Results are ranked by BM25 over the query's
+positive terms.
+
+This is the composition layer the reference fork existed to enable
+("full-text query within the Spark framework") — tokenize → index → boolean
+retrieval → relevance ranking, all as one Catalyst plan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions.fulltext import (
+    _py_tokenize,
+    bm25_scores,
+    phrase_match,
+    postings,
+)
+
+
+# ---------------- AST ----------------
+
+
+@dataclass(frozen=True)
+class Term:
+    text: str
+
+
+@dataclass(frozen=True)
+class Phrase:
+    text: str
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
+
+
+def parse_query(q: str):
+    """Parse the boolean grammar into an AST. Raises ValueError on syntax
+    errors (unbalanced parens, dangling operators, empty query)."""
+    toks = _TOKEN_RE.findall(q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        parts = [parse_and()]
+        while peek() is not None and peek().upper() == "OR":
+            take()
+            parts.append(parse_and())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def parse_and():
+        # adjacency is implicit AND ("spark join" == "spark AND join")
+        parts = [parse_unary()]
+        while True:
+            t = peek()
+            if t is None or t == ")" or t.upper() == "OR":
+                break
+            if t.upper() == "AND":
+                take()
+            parts.append(parse_unary())
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def parse_unary():
+        t = peek()
+        if t is None:
+            raise ValueError("dangling operator in query")
+        if t.upper() == "NOT":
+            take()
+            return Not(parse_unary())
+        return parse_atom()
+
+    def parse_atom():
+        t = take()
+        if t == "(":
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError("unbalanced parenthesis")
+            take()
+            return node
+        if t == ")":
+            raise ValueError("unexpected ')'")
+        if t.startswith('"'):
+            body = t.strip('"')
+            if not _py_tokenize(body):
+                raise ValueError("empty phrase")
+            return Phrase(body)
+        if t.upper() in ("AND", "OR", "NOT"):
+            raise ValueError(f"operator {t!r} in term position")
+        norm = _py_tokenize(t)
+        if not norm:
+            raise ValueError(f"term {t!r} is empty after normalization")
+        return Term(norm[0])
+
+    if not toks:
+        raise ValueError("empty query")
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing input: {toks[pos:]}")
+    return node
+
+
+def positive_terms(node) -> list[str]:
+    """Terms usable for relevance scoring (everything not under a NOT)."""
+    if isinstance(node, Term):
+        return [node.text]
+    if isinstance(node, Phrase):
+        return _py_tokenize(node.text)
+    if isinstance(node, Not):
+        return []
+    return [t for c in node.children for t in positive_terms(c)]
+
+
+# ---------------- compilation ----------------
+
+
+def _matches(node, docs: DataFrame, post: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Compile an AST node to a distinct (doc_id) DataFrame."""
+    if isinstance(node, Term):
+        return post.filter(F.col("term") == node.text).select("doc_id").distinct()
+    if isinstance(node, Phrase):
+        return phrase_match(docs, node.text, id_col, text_col).select("doc_id")
+    if isinstance(node, And):
+        out = _matches(node.children[0], docs, post, id_col, text_col)
+        for c in node.children[1:]:
+            out = out.join(
+                _matches(c, docs, post, id_col, text_col), "doc_id", "left_semi"
+            )
+        return out
+    if isinstance(node, Or):
+        out = _matches(node.children[0], docs, post, id_col, text_col)
+        for c in node.children[1:]:
+            out = out.union(_matches(c, docs, post, id_col, text_col))
+        return out.distinct()
+    if isinstance(node, Not):
+        universe = docs.select(F.col(id_col).alias("doc_id"))
+        return universe.join(
+            _matches(node.child, docs, post, id_col, text_col), "doc_id", "left_anti"
+        )
+    raise TypeError(f"unknown node {node!r}")
+
+
+def search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean retrieval + BM25 ranking: top-k (doc_id, score) for docs
+    satisfying the boolean query, ranked by BM25 over its positive terms.
+    Pure-negation queries rank by doc_id (score 0.0)."""
+    ast = parse_query(query)
+    post = postings(docs, id_col, text_col)
+    matched = _matches(ast, docs, post, id_col, text_col)
+    pos = sorted(set(positive_terms(ast)))
+    if not pos:
+        return (
+            matched.select("doc_id", F.lit(0.0).alias("score"))
+            .orderBy("doc_id")
+            .limit(k)
+        )
+    # rank every matching doc: scores come from the positive terms, docs
+    # matching only via OR-branches without those terms score 0
+    scored = bm25_scores(docs, " ".join(pos), id_col=id_col, text_col=text_col)
+    return (
+        matched.join(scored, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
