@@ -39,6 +39,7 @@ HEADLINE = [
     "topk_orders",
     "fulltext_postings_topdf",
     "fulltext_bm25_search",
+    "fulltext_query_language",
     "fulltext_phrase_search",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
