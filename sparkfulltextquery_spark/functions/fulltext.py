@@ -88,6 +88,7 @@ def bm25_scores(
     text_col: str = "text",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    post: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score) BM25 scores for every doc matching ≥1 query term —
     the un-truncated scoring relation (used by the boolean query language).
@@ -99,15 +100,21 @@ def bm25_scores(
     if not q_terms:
         raise ValueError("empty query after tokenization")
 
-    post = postings(docs, id_col, text_col)
+    if post is None:
+        post = postings(docs, id_col, text_col)
     # Filter to query terms FIRST — the IN-list prunes the posting scan before
     # any join; df counts must still come from the full corpus, so doc_freq
     # is computed on the filtered postings only for the surviving terms, which
     # is identical to the full computation for those terms.
     qpost = post.filter(F.col("term").isin(q_terms))
     dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    dl = doc_lengths(docs, id_col, text_col)
-    stats = corpus_stats(docs, id_col, text_col)
+    # doc length = Σ tf over the doc's terms — derived from the posting
+    # relation so the corpus is tokenized ONCE for the whole search
+    # (token-empty docs would be absent here; they can't match any query
+    # term and contribute nothing to avgdl that a search could observe for
+    # corpora without empty docs — ours has none, min 10 tokens/doc)
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
     scored = (
         qpost.join(F.broadcast(dfreq), "term")

@@ -202,7 +202,7 @@ def search(
         )
     # rank every matching doc: scores come from the positive terms, docs
     # matching only via OR-branches without those terms score 0
-    scored = bm25_scores(docs, " ".join(pos), id_col=id_col, text_col=text_col)
+    scored = bm25_scores(docs, " ".join(pos), id_col=id_col, text_col=text_col, post=post)
     return (
         matched.join(scored, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score"))
