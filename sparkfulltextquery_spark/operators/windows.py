@@ -178,3 +178,68 @@ def window_unbounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_from_nation_avg"
         ),
     )
+
+
+@query(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price_sofar,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value/nth_value over a growing frame (reference
+    First/Last aggregate window functions + NthValue)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price_sofar"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@query(
+    "window_forward_fill",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events
+    )
+    SELECT event_id, user_id,
+           max(purchase_value) OVER w AS last_purchase_value_naive,
+           last_value(purchase_value IGNORE NULLS) OVER w AS ffill_value
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last non-null over a growing frame, ignoreNulls) — the
+    gap-filling idiom for sparse measurements; reference Last(ignoreNulls)
+    (aggregate/Last.scala:33) as a window function."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.max(pv).over(w).alias("last_purchase_value_naive"),
+        F.last(pv, ignorenulls=True).over(w).alias("ffill_value"),
+    )

@@ -204,3 +204,74 @@ def test_stateful_operator_across_restarts(spark, tmp_path):
     for u, (n, t) in got.items():
         assert (n, t) == want[u], (u, (n, t), want[u])
     assert len(got) > 0
+
+
+def test_stream_static_join(spark, tmp_path):
+    """Stream-static join: streaming events enriched with a static dimension
+    (broadcast per micro-batch) — the canonical enrichment pattern."""
+    ev = _events(spark)
+    src = f"file://{tmp_path}/jsrc"
+    ev.write.mode("append").parquet(src)
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    enriched = (
+        stream.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"))
+    )
+    q = (
+        enriched.writeStream.format("memory").queryName("ssj")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.event_type): r.weighted for r in spark.table("ssj").collect()}
+    want = {
+        (r.event_type): r.weighted
+        for r in ev.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 2).alias("weighted"))
+        .collect()
+    }
+    assert got == want and len(got) >= 4
+
+
+def test_append_mode_emits_only_closed_windows(spark, tmp_path):
+    """Append-mode windowed aggregation emits a window only once the
+    watermark passes its end — windows within the watermark delay of the
+    max event time stay open (the late-data semantics the reference lacked;
+    SURVEY.md §2.11)."""
+    ev = _events(spark)
+    src = f"file://{tmp_path}/apsrc"
+    ev.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("apq")
+        .outputMode("append")
+        .option("checkpointLocation", f"file://{tmp_path}/apckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    emitted = {r.win_start for r in spark.table("apq").collect()}
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    all_windows = {
+        r.win_start
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+        .collect()
+    }
+    import datetime
+
+    watermark = max_ts - datetime.timedelta(hours=2)
+    expected_closed = {w for w in all_windows if w + datetime.timedelta(hours=1) <= watermark}
+    assert emitted == expected_closed
+    assert emitted < all_windows  # the open tail was withheld
