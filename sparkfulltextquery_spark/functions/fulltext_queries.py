@@ -303,3 +303,83 @@ def fulltext_query_language(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return search(d, '(spark AND join) OR ("batch batch" AND NOT vector)', k=10)
+
+
+@query(
+    "fulltext_snippets",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(lower(text), '(?:\\S+\\s+){0,3}spark(?:\\s+\\S+){0,3}')
+             AS snippet
+    FROM documents
+    WHERE contains(lower(text), 'spark')
+    """,
+)
+def fulltext_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result snippets: a ±3-word context window around the first hit
+    (regexp_extract — reference RegExpExtract, regexpExpressions.scala:314).
+    Per-row, shuffle-free."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.lower(F.col("text")).contains("spark")).select(
+        "doc_id",
+        F.regexp_extract(
+            F.lower(F.col("text")), r"(?:\S+\s+){0,3}spark(?:\s+\S+){0,3}", 0
+        ).alias("snippet"),
+    )
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH stats AS (
+      SELECT doc_id, lang, text,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ckey,
+             len({_TOK})::DOUBLE AS n_toks,
+             CASE WHEN len({_TOK}) = 0 THEN 0.0
+                  ELSE len(list_filter({_TOK},
+                       t -> list_contains(['a','an','and','are','as','at','be','by','for','from','in','is','it','of','on','or','that','the','to','with'], t)))::DOUBLE
+                       / len({_TOK}) END AS swr,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                       / length(text) END AS pr
+      FROM documents
+    ),
+    dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY ckey ORDER BY doc_id) AS rn FROM stats
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             round(0.4 * least(n_toks / 50.0, 1.0)
+                 + 0.3 * least(swr / 0.4, 1.0)
+                 + 0.3 * (1 - pr), 6) AS quality
+      FROM dedup WHERE rn = 1
+    )
+    SELECT lang,
+           count(*)                                        AS n_docs,
+           count(*) FILTER (WHERE quality >= 0.5)          AS n_selected,
+           round(avg(quality), 6)                          AS avg_quality
+    FROM scored GROUP BY lang
+    """,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline: exact dedup (content-key
+    row_number) → quality scoring → per-language selection stats. The
+    composition every LLM-data pipeline runs; one pass, two shuffles
+    (dedup window + final rollup)."""
+    from pyspark.sql import Window as W
+
+    from sparkfulltextquery_spark.functions.text import normalize_text
+    from sparkfulltextquery_spark.textstats import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", "text", F.md5(normalize_text(F.col("text"))).alias("ckey")
+    )
+    w = W.partitionBy("ckey").orderBy("doc_id")
+    first = keyed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    scored = first.select("doc_id", "lang", quality_score(F.col("text")).alias("quality"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("quality") >= 0.5, 1)).alias("n_selected"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
