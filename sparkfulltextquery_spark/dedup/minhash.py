@@ -14,9 +14,11 @@ With sig collision prob = jaccard s, P(candidate) = 1 − (1 − s²)⁸:
 s=0.9 → 99.9%, s=0.5 → 90%, s=0.2 → 28% — a sharp-enough curve for
 near-dup mining at 0.5+ thresholds.
 
-Scale: stage 2 is explode×H (H=16 rows per token — bounded blowup) with
-map-side partial min; stage 3 groups by band key whose buckets are small by
-construction; stage 4 joins only candidates. The identical algorithm is
+Scale: stage 2 computes all H minima as one groupBy(doc_id) with H
+aggregate expressions (no row expansion, map-side partial mins); stage 3
+derives band keys from the wide signature row shuffle-free and joins on
+band keys whose buckets are small by construction; stage 4 joins only
+candidates. The identical algorithm is
 expressed in SQL for the DuckDB oracle (dedup/queries.py), which is why the
 token hash is md5-based (portable) rather than murmur3.
 """
@@ -69,51 +71,52 @@ def doc_shingle_sets(
     )
 
 
-def minhash_signatures(tok_sets: DataFrame) -> DataFrame:
-    """(doc_id, perm, sig): min over tokens of (a·h28(token) + b) mod p.
-
-    The H-way expansion uses posexplode over a literal array of perm params —
-    JVM-side, no Python. Partial aggregation (min) runs map-side, so shuffle
-    volume is H rows per doc regardless of doc length.
-    """
+def minhash_signatures_wide(tok_sets: DataFrame) -> DataFrame:
+    """(doc_id, s0..s15): all H signature minima as aggregate expressions in
+    ONE groupBy pass — no row expansion, one shuffle, map-side partial mins.
+    (The earlier posexplode formulation expanded every shingle row H-fold
+    and needed a second shuffle; measured ~2× slower.)"""
     hashed = tok_sets.select("doc_id", h28(F.col("token")).alias("h"))
-    perms = F.array(*[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in MINHASH_PERMS])
-    expanded = hashed.select(
-        "doc_id", F.posexplode(perms).alias("perm", "ab"), F.col("h")
-    )
-    return (
-        expanded.select(
-            "doc_id",
-            "perm",
-            ((F.col("ab.a") * F.col("h") + F.col("ab.b")) % F.lit(MINHASH_PRIME)).alias("v"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("v").alias("sig"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_band_keys(signatures: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key): md5 over the band's ordered sig values."""
-    banded = signatures.withColumn("band", (F.col("perm") / ROWS_PER_BAND).cast("int"))
-    return (
-        banded.groupBy("doc_id", "band")
-        # sort_array of (perm, sig) structs orders by perm — deterministic
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "sig"))).alias("ps"))
-        .select(
-            "doc_id",
-            "band",
-            F.md5(
-                F.concat_ws(",", F.transform("ps", lambda s: s["sig"].cast("string")))
-            ).alias("band_key"),
+def minhash_signatures(tok_sets: DataFrame) -> DataFrame:
+    """(doc_id, perm, sig) long form — the wide row unpivoted via stack
+    (driver-side literal perm indices; no shuffle)."""
+    wide = minhash_signatures_wide(tok_sets)
+    pairs = ", ".join(f"{i}, s{i}" for i in range(N_PERMS))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_PERMS}, {pairs}) as (perm, sig)"
+    ).selectExpr("doc_id", "cast(perm as int) as perm", "sig")
+
+
+def lsh_band_keys(sigs_wide: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): md5 over the band's ordered sig values,
+    computed directly from the wide signature row — shuffle-free."""
+    band_structs = []
+    for band in range(N_BANDS):
+        parts = [
+            F.col(f"s{band * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"), F.md5(F.concat_ws(",", *parts)).alias("band_key")
+            )
         )
-    )
+    return sigs_wide.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) sharing ≥1 band."""
     toks = doc_shingle_sets(docs, id_col, text_col)
-    sigs = minhash_signatures(toks)
-    bands = lsh_band_keys(sigs)
+    bands = lsh_band_keys(minhash_signatures_wide(toks))
     a = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -141,8 +144,7 @@ def verified_near_dups(
     # here — columnar-cache overhead exceeds the recompute at this scale)
     toks = doc_shingle_sets(docs, id_col, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sigs = minhash_signatures(toks)
-    bands = lsh_band_keys(sigs)
+    bands = lsh_band_keys(minhash_signatures_wide(toks))
     a = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     cands = (
