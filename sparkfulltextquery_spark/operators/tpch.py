@@ -224,3 +224,89 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("unit_cost", 4).alias("unit_cost"),
         )
     )
+
+
+@query(
+    "analytics_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name, date_trunc('month', o_orderdate)
+    )
+    SELECT n_name, mon, rev,
+           round(rev - lag(rev) OVER (PARTITION BY n_name ORDER BY mon), 2) AS mom_delta
+    FROM monthly
+    """,
+)
+def analytics_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite shape: join → time-bucketed aggregate → window over the
+    aggregate (month-over-month revenue delta per nation). Two shuffles:
+    the monthly rollup and the per-nation window."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window as W
+
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = W.partitionBy("n_name").orderBy("mon")
+    return monthly.select(
+        "n_name",
+        "mon",
+        "rev",
+        F.round(F.col("rev") - F.lag("rev").over(w), 2).alias("mom_delta"),
+    )
+
+
+@query(
+    "analytics_above_nation_average",
+    oracle="""
+    WITH spend AS (
+      SELECT c_custkey, c_nationkey, round(sum(o_totalprice), 2) AS total
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_nationkey
+    ),
+    nation_avg AS (
+      SELECT c_nationkey, avg(total) AS nat_avg,
+             round(sum(total), 2) AS nat_total, count(*) AS nat_n
+      FROM spend GROUP BY c_nationkey
+    )
+    SELECT s.c_custkey, s.total, n.nat_total, n.nat_n
+    FROM spend s JOIN nation_avg n ON s.c_nationkey = n.c_nationkey
+    WHERE s.total > 1.5 * n.nat_avg
+    """,
+)
+def analytics_above_nation_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite shape: aggregate → re-aggregate → join-back comparison
+    (customers spending >1.5× their nation's average). The decorrelated form
+    of a correlated-aggregate subquery — two shuffles, no per-row subquery."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    nat = spend.groupBy("c_nationkey").agg(
+        F.avg("total").alias("nat_avg"),
+        # expose sum+count, not the avg: round(avg, k) can land exactly on a
+        # rounding tie (avg of 2-decimal values over small counts), which the
+        # two engines break differently run-to-run; sum of 2dp values is
+        # tie-free at 2dp. The filter itself is safe (threshold margin big).
+        F.round(F.sum("total"), 2).alias("nat_total"),
+        F.count(F.lit(1)).alias("nat_n"),
+    )
+    nat = nat.select(F.col("c_nationkey").alias("nk"), "nat_avg", "nat_total", "nat_n")
+    return (
+        spend.join(F.broadcast(nat), spend.c_nationkey == nat.nk)
+        .filter(F.col("total") > 1.5 * F.col("nat_avg"))
+        .select("c_custkey", "total", "nat_total", "nat_n")
+    )
