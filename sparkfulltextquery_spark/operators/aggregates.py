@@ -138,7 +138,10 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_iqr"),
+        # scalar p25/p75 (not one array column): the driver's canonicalizer
+        # sorts result columns through pandas, which cannot hash list cells
+        F.percentile_approx("l_extendedprice", 0.25, 10000).alias("approx_p25"),
+        F.percentile_approx("l_extendedprice", 0.75, 10000).alias("approx_p75"),
     )
 
 

@@ -145,7 +145,14 @@ def sentences_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentence→words; rows-only check since BreakIterator behavior has no
     DuckDB equivalent."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sw = F.sentences(F.col("text"), F.lit("en"), F.lit("US"))
+    # project flat scalars/strings (not array<array<string>>): the driver's
+    # canonicalizer sorts columns through pandas, which cannot hash list cells
     return d.select(
         "doc_id",
-        F.sentences(F.col("text"), F.lit("en"), F.lit("US")).alias("sentence_words"),
+        F.size(sw).alias("n_sentences"),
+        F.aggregate(sw, F.lit(0), lambda acc, s: acc + F.size(s)).alias("n_words"),
+        F.array_join(
+            F.transform(sw, lambda s: F.array_join(s, " ")), " | "
+        ).alias("sentences_text"),
     )

@@ -169,7 +169,9 @@ def sqlt_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT xpath_string('<a><b>hello</b></a>', '/a/b')          AS s,
                xpath_int('<a><b>7</b></a>', '/a/b')                 AS i,
-               xpath('<a><b>x</b><b>y</b></a>', '/a/b/text()')      AS arr,
+               array_join(
+                 xpath('<a><b>x</b><b>y</b></a>', '/a/b/text()'), ','
+               )                                                    AS arr,
                xpath_boolean('<a><b>1</b></a>', '/a/b')             AS bool
         """
     )
@@ -187,9 +189,19 @@ def stat_freq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = o.stat.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
     from pyspark.sql import functions as F
 
-    return freq.crossJoin(
-        sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
-    ).withColumn("quantiles", F.array(*[F.lit(x) for x in q]))
+    # flat string/scalar projection — the driver's canonicalizer sorts
+    # through pandas, which cannot hash array cells
+    return (
+        freq.crossJoin(sampled.agg(F.count(F.lit(1)).alias("n_sampled")))
+        .withColumn(
+            "freq_items",
+            F.array_join(F.sort_array("o_orderpriority_freqItems"), ","),
+        )
+        .drop("o_orderpriority_freqItems")
+        .withColumn("q25", F.lit(q[0]))
+        .withColumn("q50", F.lit(q[1]))
+        .withColumn("q75", F.lit(q[2]))
+    )
 
 
 _RANGE_TVF_SPARK = "SELECT id, id * id AS sq FROM range(0, 50, 3)"
@@ -251,8 +263,17 @@ def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trunc(ts.cast("date"), "quarter").alias("q_start"),
     ).join(
         o.agg(
-            F.histogram_numeric(
-                "o_totalprice", F.lit(5)
+            F.histogram_numeric("o_totalprice", F.lit(5)).alias("price_hist")
+        ).select(
+            # stringify the array<struct> histogram — pandas-canonicalizer safe
+            F.array_join(
+                F.transform(
+                    "price_hist",
+                    lambda b: F.concat_ws(
+                        ":", F.round(b.x, 2).cast("string"), b.y.cast("string")
+                    ),
+                ),
+                "|",
             ).alias("price_hist")
         )
     )
