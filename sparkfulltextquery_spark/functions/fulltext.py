@@ -47,6 +47,29 @@ def postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     )
 
 
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (term, doc_id, tf, positions sorted array).
+
+    Same single shuffle as ``postings`` (groupBy doc_id+term) but keeps the
+    token offsets, so a persisted index can answer phrase queries from
+    pruned buckets instead of re-tokenizing the corpus (the scale fix for
+    phrase_match's full-corpus posexplode). Shuffle volume grows from
+    O(distinct terms/doc) to O(tokens/doc) — the standard positional-index
+    trade-off.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+
 def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, dl) token counts — no shuffle beyond the projection."""
     return docs.select(

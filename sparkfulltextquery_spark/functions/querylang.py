@@ -154,28 +154,33 @@ def positive_terms(node) -> list[str]:
 # ---------------- compilation ----------------
 
 
-def _matches(node, docs: DataFrame, post: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Compile an AST node to a distinct (doc_id) DataFrame."""
+def compile_matches(node, post: DataFrame, phrase_fn, universe: DataFrame) -> DataFrame:
+    """Compile an AST node to a distinct (doc_id) DataFrame.
+
+    ``post`` is any (term, doc_id, …) posting relation — inline or the
+    persisted bucketed table (then term filters become bucket-pruned scans);
+    ``phrase_fn(text) -> DataFrame[doc_id]`` supplies phrase matching
+    (inline positional join or index-backed); ``universe`` is the doc_id
+    domain NOT subtracts from."""
     if isinstance(node, Term):
         return post.filter(F.col("term") == node.text).select("doc_id").distinct()
     if isinstance(node, Phrase):
-        return phrase_match(docs, node.text, id_col, text_col).select("doc_id")
+        return phrase_fn(node.text)
     if isinstance(node, And):
-        out = _matches(node.children[0], docs, post, id_col, text_col)
+        out = compile_matches(node.children[0], post, phrase_fn, universe)
         for c in node.children[1:]:
             out = out.join(
-                _matches(c, docs, post, id_col, text_col), "doc_id", "left_semi"
+                compile_matches(c, post, phrase_fn, universe), "doc_id", "left_semi"
             )
         return out
     if isinstance(node, Or):
-        out = _matches(node.children[0], docs, post, id_col, text_col)
+        out = compile_matches(node.children[0], post, phrase_fn, universe)
         for c in node.children[1:]:
-            out = out.union(_matches(c, docs, post, id_col, text_col))
+            out = out.union(compile_matches(c, post, phrase_fn, universe))
         return out.distinct()
     if isinstance(node, Not):
-        universe = docs.select(F.col(id_col).alias("doc_id"))
         return universe.join(
-            _matches(node.child, docs, post, id_col, text_col), "doc_id", "left_anti"
+            compile_matches(node.child, post, phrase_fn, universe), "doc_id", "left_anti"
         )
     raise TypeError(f"unknown node {node!r}")
 
@@ -192,7 +197,14 @@ def search(
     Pure-negation queries rank by doc_id (score 0.0)."""
     ast = parse_query(query)
     post = postings(docs, id_col, text_col)
-    matched = _matches(ast, docs, post, id_col, text_col)
+    matched = compile_matches(
+        ast,
+        post,
+        phrase_fn=lambda text: phrase_match(docs, text, id_col, text_col).select(
+            "doc_id"
+        ),
+        universe=docs.select(F.col(id_col).alias("doc_id")),
+    )
     pos = sorted(set(positive_terms(ast)))
     if not pos:
         return (

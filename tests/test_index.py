@@ -44,3 +44,54 @@ def test_postings_lookup_prunes_buckets(spark, index_tables):
 def test_index_tables_exist(spark, index_tables):
     for t in index_tables.values():
         assert spark.table(t).count() > 0
+
+
+PHRASE = "batch batch"
+BOOL_QUERY = '(spark AND join) OR ("batch batch" AND NOT vector)'
+
+
+def test_indexed_phrase_equals_inline_phrase(spark, index_tables):
+    from sparkfulltextquery_spark.functions.fulltext import phrase_match
+    from sparkfulltextquery_spark.functions.index import phrase_match_indexed
+
+    docs = load_table(spark, SF_DIR, "documents")
+    inline = {(r.doc_id, r.n_occurrences) for r in phrase_match(docs, PHRASE).collect()}
+    indexed = {
+        (r.doc_id, r.n_occurrences)
+        for r in phrase_match_indexed(spark, PHRASE, table_prefix="t_idx").collect()
+    }
+    assert inline == indexed
+    assert len(indexed) > 0  # non-vacuous
+
+
+def test_indexed_phrase_prunes_buckets_no_retokenize(spark, index_tables):
+    from sparkfulltextquery_spark.functions.index import phrase_match_indexed
+
+    plan = physical_plan(phrase_match_indexed(spark, PHRASE, table_prefix="t_idx"))
+    # phrase terms' buckets only — not a full postings scan
+    assert "SelectedBucketsCount" in plan, plan
+    # no corpus re-tokenization: the documents parquet is never scanned
+    assert "documents" not in plan, plan
+    assert "posexplode" not in plan.lower(), plan
+
+
+def test_indexed_querylang_equals_inline(spark, index_tables):
+    from sparkfulltextquery_spark.functions.index import search_indexed
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    docs = load_table(spark, SF_DIR, "documents")
+    inline = [(r.doc_id, r.score) for r in search(docs, BOOL_QUERY, k=10).collect()]
+    indexed = [
+        (r.doc_id, r.score)
+        for r in search_indexed(spark, BOOL_QUERY, k=10, table_prefix="t_idx").collect()
+    ]
+    assert inline == indexed
+    assert len(indexed) > 0
+
+
+def test_indexed_querylang_plan_never_scans_corpus(spark, index_tables):
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    plan = physical_plan(search_indexed(spark, BOOL_QUERY, k=10, table_prefix="t_idx"))
+    assert "documents" not in plan, plan
+    assert "posexplode" not in plan.lower(), plan
