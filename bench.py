@@ -48,6 +48,87 @@ HEADLINE = [
 ]
 
 
+def _micro_benchmarks(spark) -> dict[str, dict[str, float]]:
+    """BASELINE.md-twin throughput microbenchmarks — the same shapes (and N)
+    as the reference's benchmark suites, so the 2x gate is a measured ratio
+    instead of an argument. Baselines are single-thread 2016-laptop numbers
+    (M rows/s); we run local[N] so ratios >> 1 are expected.
+
+    Shapes: AggregateBenchmark.scala:43-52 (agg w/o group), :60-63 (stddev),
+    :94-99 (linear-key hash agg), MiscBenchmark.scala:31-44 (range/filter/
+    sum), JoinBenchmark.scala:32-47 (broadcast hash join long key),
+    :208-225 (shuffled hash join)."""
+    from pyspark.sql import functions as F
+
+    M = 1 << 16
+
+    def agg_wo_group():
+        n = 500 << 22
+        spark.range(n).selectExpr("sum(id)").collect()
+        return n
+
+    def range_filter_sum():
+        n = 500 << 22
+        spark.range(n).filter("(id & 1) = 1").groupBy().sum().collect()
+        return n
+
+    def stddev_agg():
+        n = 100 << 20
+        spark.range(n).groupBy().agg(F.stddev("id")).collect()
+        return n
+
+    def hashagg_linear_keys():
+        # reference N = 20<<22; scaled 4x so per-task overhead amortizes on
+        # local[N] (rows/s is the metric either way)
+        n = 80 << 22
+        spark.range(n).selectExpr("(id & 65535) as k").groupBy("k").sum().collect()
+        return n
+
+    def broadcast_hash_join():
+        # reference N = 20<<20; scaled 8x for the same reason
+        n = 160 << 20
+        dim = F.broadcast(
+            spark.range(M).selectExpr("id as k", "cast(id as string) as v")
+        )
+        spark.range(n).join(dim, (F.col("id") % M) == F.col("k")).count()
+        return n
+
+    def shuffled_hash_join():
+        # reference N = 4<<20 with preferSortMergeJoin=false picking the
+        # small side as build (JoinBenchmark.scala:208-225); here the
+        # SHUFFLE_HASH hint goes on the small side for the same BuildRight
+        # plan. Scaled 8x so the shuffle amortizes task overhead on local[N]
+        n = 32 << 20
+        df1 = spark.range(n).selectExpr("id as k1")
+        df2 = spark.range(n // 5).selectExpr("id * 3 as k2")
+        df1.join(df2.hint("SHUFFLE_HASH"), F.col("k1") == F.col("k2")).count()
+        return n
+
+    micros = {
+        "agg_wo_group": (agg_wo_group, 1132.9),
+        "range_filter_sum": (range_filter_sum, 874.1),
+        "stddev_agg": (stddev_agg, 83.0),
+        "hashagg_linear_keys": (hashagg_linear_keys, 93.5),
+        "broadcast_hash_join": (broadcast_hash_join, 65.3),
+        "shuffled_hash_join": (shuffled_hash_join, 7.9),
+    }
+    out: dict[str, dict[str, float]] = {}
+    for name, (fn, baseline_mrows) in micros.items():
+        fn()  # untimed warmup (codegen compile)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            n = fn()
+            best = min(best, time.time() - t0)
+        mrows = n / best / 1e6
+        out[name] = {
+            "m_rows_per_s": round(mrows, 1),
+            "baseline_m_rows_per_s": baseline_mrows,
+            "ratio_vs_baseline": round(mrows / baseline_mrows, 2),
+        }
+    return out
+
+
 def main() -> None:
     from sparkfulltextquery_spark import get_spark
 
@@ -79,6 +160,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    micro = _micro_benchmarks(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -87,6 +170,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "micro": micro,
                 "sf": sf,
             }
         )

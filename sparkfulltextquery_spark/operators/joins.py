@@ -116,6 +116,34 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_shuffled_hash",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ShuffledHashJoinExec demonstrably selected (reference
+    ShuffledHashJoinExec.scala:32; strategy pick SparkStrategies.scala:111):
+    the SHUFFLE_HASH hint on the smaller fact side builds its hash table
+    per-partition instead of sorting both sides — wins over sort-merge when
+    one side is much smaller but too big to broadcast.
+    tests/test_plans.py asserts the physical plan contains ShuffledHashJoin."""
+    o = load_table(spark, sf_dir, "orders").hint("SHUFFLE_HASH")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "join_left_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer

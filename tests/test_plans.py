@@ -78,6 +78,14 @@ def test_whole_stage_codegen_covers_scan_pipeline(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+def test_shuffled_hash_join_selected(spark):
+    # the SHUFFLE_HASH hint must actually select ShuffledHashJoinExec
+    # (reference ShuffledHashJoinExec.scala:32) — not fall back to sort-merge
+    plan = physical_plan(_q(spark, "join_shuffled_hash"))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_semi_anti_plan_shapes(spark):
     semi = _q(spark, "join_left_semi")
     anti = _q(spark, "join_left_anti")
