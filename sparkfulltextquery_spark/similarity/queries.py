@@ -151,3 +151,21 @@ def sim_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("cosine") >= 0.2)
     )
+
+
+@query("word2vec_synonyms", oracle=None)  # SGD training is run-nondeterministic
+def word2vec_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec end-to-end (reference Word2Vec.scala:121 fit, :205
+    findSynonyms): train skip-gram embeddings on the tokenized corpus, land
+    vectors as a (word, array<float>) table, rank synonyms of 'spark' by
+    the engine's own cosine top-k. Rows-only check — multithreaded SGD
+    weight averaging is nondeterministic across runs even with a fixed
+    seed, so only shape/rows are stable."""
+    from sparkfulltextquery_spark.similarity.word2vec import (
+        find_synonyms,
+        train_word2vec,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vectors = train_word2vec(d, vector_size=32, min_count=2, max_iter=1, seed=42)
+    return find_synonyms(vectors, "spark", k=5)
