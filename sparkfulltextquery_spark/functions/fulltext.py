@@ -70,6 +70,33 @@ def positional_postings(
     )
 
 
+HASHING_TF_FEATURES = 1 << 18  # reference HashingTF.scala:40 default 2^18
+
+
+def hashing_tf(
+    docs: DataFrame,
+    num_features: int = HASHING_TF_FEATURES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashing-trick term frequencies (reference HashingTF.scala:40): terms
+    map to a fixed-width feature space via hash mod num_features — no vocab
+    pass, collisions accepted. Sparse form (doc_id, bucket, tf): at scale
+    the dense 2^18-wide vector is never materialized; downstream dot
+    products join on (bucket). Hash is the engine's portable md5-based h28
+    (functions.hashes) instead of murmur3 so results are engine-reproducible
+    (DuckDB oracle twin: h28_duck)."""
+    from sparkfulltextquery_spark.functions.hashes import h28
+
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("term"))
+        .select("doc_id", F.pmod(h28(F.col("term")), F.lit(num_features)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, dl) token counts — no shuffle beyond the projection."""
     return docs.select(

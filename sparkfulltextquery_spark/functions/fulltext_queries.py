@@ -488,3 +488,24 @@ def fulltext_query_language_indexed(spark: SparkSession, sf_dir: str) -> DataFra
         spark, '(spark AND join) OR ("batch batch" AND NOT vector)', k=10,
         table_prefix=prefix,
     )
+
+
+@query(
+    "fulltext_hashing_tf",
+    oracle=f"""
+    WITH post AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents
+                  WHERE doc_id < 100)
+    SELECT doc_id,
+           ('0x' || substr(md5(term), 1, 7))::BIGINT % 262144 AS bucket,
+           count(*) AS tf
+    FROM post GROUP BY doc_id, bucket
+    """,
+)
+def fulltext_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HashingTF hashing-trick TF (reference HashingTF.scala:40): fixed
+    2^18-wide feature space, sparse (doc_id, bucket, tf) output, portable
+    h28 hash so the DuckDB oracle reproduces buckets bit-identically."""
+    from sparkfulltextquery_spark.functions.fulltext import hashing_tf
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return hashing_tf(d)
