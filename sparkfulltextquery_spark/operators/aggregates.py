@@ -52,6 +52,49 @@ def agg_minmax_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_first_last_deterministic",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, o_orderpriority, l_extendedprice, l_discount,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_extendedprice, l_discount) AS rn
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey < 1000
+    )
+    SELECT l_orderkey,
+           min(o_orderpriority) AS prio,
+           max(CASE WHEN rn = 1 THEN l_extendedprice END) AS line1_price,
+           max(CASE WHEN rn = 1 THEN l_discount END)      AS line1_disc
+    FROM ranked GROUP BY l_orderkey
+    """,
+)
+def agg_first_last_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate First/Last forms themselves (reference aggregate/First.scala:38,
+    Last.scala:37, incl. ignoreNulls), demonstrated deterministically:
+    first() of a value constant within its group, and first/last with
+    ignoreNulls=True over a column with exactly ONE non-null per group
+    (row_number()==1 under a total order) — the shapes where their result
+    is well-defined regardless of partition order, hence oracle-checkable
+    (min/max twins in SQL)."""
+    from pyspark.sql import Window as W
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    o = load_table(spark, sf_dir, "orders")
+    j = l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+    w = W.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    ranked = j.withColumn("rn", F.row_number().over(w))
+    line1 = F.when(F.col("rn") == 1, F.col("l_extendedprice"))
+    line1_disc = F.when(F.col("rn") == 1, F.col("l_discount"))
+    return ranked.groupBy("l_orderkey").agg(
+        F.first("o_orderpriority").alias("prio"),
+        F.first(line1, ignorenulls=True).alias("line1_price"),
+        F.last(line1_disc, ignorenulls=True).alias("line1_disc"),
+    )
+
+
+@query(
     "agg_central_moments",
     oracle="""
     WITH base AS (

@@ -36,6 +36,26 @@ def norm_expr(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def lp_norm_expr(a: Column, p: float) -> Column:
+    """Lp vector norm (Σ|xᵢ|^p)^(1/p); p=1 → manhattan, p=2 → euclidean."""
+    if p == 1.0:
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    if p == 2.0:
+        return norm_expr(a)
+    return F.pow(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.pow(F.abs(x), F.lit(p))),
+        F.lit(1.0 / p),
+    )
+
+
+def normalize_expr(a: Column, p: float = 2.0) -> Column:
+    """Lp-normalize a vector column to unit norm (reference
+    ml.feature.Normalizer, Normalizer.scala:35) — pure higher-order
+    expressions, stays in whole-stage codegen."""
+    n = lp_norm_expr(a, p)
+    return F.transform(a, lambda x: x / n)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 

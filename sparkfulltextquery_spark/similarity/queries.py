@@ -169,3 +169,38 @@ def word2vec_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     vectors = train_word2vec(d, vector_size=32, min_count=2, max_iter=1, seed=42)
     return find_synonyms(vectors, "spark", k=5)
+
+
+@query(
+    "sim_normalize_lp",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 100),
+    n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS l2,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS vn
+      FROM e
+    )
+    SELECT vec_id,
+           round(l2, 6)                                              AS l2_orig,
+           round(sqrt(list_sum(list_transform(vn, x -> x * x))), 6)  AS l2_normed,
+           round(list_sum(list_transform(vn, x -> abs(x))), 6)       AS l1_normed
+    FROM n
+    """,
+)
+def sim_normalize_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalizer (reference Normalizer.scala:35): L2-normalize the
+    embedding column, verify unit norm + report the L1 mass of the
+    normalized vector — flat scalar outputs (canonicalizer-safe)."""
+    from sparkfulltextquery_spark.similarity import lp_norm_expr, normalize_expr
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = F.col("embedding").cast("array<double>")
+    vn = normalize_expr(v, 2.0)
+    return e.select(
+        "vec_id",
+        F.round(lp_norm_expr(v, 2.0), 6).alias("l2_orig"),
+        F.round(lp_norm_expr(vn, 2.0), 6).alias("l2_normed"),
+        F.round(lp_norm_expr(vn, 1.0), 6).alias("l1_normed"),
+    )
