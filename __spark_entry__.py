@@ -26,6 +26,7 @@ import sparkfulltextquery_spark.functions  # noqa: E402,F401
 import sparkfulltextquery_spark.dedup  # noqa: E402,F401
 import sparkfulltextquery_spark.similarity  # noqa: E402,F401
 import sparkfulltextquery_spark.textstats  # noqa: E402,F401
+import sparkfulltextquery_spark.curation  # noqa: E402,F401
 import sparkfulltextquery_spark.multimodal  # noqa: E402,F401
 import sparkfulltextquery_spark.streaming  # noqa: E402,F401
 from sparkfulltextquery_spark import registry  # noqa: E402

@@ -1,0 +1,261 @@
+"""Registered curation queries + DuckDB oracles.
+
+Scale notes per query are inline; the common theme: the only shuffles are
+key-partitioned (doc_id / source), the eval side of the contamination join
+is broadcast, and every per-document computation is a bounded array
+expression (no Python, no driver state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions.text import (
+    ngrams,
+    ngrams_duck,
+    tokenize,
+    tokenize_duck,
+)
+from sparkfulltextquery_spark.registry import query
+from sparkfulltextquery_spark.sources import load_table
+
+_TOK = tokenize_duck("text")
+
+# --------------------------------------------------------------------------
+# 1. Benchmark-contamination check: token-8-gram overlap between the train
+#    split and a (deterministically chosen) eval split.
+# --------------------------------------------------------------------------
+
+_CONTAM_K = 8
+_SH8 = ngrams_duck(_TOK, n=_CONTAM_K)
+
+_CONTAM_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, list_distinct({_SH8}) AS sh FROM documents),
+    e AS (SELECT DISTINCT unnest(sh) AS s FROM tok WHERE doc_id % 19 = 0),
+    t AS (SELECT doc_id, unnest(sh) AS s FROM tok WHERE doc_id % 19 <> 0),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM t GROUP BY doc_id),
+    hit AS (SELECT t.doc_id, count(*) AS n_hit
+            FROM t JOIN e ON t.s = e.s GROUP BY t.doc_id)
+    SELECT h.doc_id, tot.n_shingles, h.n_hit,
+           round(h.n_hit::DOUBLE / tot.n_shingles, 6) AS contamination
+    FROM hit h JOIN tot ON h.doc_id = tot.doc_id
+"""
+
+
+@query("curation_contamination_check", oracle=_CONTAM_ORACLE)
+def curation_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram overlap (the decontamination step of an LLM data
+    pipeline): docs with doc_id % 19 == 0 stand in for a benchmark eval set;
+    every train doc is scored by how many of its distinct token-8-grams
+    appear anywhere in the eval set.
+
+    Scale: the eval set is tiny relative to the corpus → its distinct
+    shingle set is **broadcast**, so the train side never shuffles; the only
+    exchange is the per-doc groupBy. At 100 TB the eval shingles of a real
+    benchmark suite are a few million strings — still broadcast range.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(ngrams(tokenize("text"), n=_CONTAM_K)).alias("sh")
+    )
+    ev = (
+        sh.filter(F.col("doc_id") % 19 == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    tr = sh.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    hit = (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    tot = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return hit.join(tot, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("contamination"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Sequence packing: concat-then-chunk document packing into fixed-size
+#    token windows (the GPT-style pretraining batch layout).
+# --------------------------------------------------------------------------
+
+_PACK_CAP = 2048
+
+_PACK_ORACLE = f"""
+    WITH t AS (SELECT source, doc_id, len({_TOK}) AS n_tokens FROM documents),
+    c AS (SELECT source, doc_id, n_tokens,
+            coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM t)
+    SELECT source, doc_id, n_tokens,
+           cum_before // {_PACK_CAP} AS seq_id,
+           cum_before % {_PACK_CAP}  AS seq_offset
+    FROM c
+"""
+
+
+@query("curation_pack_sequences", oracle=_PACK_ORACLE)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic concat-then-chunk packing: per source shard, documents
+    are laid end-to-end in doc_id order; each doc lands in sequence
+    ``seq_id`` at token offset ``seq_offset`` of a {cap}-token window
+    (docs may straddle a boundary — exactly how GPT-style pipelines pack).
+
+    Scale: one shuffle on ``source`` + an in-partition sort (window spills
+    via UnsafeExternalSorter). Packing is per-shard by construction, so a
+    100 TB corpus packs with shard-level parallelism — there is no global
+    sequential state.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        d.select("source", "doc_id", F.size(tokenize("text")).alias("n_tokens"))
+        .withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.expr(f"cum_before div {_PACK_CAP}").alias("seq_id"),
+            (F.col("cum_before") % _PACK_CAP).alias("seq_offset"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. Repetition metrics (Gopher-style quality rules 4-7: fraction of the doc
+#    covered by its most frequent unigram / bigram, distinct-token ratio).
+# --------------------------------------------------------------------------
+
+_BIGRAMS = ngrams_duck(_TOK, n=2)
+
+_REPETITION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS tok, {_BIGRAMS} AS bg
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           len(tok) AS n_tokens,
+           round(len(list_distinct(tok))::DOUBLE / len(tok), 6) AS distinct_ratio,
+           round(list_max(list_transform(list_distinct(tok),
+                 u -> len(list_filter(tok, x -> x = u))))::DOUBLE / len(tok), 6)
+             AS top_token_frac,
+           round(list_max(list_transform(list_distinct(bg),
+                 u -> len(list_filter(bg, x -> x = u))))::DOUBLE / len(bg), 6)
+             AS top_bigram_frac
+    FROM t WHERE len(tok) > 0 AND len(bg) > 0
+"""
+
+
+@query("curation_repetition_metrics", oracle=_REPETITION_ORACLE)
+def curation_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher rules): most-frequent
+    unigram/bigram coverage fraction and distinct-token ratio. High
+    top-*-frac ⇒ boilerplate/spam; low distinct_ratio ⇒ keyword stuffing.
+
+    Scale: shuffle-free — every metric is a bounded array expression over
+    one document (O(distinct·n) per doc, n = doc length), fully codegen'd,
+    embarrassingly parallel over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    tok = tokenize("text")
+    bg = ngrams(tokenize("text"), n=2)
+
+    def _top_frac(arr):
+        counts = F.transform(
+            F.array_distinct(arr),
+            lambda u: F.size(F.filter(arr, lambda x: x == u)),
+        )
+        return F.array_max(counts) / F.size(arr)
+
+    return (
+        d.select("doc_id", tok.alias("tok"), bg.alias("bg"))
+        .filter((F.size("tok") > 0) & (F.size("bg") > 0))
+        .select(
+            "doc_id",
+            F.size("tok").alias("n_tokens"),
+            F.round(
+                F.size(F.array_distinct("tok")) / F.size("tok"), 6
+            ).alias("distinct_ratio"),
+            F.round(_top_frac(F.col("tok")), 6).alias("top_token_frac"),
+            F.round(_top_frac(F.col("bg")), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. PII redaction: regex scrub of emails/phone numbers with match counts.
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+# The synthetic corpus is PII-free, so both engines plant the same
+# deterministic contacts in a slice of docs before scrubbing.
+_PII_AUG_DUCK = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id "
+    "|| '@example.com or call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') "
+    "|| '-0199 now' ELSE text END"
+)
+
+_PII_ORACLE = f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_DUCK} AS text
+      FROM documents WHERE doc_id < 400
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM aug
+"""
+
+
+@query("curation_pii_redaction", oracle=_PII_ORACLE)
+def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact email/phone matches (regexp_count +
+    chained regexp_replace — reference RegExpReplace/RegExpExtractAll,
+    regexpExpressions.scala). Patterns kept to the Java∩RE2 regex subset so
+    the oracle is exact.
+
+    Scale: shuffle-free per-row transform, fully codegen'd."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
