@@ -277,3 +277,70 @@ def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_hist")
         )
     )
+
+
+_RECURSIVE_BUCKETS_SQL = """
+    WITH RECURSIVE buckets(b, lo, hi) AS (
+      SELECT 0, CAST(0 AS DOUBLE), CAST(60000 AS DOUBLE)
+      UNION ALL
+      SELECT b + 1, hi, hi + 60000 FROM buckets WHERE b < 9
+    )
+    SELECT b, lo, hi, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS revenue
+    FROM buckets LEFT JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY b, lo, hi
+"""
+
+
+@query("sqlt_recursive_cte_buckets", oracle=_RECURSIVE_BUCKETS_SQL)
+def sqlt_recursive_cte_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE generating a bucket ladder, theta-joined to a fact
+    table (recursive CTEs are a modern surface absent in the reference
+    snapshot — its cte.sql corpus covers only plain CTEs). The 10-row
+    recursive side broadcasts; the fact side never shuffles."""
+    _views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_BUCKETS_SQL)
+
+
+_RECURSIVE_CLOSURE_SQL = """
+    WITH RECURSIVE edge(node, parent) AS (
+      SELECT * FROM (VALUES ('c1','root'),('c2','root'),('c11','c1'),
+                            ('c12','c1'),('c21','c2'),('c111','c11'))
+                 AS e(node, parent)
+    ),
+    anc(node, anc, depth) AS (
+      SELECT node, parent, 1 FROM edge
+      UNION ALL
+      SELECT a.node, e.parent, a.depth + 1
+      FROM anc a JOIN edge e ON a.anc = e.node
+    )
+    SELECT node, anc, depth FROM anc
+"""
+
+
+@query("sqlt_recursive_transitive_closure", oracle=_RECURSIVE_CLOSURE_SQL)
+def sqlt_recursive_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive transitive closure over a VALUES edge list — the
+    hierarchy-walk idiom (iterate-until-fixpoint inside one SQL statement,
+    same text both engines)."""
+    return spark.sql(_RECURSIVE_CLOSURE_SQL)
+
+
+_LATERAL_TOPK_SQL = """
+    SELECT c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) AS t
+    WHERE c_custkey < 60
+"""
+
+
+@query("sqlt_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def sqlt_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT (the
+    top-k-per-key join spelled relationally; Catalyst decorrelates it via
+    DecorrelateInnerQuery into a ranked join rather than re-executing the
+    inner query per row)."""
+    _views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

@@ -136,3 +136,11 @@ def test_repartition_and_sort_within_partitions(spark):
     # coalesce avoids a shuffle
     c = l.coalesce(2)
     assert "Coalesce" in physical_plan(c)
+
+
+def test_per_group_topk_uses_window_group_limit(spark):
+    # rank-filter top-k per group must push a per-group limit below the
+    # shuffle (WindowGroupLimitExec, Spark 3.5+) — without it every group's
+    # full contents sort at the window, a silent killer on skewed groups
+    plan = physical_plan(_q(spark, "window_ranking"))
+    assert "WindowGroupLimit" in plan, plan
