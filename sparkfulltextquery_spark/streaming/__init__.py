@@ -78,6 +78,54 @@ def sessionize(
     )
 
 
+def attribute_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with a time-range condition: attribute each
+    purchase to the clicks of the same user in the preceding ``horizon``
+    (ad-attribution shape). On streams both sides carry watermarks and the
+    range predicate bounds join state to the horizon window — the condition
+    Structured Streaming requires to ever expire buffered rows
+    (StreamingSymmetricHashJoinExec). Works identically on batch frames,
+    which is how the equivalence test checks it."""
+    c = clicks.select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """dropDuplicatesWithinWatermark: dedup where duplicates are only
+    guaranteed to arrive within the watermark delay of each other — state
+    expires by event time instead of growing with all-time distinct ids
+    (the production-shape of streaming dedup; Spark 3.5+)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> list:
     """Execute a streaming DataFrame to completion over its currently
     available input (Trigger.AvailableNow → memory sink), return the rows.

@@ -275,3 +275,57 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
     expected_closed = {w for w in all_windows if w + datetime.timedelta(hours=1) <= watermark}
     assert emitted == expected_closed
     assert emitted < all_windows  # the open tail was withheld
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition
+    (StreamingSymmetricHashJoinExec): click→purchase attribution over a
+    6-hour horizon must equal the batch join on the same data."""
+    from sparkfulltextquery_spark.streaming import attribute_purchases
+
+    ev = _events(spark)
+    csrc, psrc = f"file://{tmp_path}/clicks", f"file://{tmp_path}/purch"
+    ev.filter(F.col("event_type") == "click").write.mode("append").parquet(csrc)
+    ev.filter(F.col("event_type") == "purchase").write.mode("append").parquet(psrc)
+    joined = attribute_purchases(
+        spark.readStream.schema(ev.schema).parquet(csrc),
+        spark.readStream.schema(ev.schema).parquet(psrc),
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("s2sj")
+        .outputMode("append")
+        .option("checkpointLocation", f"file://{tmp_path}/s2sckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.click_id, r.purchase_id) for r in spark.table("s2sj").collect()}
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in attribute_purchases(
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark drops redelivered events while keeping
+    state bounded by event time (Spark 3.5+; production streaming dedup)."""
+    from sparkfulltextquery_spark.streaming import dedup_within_watermark
+
+    ev = _events(spark).limit(300)
+    src = f"file://{tmp_path}/wdsrc"
+    ev.write.mode("append").parquet(src)
+    ev.write.mode("append").parquet(src)  # exact redelivery
+    dd = dedup_within_watermark(spark.readStream.schema(ev.schema).parquet(src))
+    q = (
+        dd.writeStream.format("memory").queryName("wdq")
+        .outputMode("append")
+        .option("checkpointLocation", f"file://{tmp_path}/wdckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    out = spark.table("wdq")
+    assert out.count() == 300
+    assert out.select("event_id").distinct().count() == 300
