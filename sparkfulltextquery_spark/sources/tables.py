@@ -79,3 +79,56 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def compact_files(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction — the maintenance op every long-running 100 TB
+    lake needs (the reference, a 2.0-era fork, predates any OPTIMIZE-style
+    compaction; this is the engine-side equivalent). Sizes the output file
+    count from the input bytes so each file lands near ``target_file_mb``
+    (parquet row groups align with HDFS/S3 block economics), then rewrites
+    with a shuffle-free coalesce when shrinking. Returns the file count.
+
+    At scale this runs per-partition-directory (compact the partitions a
+    writer fragmented, not the whole table), so the rewrite parallelism is
+    the partition count, and nothing is driver-side but the size listing.
+    """
+    import glob
+
+    in_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(os.path.join(in_dir.removeprefix("file://"), "*.parquet"))
+    )
+    n_files = max(1, round(in_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_dir)
+    # coalesce: narrow (no shuffle) when reducing; repartition only to grow
+    n_in = df.rdd.getNumPartitions()
+    out = df.coalesce(n_files) if n_files <= n_in else df.repartition(n_files)
+    out.write.mode("overwrite").parquet(out_dir)
+    return n_files
+
+
+def cluster_rewrite(
+    df: DataFrame,
+    out_dir: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+) -> None:
+    """Range-cluster a table on ``cluster_cols`` and rewrite: rows are
+    range-partitioned then sorted within each file, so every output file
+    covers a narrow key range and parquet row-group min/max statistics
+    prune file scans on those keys (the sort-based half of what Z-ordering
+    buys, with zero custom layout code — repartitionByRange + 
+    sortWithinPartitions compose it from Catalyst primitives).
+    """
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )

@@ -91,3 +91,55 @@ def test_save_modes(spark, tmp_path):
         raise AssertionError("errorifexists mode should have raised")
     except Exception as e:  # AnalysisException: path already exists
         assert "already exists" in str(e)
+
+
+def test_compaction_merges_small_files(spark, tmp_path):
+    """64-way fragmented write → compact_files rewrites at the target size
+    with a narrow (shuffle-free) coalesce; rows and values survive."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+    from sparkfulltextquery_spark.sources.tables import compact_files
+    from tests.conftest import SF_DIR
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    frag = f"{tmp_path}/frag"
+    l.repartition(64).write.parquet(f"file://{frag}")
+    assert len(glob.glob(f"{frag}/*.parquet")) == 64
+
+    out = f"{tmp_path}/compact"
+    n = compact_files(spark, f"file://{frag}", f"file://{out}", target_file_mb=1)
+    got = spark.read.parquet(f"file://{out}")
+    assert len(glob.glob(f"{out}/*.parquet")) == n < 64
+    assert got.count() == l.count()
+    assert (
+        got.agg(F.sum("l_orderkey")).head()[0]
+        == l.agg(F.sum("l_orderkey")).head()[0]
+    )
+
+
+def test_cluster_rewrite_gives_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered rewrite: every output file covers a disjoint
+    l_orderkey range, so row-group min/max stats prune point/range scans."""
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+    from sparkfulltextquery_spark.sources.tables import cluster_rewrite
+    from tests.conftest import SF_DIR
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    out = f"file://{tmp_path}/clustered"
+    cluster_rewrite(l, out, ["l_orderkey"], num_files=8)
+    got = spark.read.parquet(out)
+    assert got.count() == l.count()
+    ranges = sorted(
+        (r.lo, r.hi)
+        for r in got.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) >= 2
+    for (prev_lo, prev_hi), (lo, hi) in zip(ranges, ranges[1:]):
+        assert prev_hi <= lo, f"overlapping file ranges: {ranges}"
