@@ -155,3 +155,30 @@ def fn_map_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, F.lit("b")).alias("b_val"),
         F.size(m).alias("n_keys"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') AS int)           AS k,
+           cast(json_extract_string(props, '$.k') AS int) % 10      AS k_mod,
+           cast(cast(json_extract_string(props, '$.k') AS int) >= 50
+                AS varchar)                                         AS is_high
+    FROM events WHERE event_id < 250
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType semi-structured path access (Spark 4 parse_json +
+    variant_get) — the open-schema successor to get_json_object: one binary
+    variant column, typed path extraction at query time with pushdown-capable
+    shredding. Generalizes the reference's GetJsonObject/JsonTuple
+    (jsonExpressions.scala)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 250)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"),
+        (F.variant_get(v, "$.k", "int") >= 50).cast("string").alias("is_high"),
+    )

@@ -204,3 +204,54 @@ def sim_normalize_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lp_norm_expr(vn, 2.0), 6).alias("l2_normed"),
         F.round(lp_norm_expr(vn, 1.0), 6).alias("l1_normed"),
     )
+
+
+@query(
+    "sim_int8_quantization",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < 200),
+    s AS (
+      SELECT vec_id, v,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> round(x * scale)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 6)                                   AS scale,
+           list_sum(qv)::BIGINT                              AS q_checksum,
+           list_max(list_transform(qv, x -> abs(x)))::BIGINT AS q_max_abs
+    FROM q
+    """,
+)
+def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the storage/bandwidth step of
+    a large-scale vector pipeline: 4× smaller vectors before ANN serving):
+    per-vector scale = 127/max|x|, elementwise round. Flat scalar outputs
+    (scale + checksums) keep the canonicalizer happy; dequantization is the
+    same expression inverted.
+
+    Scale: shuffle-free per-row array math, all codegen'd — at 100 TB this
+    is a map-only rewrite of the embedding column."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    v = F.col("embedding").cast("array<double>")
+    scale = F.lit(127.0) / F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qv = F.transform(F.col("v"), lambda x: F.round(x * F.col("scale")))
+    return (
+        e.select("vec_id", v.alias("v"), scale.alias("scale"))
+        .select("vec_id", "scale", qv.alias("qv"))
+        .select(
+            "vec_id",
+            F.round("scale", 6).alias("scale"),
+            F.aggregate("qv", F.lit(0.0), lambda a, x: a + x)
+            .cast("long")
+            .alias("q_checksum"),
+            F.array_max(F.transform("qv", lambda x: F.abs(x)))
+            .cast("long")
+            .alias("q_max_abs"),
+        )
+    )

@@ -144,3 +144,36 @@ def test_per_group_topk_uses_window_group_limit(spark):
     # full contents sort at the window, a silent killer on skewed groups
     plan = physical_plan(_q(spark, "window_ranking"))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    # 100 TB case: the selective dim is too big to broadcast → Spark's
+    # InjectRuntimeFilter plants a bloom_filter_agg subquery on the dim and
+    # a might_contain predicate on the fact scan, dropping fact rows BEFORE
+    # the shuffle (runtime row-level semi-pruning; broadcast joins get the
+    # same effect for free, so the rule fires only when broadcast is off
+    # the table — simulated here by disabling the broadcast threshold)
+    from sparkfulltextquery_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter("o_totalprice > 400000")
+        j = l.join(o, l.l_orderkey == o.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        # and the filtered join still answers correctly
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
