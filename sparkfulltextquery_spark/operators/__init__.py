@@ -20,5 +20,6 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     setops,
     sql_surface,
     tpch,
+    tpch2,
     windows,
 )
