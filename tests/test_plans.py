@@ -177,3 +177,29 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q21_plans_semi_then_anti_self_joins(spark):
+    # Q21's EXISTS/NOT EXISTS pair must plan as one LeftSemi + one LeftAnti
+    # over the fact table — never a full self-join that materializes the
+    # multi-supplier pairs (O(n^2) per order at scale)
+    plan = physical_plan(_q(spark, "q21_suppliers_kept_waiting"))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q19_disjunction_pushes_side_local_conjuncts(spark):
+    # OR-of-ANDs: the l_quantity bounds are extractable as a lineitem-only
+    # disjunction; Catalyst must push that below the join into the scan
+    # (PushPredicateThroughJoin) so the fact table is pre-filtered
+    df = _q(spark, "q19_disjunctive_revenue")
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf, pf
+
+
+def test_q7_broadcasts_both_nation_sides(spark):
+    df = _q(spark, "q7_volume_shipping")
+    assert uses_broadcast_join(df)
+    # the two nation⋈region dims broadcast; only fact-fact joins may shuffle
+    plan = physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
