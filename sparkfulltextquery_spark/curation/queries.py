@@ -259,3 +259,118 @@ def curation_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+# --------------------------------------------------------------------------
+# 5. Sliding-window token chunking: split documents into fixed-size
+#    overlapping chunks — the context-window preparation step of an LLM
+#    training pipeline (each chunk becomes one training sequence).
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24  # overlap = SIZE - STRIDE = 8 tokens
+
+_CHUNK_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents WHERE doc_id < 300),
+    spans AS (
+      SELECT doc_id, t,
+             unnest(range(0, greatest(1,
+               CAST(ceil((len(t) - {_CHUNK_SIZE - _CHUNK_STRIDE})
+                         / {_CHUNK_STRIDE}.0) AS BIGINT)))) AS chunk_id
+      FROM tok)
+    SELECT doc_id, chunk_id,
+           CAST(len(t[(chunk_id * {_CHUNK_STRIDE} + 1)
+                      :(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})]) AS BIGINT)
+             AS n_tokens,
+           array_to_string(t[(chunk_id * {_CHUNK_STRIDE} + 1)
+                             :(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})], ' ')
+             AS chunk_text
+    FROM spans
+"""
+
+
+@query("curation_chunk_documents", oracle=_CHUNK_ORACLE)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (size 32, stride 24): every doc
+    yields ceil((n_tokens - overlap) / stride) chunks, the last one ragged.
+    The 1→N expansion is a Generate over a bounded ``sequence`` — the
+    reference's GenerateExec shape (execution/GenerateExec.scala:50) driven
+    by arithmetic, not data, so it never materializes per-token rows.
+
+    Scale: shuffle-free (pure per-row expansion); chunk count is
+    len/stride ≈ 1.3× row growth, not the |tokens|× growth of a
+    posexplode-based chunker."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    t = tokenize(F.col("text"))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(t) - F.lit(overlap)) / F.lit(float(_CHUNK_STRIDE))),
+    )
+    d = d.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_id"),
+    )
+    chunk = F.slice(F.col("t"), (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_SIZE)
+    return d.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Deterministic source-mixture sampling: per-domain keep rates applied
+#    via a portable content hash — the "data mixing" step that reweights
+#    domains (web/wiki/books/...) before training. Reproducible across
+#    engines and runs: membership is a pure function of (source, doc_id).
+# --------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 100, "src1": 100, "src2": 75, "src3": 75, "src4": 50}
+_MIX_DEFAULT = 20  # percent kept for any source not in the map
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())
+    + f" ELSE {_MIX_DEFAULT} END"
+)
+
+_MIX_ORACLE = f"""
+    SELECT source,
+           count(*) AS n_total,
+           count(CASE WHEN
+             ('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 < {_MIX_CASE}
+             THEN 1 END) AS n_kept
+    FROM documents
+    GROUP BY source
+"""
+
+
+@query("curation_source_mixture", oracle=_MIX_ORACLE)
+def curation_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source downsampling with a portable md5 hash gate
+    (functions.hashes.h60): keep doc iff h(source:doc_id) % 100 < weight%.
+    Unlike df.sample this is deterministic, engine-independent, and
+    join-stable — the same doc is kept in every run and on every engine,
+    which is what makes training-data mixtures reproducible.
+
+    Scale: one partial+final aggregation; the hash gate is a codegen'd
+    row-local expression (no sampling state, no seed coordination across
+    executors)."""
+    from sparkfulltextquery_spark.functions.hashes import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.lit(_MIX_DEFAULT)
+    for s, w in reversed(_MIX_WEIGHTS.items()):
+        weight = F.when(F.col("source") == s, F.lit(w)).otherwise(weight)
+    gate = h60(F.concat_ws(":", "source", F.col("doc_id").cast("string"))) % 100 < weight
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(gate, 1)).alias("n_kept"),
+        )
+    )

@@ -295,3 +295,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+_FUZZY_ORACLE = """
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+    cand AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 3
+"""
+
+
+@query("dedup_fuzzy_name_pairs", oracle=_FUZZY_ORACLE)
+def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching as a *blocked* similarity join: candidate pairs
+    share at least one token (explode → equi-join on the token), then the
+    expensive edit-distance verification (reference Levenshtein,
+    stringExpressions.scala:1083) runs only on candidates. The same
+    candidate-generation-then-verify discipline as the MinHash/LSH dedup —
+    never an all-pairs theta join.
+
+    Recall caveat (documented, inherent to token blocking): pairs sharing no
+    whole token are missed even if globally close (e.g. one-word names with
+    a typo'd token) — at this vocabulary that tradeoff is empty.
+
+    Scale: |distinct names| ≪ |parts|, so the distinct() collapses the fact
+    table first; the token join is an equi-join (shuffle or broadcast by
+    size), and verification is per-candidate codegen'd."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    toks = names.select(
+        "p_name", F.explode(F.split("p_name", " ")).alias("tok")
+    )
+    a = toks.select(F.col("p_name").alias("name_a"), "tok")
+    b = toks.select(F.col("p_name").alias("name_b"), "tok")
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cand.filter(dist.between(1, 3)).select(
+        "name_a", "name_b", dist.cast("long").alias("edit_dist")
+    )
