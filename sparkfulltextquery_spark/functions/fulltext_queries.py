@@ -509,3 +509,65 @@ def fulltext_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return hashing_tf(d)
+
+
+@query(
+    "fulltext_more_like_this",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    dfreq AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+    n     AS (SELECT count(*) AS n_docs FROM documents),
+    w AS (
+      SELECT t.doc_id, t.term,
+             t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS wt
+      FROM tfs t JOIN dfreq d USING (term) CROSS JOIN n),
+    norms AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+    qw AS (SELECT term, wt FROM w WHERE doc_id = 7),
+    dots AS (
+      SELECT w.doc_id, sum(w.wt * qw.wt) AS dot
+      FROM w JOIN qw USING (term)
+      WHERE w.doc_id <> 7
+      GROUP BY w.doc_id)
+    SELECT d.doc_id,
+           round(d.dot / (nq.nrm * nd.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms nd ON d.doc_id = nd.doc_id
+    CROSS JOIN (SELECT nrm FROM norms WHERE doc_id = 7) nq
+    ORDER BY cosine DESC, d.doc_id LIMIT 10
+    """,
+)
+def fulltext_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: top-10 documents by TF-IDF cosine against a query
+    document (doc_id=7) — the classic relevance-feedback feature built on
+    the same posting/IDF relations as search (reference composition:
+    CountVectorizer tf + IDF.scala:67 weighting + cosine).
+
+    Scale shape: the query doc's weighted terms are a bounded 1-doc slice
+    (broadcast); candidates come from the posting equi-join on those terms
+    only — never a doc×doc cross product. Norms are one groupBy over the
+    weighted postings; final ranking is a bounded top-k heap
+    (TakeOrderedAndProject, reference limit.scala:114)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded scalar; at scale cache corpus stats instead
+    w = FT.tf_idf(FT.postings(d), n_docs).select(
+        "doc_id", "term", F.col("tfidf").alias("wt")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    qw = w.filter(F.col("doc_id") == 7).select("term", F.col("wt").alias("qwt"))
+    qn = norms.filter(F.col("doc_id") == 7).select(F.col("nrm").alias("qnrm"))
+    dots = (
+        w.filter(F.col("doc_id") != 7)
+        .join(F.broadcast(qw), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .join(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(10)
+    )

@@ -115,3 +115,41 @@ def dropdup_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical form is groupBy + min — same single-shuffle plan."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(F.min("o_orderkey").alias("first_orderkey"))
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT l_suppkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag): per-key multiplicity = min(count_left,
+    count_right). Catalyst rewrites it to a row_number-tagged join (modern
+    superset of the reference's set-only Intersect, Optimizer.scala:1065)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "R").select("l_suppkey", "l_quantity")
+    b = l.filter(F.col("l_returnflag") == "A").select("l_suppkey", "l_quantity")
+    return a.intersectAll(b)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT l_suppkey, l_quantity FROM (
+      SELECT l_suppkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+      EXCEPT ALL
+      SELECT l_suppkey, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+    )
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag): per-key multiplicity = max(count_left - count_right,
+    0) — duplicates surviving proportionally, unlike the distinct-collapsing
+    EXCEPT above."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.filter(F.col("l_returnflag") == "R").select("l_suppkey", "l_quantity")
+    b = l.filter(F.col("l_returnflag") == "A").select("l_suppkey", "l_quantity")
+    return a.exceptAll(b)

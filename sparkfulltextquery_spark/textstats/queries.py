@@ -5,7 +5,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkfulltextquery_spark.functions.text import STOPWORDS, tokenize_duck
+from sparkfulltextquery_spark.functions.text import (
+    STOPWORDS,
+    ngrams,
+    ngrams_duck,
+    tokenize,
+    tokenize_duck,
+)
 from sparkfulltextquery_spark.registry import query
 from sparkfulltextquery_spark.sources import load_table
 from sparkfulltextquery_spark.textstats import (
@@ -160,4 +166,68 @@ def textstats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+
+
+_PMI_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    uni AS (SELECT unnest(t) AS w FROM tok),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    un AS (SELECT sum(c) AS n FROM ucnt),
+    bi AS (SELECT unnest({ngrams_duck("t", n=2)}) AS bg FROM tok),
+    bcnt AS (SELECT bg, count(*) AS c FROM bi GROUP BY bg),
+    bn AS (SELECT sum(c) AS m FROM bcnt)
+    SELECT bg AS bigram, bcnt.c AS pair_count,
+           round(ln((bcnt.c / bn.m)
+                    / ((a.c / un.n) * (b.c / un.n))), 6) AS pmi
+    FROM bcnt
+    JOIN ucnt a ON a.w = string_split(bg, ' ')[1]
+    JOIN ucnt b ON b.w = string_split(bg, ' ')[2]
+    CROSS JOIN un CROSS JOIN bn
+    WHERE bcnt.c >= 20
+"""
+
+
+@query("textstats_collocations_pmi", oracle=_PMI_ORACLE)
+def textstats_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction via pointwise mutual information:
+    PMI(a,b) = ln(p(ab) / (p(a) p(b))) over corpus bigrams, reported for
+    bigrams occurring ≥20 times. High-PMI pairs are multiword expressions —
+    the phrase-vocabulary step of a text pipeline (and the statistical
+    grounding for the reference's NGram transformer, NGram.scala:37).
+
+    Scale: two grouped counts (unigrams, bigrams) + two broadcast scalar
+    totals + two equi-joins of the bigram relation against the (small)
+    unigram relation on each component word — shuffle-parallel end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(tokenize(F.col("text")).alias("t"))
+    uni = tok.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    un = uni.agg(F.sum("c").alias("n"))
+    bi = tok.select(F.explode(ngrams(F.col("t"), n=2)).alias("bg")).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bn = bi.agg(F.sum("c").alias("m"))
+    a = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    b = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    return (
+        bi.filter(F.col("c") >= 20)
+        .withColumn("wa", F.split("bg", " ")[0])
+        .withColumn("wb", F.split("bg", " ")[1])
+        .join(a, "wa")
+        .join(b, "wb")
+        .join(F.broadcast(un))
+        .join(F.broadcast(bn))
+        .select(
+            F.col("bg").alias("bigram"),
+            F.col("c").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("m"))
+                    / ((F.col("ca") / F.col("n")) * (F.col("cb") / F.col("n")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
     )
