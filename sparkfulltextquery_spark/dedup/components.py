@@ -1,0 +1,59 @@
+"""Connected components — the cluster step between near-dup *pairs* and a
+dedup *decision* (pick one canonical doc per cluster, drop the rest).
+
+Algorithm: iterative minimum-label propagation to a fixpoint. Every vertex
+starts labeled with itself; each round every vertex takes the min of its
+own label and its neighbors' labels; stop when a round changes nothing.
+Rounds needed = graph diameter (near-dup graphs are unions of small dense
+clusters, so diameter — and the round count — stays tiny even at corpus
+scale; for adversarially long chains the large-star/small-star rewiring of
+Kiveris et al. "Connected Components in MapReduce" bounds rounds at
+O(log² n) — same join primitives, swap-in replacement).
+
+Scale shape per round: one equi-join (labels ⋈ edges on vertex) + one
+groupBy-min — both shuffle-parallel on the vertex key; driver state is a
+single converged? counter per round. ``localCheckpoint`` truncates the
+lineage each round so the plan doesn't grow with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(vertex, component) for every vertex incident to an edge; component
+    id = min vertex label in the component (min over the column's natural
+    ordering, so string vertices get the lexicographic min)."""
+    sym = edges.select(F.col(src).alias("v"), F.col(dst).alias("w")).union(
+        edges.select(F.col(dst).alias("v"), F.col(src).alias("w"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = sym.select("v").distinct().select(
+        F.col("v").alias("lv"), F.col("v").alias("lbl")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        prop = sym.join(labels, sym.w == labels.lv).select(
+            F.col("v").alias("lv"), F.col("lbl")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("lv").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.select(F.col("lv").alias("nv"), F.col("lbl").alias("nlbl"))
+            .join(labels, F.col("nv") == labels.lv)
+            .filter(F.col("nlbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("lv").alias("vertex"), F.col("lbl").alias("component"))

@@ -342,3 +342,47 @@ def dedup_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist.between(1, 3)).select(
         "name_a", "name_b", dist.cast("long").alias("edit_dist")
     )
+
+
+_CC_ORACLE = """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+    pairs AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name),
+    fuzzy AS (
+      SELECT name_a, name_b FROM pairs
+      WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 3),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM fuzzy
+      UNION ALL
+      SELECT name_b AS src, name_a AS dst FROM fuzzy),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src)
+    SELECT vertex, component,
+           count(*) OVER (PARTITION BY component) AS cluster_size
+    FROM comp
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → clusters: connected components over the fuzzy
+    name-similarity graph (token-blocked levenshtein ≤ 3 pairs from
+    dedup_fuzzy_name_pairs), labeling every matched name with its cluster's
+    lexicographic-min name + the cluster size — the decision relation a
+    dedup pipeline keeps one canonical row per component from.
+
+    The oracle computes the same fixpoint as a recursive-CTE transitive
+    closure (exact but O(V·E) — oracle-only); the engine side is the
+    O(diameter)-round label propagation in dedup.components, which is the
+    shape that survives 100 TB."""
+    from sparkfulltextquery_spark.dedup.components import connected_components
+
+    pairs = dedup_fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select("vertex", "component", "cluster_size")

@@ -157,3 +157,24 @@ def test_minhash_estimates_jaccard(spark):
     assert true_pairs <= cands, f"LSH missed {true_pairs - cands}"
     verified = {(r.doc_a, r.doc_b) for r in verified_near_dups(docs, threshold=0.8).collect()}
     assert verified == true_pairs
+
+
+def test_connected_components_chain_and_islands(spark):
+    # a 12-vertex path (worst-case diameter per edge count) + a triangle +
+    # an isolated pair: labels must converge to each component's min
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.dedup.components import connected_components
+
+    chain = [(i, i + 1) for i in range(11)]          # 0..11 path
+    tri = [(100, 101), (101, 102), (100, 102)]       # triangle
+    pair = [(200, 201)]
+    edges = spark.createDataFrame(chain + tri + pair, "src int, dst int")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert all(got[v] == 0 for v in range(12))
+    assert all(got[v] == 100 for v in (100, 101, 102))
+    assert got[200] == got[201] == 200
+    assert len(got) == 17
