@@ -177,5 +177,48 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the
+    next-generation arbitrary-stateful API (Spark 4.x) superseding
+    applyInPandasWithState above: named, typed state variables
+    (ValueState/ListState/MapState) on a StatefulProcessor with lifecycle
+    hooks and optional per-key timers/TTL, instead of one opaque state
+    tuple. Same reference lineage (DStream updateStateByKey/mapWithState,
+    PairDStreamFunctions.scala:397/380) — state is O(distinct users),
+    checkpoint-recoverable.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n bigint, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, round(total, 2)))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total": [round(total, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, total double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # registered queries import the helpers above; keep this import last
 from sparkfulltextquery_spark.streaming import queries  # noqa: E402,F401

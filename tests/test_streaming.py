@@ -7,6 +7,7 @@ StreamTest.scala) using file sources + Trigger.AvailableNow + checkpoints:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sparkfulltextquery_spark.sources import load_table
@@ -329,3 +330,60 @@ def test_dedup_within_watermark(spark, tmp_path):
     out = spark.table("wdq")
     assert out.count() == 300
     assert out.select("event_id").distinct().count() == 300
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs protobuf (PySpark's state-server "
+    "protocol) — not installed in this environment",
+)
+def test_transform_with_state_across_restarts(spark, tmp_path):
+    """transformWithStateInPandas (next-gen stateful API): same recovery
+    contract as applyInPandasWithState — per-user ValueState accumulates
+    across two checkpointed runs and matches the batch aggregate. Needs the
+    RocksDB state store provider (required by transformWithState) + protobuf."""
+    from sparkfulltextquery_spark.streaming import running_user_totals_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _events(spark)
+    src = f"file://{tmp_path}/twsrc"
+    ckpt = f"file://{tmp_path}/twckpt"
+    out2 = f"file://{tmp_path}/twout2"
+
+    def run(out_path):
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out_path)
+
+        s = running_user_totals_tws(spark.readStream.schema(ev.schema).parquet(src))
+        q = (
+            s.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    _write_chunk(ev, src, F.col("event_id") < 500)
+    run(f"file://{tmp_path}/twout1")
+    _write_chunk(ev, src, F.col("event_id") >= 500)
+    run(out2)
+
+    got = {r.user_id: (r.n_events, r.total) for r in spark.read.parquet(out2).collect()}
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t"))
+        .collect()
+    }
+    for u, (n, t) in got.items():
+        assert (n, t) == want[u], (u, (n, t), want[u])
+    assert len(got) > 0
