@@ -407,3 +407,34 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderpriority") == "2-HIGH", 1)).alias("p2"),
         F.count(F.when(F.col("o_orderpriority") == "3-MEDIUM", 1)).alias("p3"),
     )
+
+
+@query("agg_mergeable_sketches")
+def agg_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distributed sketches — the pattern that makes approximate
+    aggregation scale: per-group sketches built in one pass, then UNIONED
+    (not recomputed) into a global estimate. Here: per-nation Apache
+    DataSketches HLL (F.hll_sketch_agg, Spark 3.5+ — the modern successor
+    of the reference's HyperLogLogPlusPlus.scala:54) re-aggregated with
+    hll_union_agg, plus a count-min sketch of l_suppkey frequencies.
+    Sketch bytes are engine-specific → rows-only driver check; the accuracy
+    contract is pinned in tests/test_properties.py (estimates within 5% of
+    exact on every group).
+
+    At 100 TB: sketches make the second aggregation O(groups × sketch_size)
+    instead of a second pass over raw data — the same partial/final
+    discipline as HashAggregateExec (AggUtils.scala:80), but re-mergeable
+    across *queries* (store per-partition sketches, union at read time)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    )
+    return per_nation.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_global_parts"),
+    )

