@@ -171,3 +171,41 @@ def mapinpandas_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice").mapInPandas(
         op, schema="l_orderkey bigint, l_linenumber int, qty_price double"
     )
+
+
+@query(
+    "mapinarrow_revenue",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_revenue
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def mapinarrow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — the Python
+    function sees raw pyarrow.RecordBatch objects (no pandas conversion at
+    all), the cheapest possible Python boundary for columnar compute.
+    Same physical shape as the reference's MapPartitionsExec
+    (objects.scala:168): partition-local, no shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+
+    def op(batches):
+        for batch in batches:
+            rev = pc.round(
+                pc.multiply(
+                    batch.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                ),
+                ndigits=4,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), rev],
+                names=["l_orderkey", "l_linenumber", "net_revenue"],
+            )
+
+    return l.select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).mapInArrow(op, schema="l_orderkey bigint, l_linenumber int, net_revenue double")

@@ -153,3 +153,25 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = l.filter(F.col("l_returnflag") == "R").select("l_suppkey", "l_quantity")
     b = l.filter(F.col("l_returnflag") == "A").select("l_suppkey", "l_quantity")
     return a.exceptAll(b)
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_mktsegment = 'MACHINERY'
+    UNION ALL BY NAME
+    SELECT c_acctbal, c_custkey, CAST(NULL AS INTEGER) AS c_nationkey
+    FROM customer WHERE c_acctbal < 0
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: schema-evolution union — columns
+    align by NAME (not position), absent columns null-fill. The modern form
+    of the reference's positional Union (basicLogicalOperators.scala:200)
+    for heterogeneous-schema corpus shards."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    b = c.filter(F.col("c_acctbal") < 0).select("c_acctbal", "c_custkey")
+    return a.unionByName(b, allowMissingColumns=True)

@@ -143,3 +143,22 @@ def test_cluster_rewrite_gives_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) >= 2
     for (prev_lo, prev_hi), (lo, hi) in zip(ranges, ranges[1:]):
         assert prev_hi <= lo, f"overlapping file ranges: {ranges}"
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC (the reference's Hive-side columnar serde, sql/hive/) round-trips
+    with the vectorized reader and predicate pushdown reaching the scan."""
+    from sparkfulltextquery_spark.plans import physical_plan
+    from sparkfulltextquery_spark.sources import load_table
+
+    path = f"file://{tmp_path}/orc_nation"
+    n = load_table(spark, SF_DIR, "nation")
+    n.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == n.count()
+    assert {f.name for f in back.schema} == {f.name for f in n.schema}
+
+    df = back.filter(F.col("n_nationkey") > 10).select("n_name")
+    plan = physical_plan(df)
+    assert "ORC" in plan or "orc" in plan
+    assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)" in plan
