@@ -374,3 +374,120 @@ def curation_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(gate, 1)).alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 7. Capstone: the end-to-end training-data pipeline — exact dedup →
+#    decontamination → quality gate → deterministic mixture → chunking,
+#    as ONE composed relation (what a user actually runs nightly).
+# --------------------------------------------------------------------------
+
+_PIPE_ORACLE = f"""
+    WITH base AS (SELECT doc_id, source, text, {_TOK} AS t FROM documents),
+    -- 1. exact dedup: canonical (min doc_id) per content hash
+    dedup AS (
+      SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+    -- 2. decontamination: drop docs sharing a token-8-gram with the eval
+    --    slice (doc_id % 19 = 0), and the eval slice itself
+    evalgrams AS (
+      SELECT DISTINCT unnest(list_distinct({_SH8})) AS s
+      FROM base WHERE doc_id % 19 = 0),
+    contaminated AS (
+      SELECT DISTINCT b.doc_id
+      FROM (SELECT doc_id, unnest(list_distinct({_SH8})) AS s
+            FROM base WHERE doc_id % 19 <> 0) b
+      JOIN evalgrams e ON b.s = e.s),
+    -- 3. quality gate: >= 20 tokens
+    -- 4. deterministic mixture: md5 gate at per-source weight
+    kept AS (
+      SELECT b.doc_id, b.source, b.t
+      FROM base b
+      JOIN dedup d ON b.doc_id = d.doc_id
+      WHERE b.doc_id % 19 <> 0
+        AND b.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        AND len(b.t) >= 20
+        AND ('0x' || substr(md5(b.source || ':' || CAST(b.doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 100 < {_MIX_CASE.replace("source", "b.source")}),
+    -- 5. sliding-window chunks (size 32, stride 24)
+    spans AS (
+      SELECT doc_id, source, t,
+             unnest(range(0, greatest(1,
+               CAST(ceil((len(t) - {_CHUNK_SIZE - _CHUNK_STRIDE})
+                         / {_CHUNK_STRIDE}.0) AS BIGINT)))) AS chunk_id
+      FROM kept)
+    SELECT doc_id, source, chunk_id,
+           CAST(len(t[(chunk_id * {_CHUNK_STRIDE} + 1)
+                      :(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})]) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(t[(chunk_id * {_CHUNK_STRIDE} + 1)
+                                 :(chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE})], ' '))
+             AS chunk_md5
+    FROM spans
+"""
+
+
+@query("pipeline_training_data", oracle=_PIPE_ORACLE)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as one composed DataFrame: exact dedup
+    (content-hash groupBy, canonical min doc_id) → benchmark
+    decontamination (8-gram anti-join against the eval slice) → quality
+    gate (≥20 tokens) → deterministic per-source mixture (md5 gate) →
+    sliding-window chunking. Output is the training-sequence relation
+    (doc, source, chunk, token count, content address).
+
+    Every stage is a shuffle-parallel relational op — dedup and
+    decontamination are aggregations/anti-joins on content keys, the gates
+    are row-local, chunking is an arithmetic Generate. One linear pass, no
+    driver state; at 100 TB each arrow in the chain is the already-analyzed
+    operator (see SCALE.md)."""
+    from sparkfulltextquery_spark.functions.hashes import h60
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", "text", tokenize(F.col("text")).alias("t"))
+
+    canonical = base.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+
+    grams = F.array_distinct(ngrams(F.col("t"), n=_CONTAM_K))
+    evalgrams = (
+        base.filter(F.col("doc_id") % 19 == 0)
+        .select(F.explode(grams).alias("s"))
+        .distinct()
+    )
+    train_grams = base.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", F.explode(grams).alias("s")
+    )
+    contaminated = train_grams.join(evalgrams, "s").select("doc_id").distinct()
+
+    weight = F.lit(_MIX_DEFAULT)
+    for s, w in reversed(_MIX_WEIGHTS.items()):
+        weight = F.when(F.col("source") == s, F.lit(w)).otherwise(weight)
+    gate = h60(F.concat_ws(":", "source", F.col("doc_id").cast("string"))) % 100 < weight
+
+    kept = (
+        base.filter(F.col("doc_id") % 19 != 0)
+        .join(canonical.select("doc_id"), "doc_id", "left_semi")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter((F.size("t") >= 20) & gate)
+    )
+
+    overlap = _CHUNK_SIZE - _CHUNK_STRIDE
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("t") - F.lit(overlap)) / F.lit(float(_CHUNK_STRIDE))),
+    )
+    spans = kept.select(
+        "doc_id",
+        "source",
+        "t",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("long"))).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        F.col("t"), (F.col("chunk_id") * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_SIZE
+    )
+    return spans.select(
+        "doc_id",
+        "source",
+        "chunk_id",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

@@ -344,3 +344,39 @@ def sqlt_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner query per row)."""
     _views(spark, sf_dir)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ALL
+"""
+
+
+@query("sqlt_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def sqlt_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+/DuckDB shared dialect): grouping keys
+    inferred as every non-aggregate select item — the analyzer resolution
+    convenience layered on the same Aggregate plan."""
+    _views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+_LATERAL_ALIAS_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net,
+           round(net * (1 + l_tax), 4) AS net_taxed
+    FROM lineitem
+    WHERE l_orderkey < 100
+"""
+
+
+@query("sqlt_lateral_column_alias", oracle=_LATERAL_ALIAS_SQL)
+def sqlt_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias (Spark 3.4+): a select item referencing a prior
+    alias in the same SELECT — resolved by the analyzer into nested
+    projections, no subquery needed. Same dialect in DuckDB."""
+    _views(spark, sf_dir)
+    return spark.sql(_LATERAL_ALIAS_SQL)
