@@ -213,3 +213,62 @@ def test_sketch_union_accuracy(spark):
         F.count_min_sketch("l_suppkey", F.lit(0.005), F.lit(0.01), F.lit(42)).alias("cm")
     ).collect()[0].cm
     assert isinstance(cms, (bytes, bytearray)) and len(cms) > 0
+
+
+def test_observe_metrics_match_aggregates(spark):
+    # df.observe: accumulator-style metrics collected DURING the action with
+    # zero extra passes — the modern replacement for the reference's
+    # SQLMetrics-only introspection. Metrics must equal a separate aggregate.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    obs = Observation("li_metrics")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = l.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    ).collect()[0]
+    assert got["n"] == want["n"]
+    assert got["qty"] == want["qty"]
+    assert got["max_ship"] == want["max_ship"]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.characters(codec="ascii"), max_size=60), min_size=1, max_size=8
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=30, deadline=None)
+def test_ngram_count_invariant(texts, k):
+    # pure-Python model check (no Spark in the hypothesis loop): the n-gram
+    # relation over any tokenization has exactly max(0, len - k + 1) entries
+    # — the invariant both engine fragments encode structurally
+    for t in texts:
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        n_expected = max(0, len(toks) - k + 1)
+        grams = [" ".join(toks[i : i + k]) for i in range(n_expected)]
+        assert len(grams) == n_expected
+        assert all(len(g.split(" ")) == k for g in grams)
+
+
+@given(s=st.text(max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_h28_range_and_determinism(s):
+    # the portable hash must stay in [0, 2^28) (so (a*h+b) % p never
+    # overflows int64) and be a pure function of its input
+    h = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+    assert 0 <= h < (1 << 28)
+    assert h == int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
