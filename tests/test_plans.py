@@ -107,6 +107,9 @@ def test_bounded_shuffle_counts(spark):
         "distinct_projection": 1,
         "window_ranking": 1,
         "fulltext_postings_topdf": 3,  # tf groupBy + df groupBy + topk
+        # capstone pipeline: dedup agg + evalgram distinct + contamination
+        # distinct; every other stage must stay broadcast/row-local
+        "pipeline_training_data": 4,
     }
     for name, max_ex in ceilings.items():
         n = count_exchanges(_q(spark, name))
