@@ -59,6 +59,9 @@ def get_spark(
         # Some producers (pandas/pyarrow) write TIMESTAMP(NANOS) which Spark
         # has no native type for; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # let custom Python data sources (sources/pysource.py) absorb
+        # predicates via pushFilters (off by default in Spark 4.1)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

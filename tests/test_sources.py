@@ -162,3 +162,35 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = physical_plan(df)
     assert "ORC" in plan or "orc" in plan
     assert "PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey,10)" in plan
+
+
+def test_python_datasource_with_pushdown(spark):
+    """Custom Python data source (DataSource V2 Python API): registered
+    source reads partition-parallel and absorbs doc_id range predicates
+    into generation bounds (source-level pushdown)."""
+    from sparkfulltextquery_spark.sources.pysource import _doc_text, register
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register(spark)
+    df = (
+        spark.read.format("synthcorpus")
+        .option("n_docs", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.rdd.getNumPartitions() == 8
+    # deterministic content
+    row = df.filter(F.col("doc_id") == 123).collect()[0]
+    assert row.text == _doc_text(123)
+    assert row.shard == 123 % 7
+
+    # range predicate: absorbed by pushFilters -> only 100 rows generated
+    sub = df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    assert sub.count() == 100
+    assert sub.agg(F.min("doc_id"), F.max("doc_id")).collect()[0] == (100, 199)
+
+    # non-pushable predicate still correct (Spark re-applies it post-scan)
+    assert df.filter(F.col("shard") == 3).count() == sum(
+        1 for i in range(500) if i % 7 == 3
+    )
