@@ -438,3 +438,53 @@ def agg_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("approx_global_parts"),
     )
+
+
+@query(
+    "agg_argmax_argmin",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS best_order,
+           arg_min(o_orderkey, o_totalprice + o_orderkey * 1e-9) AS worst_order,
+           round(max(o_totalprice), 2) AS best_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin, Spark 3.3+ — the one-pass form of the
+    aggregate-then-join-back pattern in q2/q15): the orderkey of each
+    customer's most/least expensive order. The ordering key is made
+    tie-free (price + εꞏorderkey) so the arg is engine-deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.col("o_totalprice") + F.col("o_orderkey") * 1e-9
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("best_order"),
+        F.min_by("o_orderkey", key).alias("worst_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
+
+
+@query(
+    "agg_boolean_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           count_if(l_quantity > 25)            AS n_bulk,
+           bool_and(l_extendedprice > 0)        AS all_positive,
+           bool_or(l_discount >= 0.09)          AS any_deep_discount,
+           CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family: count_if, bool_and (= every),
+    bool_or (= any/some) — the SQL-2023 additions layered on the same
+    partial+final HashAggregate plan as Sum/Count (AggUtils.scala:80)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.bool_and(F.col("l_extendedprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") >= 0.09).alias("any_deep_discount"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_taxfree"),
+    )
