@@ -488,3 +488,27 @@ def agg_boolean_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("l_discount") >= 0.09).alias("any_deep_discount"),
         F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_taxfree"),
     )
+
+
+@query("agg_bitmap_distinct")
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-based EXACT distinct counting (Spark 3.5 bitmap functions):
+    per-group bitmaps of bucketed key positions OR-merge like sketches but
+    count exactly — the third point on the distinct-count spectrum
+    (exact-shuffle / HLL-approx / bitmap-exact-mergeable). Bitmap bytes are
+    engine-specific → rows-only check; equality with countDistinct is
+    pinned in tests/test_properties.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    # one bitmap per (group, 32k-value bucket): bitmap_bucket_number splits
+    # the key domain, bitmap_bit_position indexes within the bucket
+    per_bucket = l.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm"))
+    exact = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(F.sum(F.bitmap_count("bm")).alias("bitmap_distinct"))
+        .join(exact, "l_returnflag")
+    )

@@ -272,3 +272,39 @@ def test_h28_range_and_determinism(s):
     h = int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
     assert 0 <= h < (1 << 28)
     assert h == int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def test_bitmap_distinct_is_exact_and_mergeable(spark):
+    # bitmap_construct_agg/bitmap_count must equal countDistinct per group,
+    # and bitmap_or_agg of the per-group bitmaps must equal the global
+    # distinct count — exactness + mergeability (unlike HLL's ±2%)
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    per_bucket = l.groupBy(
+        "l_returnflag", F.bitmap_bucket_number("l_partkey").alias("bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("l_partkey")).alias("bm"))
+    per = per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("est")
+    )
+    exact = {
+        r.l_returnflag: r.exact
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    for r in per.collect():
+        assert r.est == exact[r.l_returnflag], (r.l_returnflag, r.est)
+    # mergeability: OR the per-(group,bucket) bitmaps across groups by
+    # bucket, sum of counts = global exact distinct
+    merged = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("c"))
+        .agg(F.sum("c").alias("est"))
+        .collect()[0]
+        .est
+    )
+    assert merged == l.select(F.countDistinct("l_partkey")).collect()[0][0]
