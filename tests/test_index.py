@@ -4,6 +4,7 @@ search) and scale shape (bucket pruning on term lookups)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sparkfulltextquery_spark.functions.fulltext import bm25_search
 from sparkfulltextquery_spark.functions.index import bm25_search_indexed, build_index
@@ -95,3 +96,37 @@ def test_indexed_querylang_plan_never_scans_corpus(spark, index_tables):
     plan = physical_plan(search_indexed(spark, BOOL_QUERY, k=10, table_prefix="t_idx"))
     assert "documents" not in plan, plan
     assert "posexplode" not in plan.lower(), plan
+
+
+def test_streaming_index_updates_equal_batch_build(spark, tmp_path):
+    """Postings maintained by the streaming appender over two micro-batches
+    must equal the batch-built posting relation over the full corpus."""
+    from sparkfulltextquery_spark.functions.fulltext import postings
+    from sparkfulltextquery_spark.functions.index import (
+        read_live_postings,
+        stream_update_postings,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = f"file://{tmp_path}/docsrc"
+    idx = f"file://{tmp_path}/postings_log"
+    ckpt = f"file://{tmp_path}/idxckpt"
+
+    # batch 1: first half; batch 2: second half
+    docs.filter(F.col("doc_id") < 250).write.mode("append").parquet(src)
+    q = stream_update_postings(
+        spark.readStream.schema(docs.schema).parquet(src), idx, ckpt
+    )
+    q.awaitTermination()
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    q = stream_update_postings(
+        spark.readStream.schema(docs.schema).parquet(src), idx, ckpt
+    )
+    q.awaitTermination()
+
+    live = read_live_postings(spark, idx)
+    want = postings(docs)
+    assert live.count() == want.count()
+    assert live.exceptAll(want).count() == 0
+    assert want.exceptAll(live).count() == 0
