@@ -380,3 +380,30 @@ def sqlt_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     projections, no subquery needed. Same dialect in DuckDB."""
     _views(spark, sf_dir)
     return spark.sql(_LATERAL_ALIAS_SQL)
+
+
+@query(
+    "sqlt_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_bulk,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_rev
+    FROM lineitem
+    WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    """,
+)
+def sqlt_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators): the linear FROM-first
+    form of the same logical plan — each |> stage maps 1:1 onto a plan node
+    exactly as the DataFrame API does (§3 entry point A ∩ B). Oracle is the
+    equivalent standard SQL."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 45
+        |> AGGREGATE count(*) AS n_bulk,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_rev
+           GROUP BY l_returnflag
+        """
+    )
