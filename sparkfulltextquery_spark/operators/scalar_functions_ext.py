@@ -182,3 +182,31 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.variant_get(v, "$.k", "int") % 10).alias("k_mod"),
         (F.variant_get(v, "$.k", "int") >= 50).cast("string").alias("is_high"),
     )
+
+
+@query(
+    "fn_collation_case_insensitive",
+    oracle="""
+    SELECT lower(c_mktsegment) AS seg, count(*) AS n,
+           count(CASE WHEN lower(c_mktsegment) = 'machinery' THEN 1 END) AS n_machinery
+    FROM customer
+    GROUP BY lower(c_mktsegment)
+    """,
+)
+def fn_collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware comparison (Spark 4 collations): grouping and
+    equality under UTF8_LCASE — the engine-level form of case-insensitive
+    matching (vs the expression-level lower() the oracle uses). The output
+    projects lower() so the group representative is engine-independent."""
+    c = load_table(spark, sf_dir, "customer")
+    seg_ci = F.collate("c_mktsegment", "UTF8_LCASE")
+    return (
+        c.groupBy(seg_ci.alias("_seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(
+                F.when(seg_ci == F.lit("MACHINERY").try_cast("string collate UTF8_LCASE"), 1)
+            ).alias("n_machinery"),
+        )
+        .select(F.lower(F.col("_seg").cast("string")).alias("seg"), "n", "n_machinery")
+    )
