@@ -41,3 +41,25 @@ def test_ctas_insert_show_describe(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_small")
     assert "nation_small" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_parameterized_sql(spark):
+    """Parameterized spark.sql: named and positional binding (injection-safe
+    literal substitution at parse time — modern analyzer surface)."""
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders_v")
+    named = spark.sql(
+        "SELECT count(*) AS n FROM orders_v "
+        "WHERE o_totalprice > :lo AND o_orderpriority = :prio",
+        args={"lo": 100000, "prio": "1-URGENT"},
+    ).collect()[0].n
+    positional = spark.sql(
+        "SELECT count(*) AS n FROM orders_v "
+        "WHERE o_totalprice > ? AND o_orderpriority = ?",
+        args=[100000, "1-URGENT"],
+    ).collect()[0].n
+    direct = (
+        load_table(spark, SF_DIR, "orders")
+        .filter((F.col("o_totalprice") > 100000) & (F.col("o_orderpriority") == "1-URGENT"))
+        .count()
+    )
+    assert named == positional == direct > 0
