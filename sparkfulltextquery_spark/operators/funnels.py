@@ -104,3 +104,55 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("first5")
     )
+
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             max(CASE WHEN event_type IN ('click', 'view')
+                      THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch_ts
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_id, round(value, 2) AS amount,
+           last_touch_ts
+    FROM (SELECT t.*, e.value FROM tagged t
+          JOIN events e USING (event_id))
+    WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase credited to the user's most
+    recent preceding touch event (click/view), NULL when none precedes.
+    A running-max window over a conditional timestamp — one shuffle on
+    user_id, no self-join (the classic join-free formulation of
+    point-in-time attribution; same frame machinery as reference
+    WindowExec.scala:34-82 'growing' processor)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_ts = F.when(F.col("event_type").isin("click", "view"), F.col("ts"))
+    return (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            F.max(touch_ts).over(w).alias("last_touch_ts"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.round("value", 2).alias("amount"),
+            "last_touch_ts",
+        )
+    )
