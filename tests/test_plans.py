@@ -206,3 +206,22 @@ def test_q7_broadcasts_both_nation_sides(spark):
     # the two nation⋈region dims broadcast; only fact-fact joins may shuffle
     plan = physical_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_sql_hints_rebalance_and_broadcast(spark):
+    # REBALANCE (AQE write-layout hint: split/coalesce to target size) and
+    # BROADCAST SQL hints must reach the physical plan — the SQL-comment
+    # form of the DataFrame hint surface
+    from sparkfulltextquery_spark.sources import load_table
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("li_h")
+    load_table(spark, SF_DIR, "nation").createOrReplaceTempView("n_h")
+
+    reb = spark.sql("SELECT /*+ REBALANCE(l_suppkey) */ * FROM li_h")
+    assert "RebalancePartitions" in reb._jdf.queryExecution().optimizedPlan().toString()
+
+    bc = spark.sql(
+        "SELECT /*+ BROADCAST(n_h) */ l_orderkey, n_name "
+        "FROM li_h JOIN n_h ON l_suppkey % 25 = n_nationkey"
+    )
+    assert "BroadcastHashJoin" in physical_plan(bc)
