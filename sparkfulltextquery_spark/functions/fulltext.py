@@ -208,20 +208,35 @@ def bm25_search(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
+def positional_relation(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, term) — ONE tokenization of the corpus from which both
+    the posting table (groupBy) and phrase matching (positional joins)
+    derive, so a query mixing terms and phrases scans the corpus once."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
+    )
+
+
 def phrase_match(
-    docs: DataFrame, phrase: str, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos: DataFrame | None = None,
 ) -> DataFrame:
     """Documents containing the exact token phrase, via positional join:
     posexplode positions, self-equi-join on (doc_id, pos+i) per phrase term.
     Scales as an equi-join on (doc_id, pos) — shuffle-partitioned, no theta.
-    Returns (doc_id, n_occurrences)."""
+    Returns (doc_id, n_occurrences). Pass ``pos`` (a positional_relation)
+    to reuse an existing tokenization."""
     terms = _py_tokenize(phrase)
     if not terms:
         raise ValueError("empty phrase")
-    pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "term"),
-    )
+    if pos is None:
+        pos = positional_relation(docs, id_col, text_col)
     first = pos.filter(F.col("term") == terms[0]).select("doc_id", F.col("pos").alias("p0"))
     cur = first
     for i, t in enumerate(terms[1:], start=1):

@@ -196,13 +196,34 @@ def search(
     satisfying the boolean query, ranked by BM25 over its positive terms.
     Pure-negation queries rank by doc_id (score 0.0)."""
     ast = parse_query(query)
-    post = postings(docs, id_col, text_col)
+
+    def _has_phrase(node) -> bool:
+        if isinstance(node, Phrase):
+            return True
+        return any(_has_phrase(c) for c in getattr(node, "children", ())) or (
+            isinstance(node, Not) and _has_phrase(node.child)
+        )
+
+    if _has_phrase(ast):
+        # one corpus tokenization feeds BOTH the posting table (groupBy)
+        # and every phrase atom's positional joins
+        from sparkfulltextquery_spark.functions.fulltext import positional_relation
+
+        pos_rel = positional_relation(docs, id_col, text_col)
+        post = pos_rel.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        phrase_fn = lambda text: phrase_match(  # noqa: E731
+            docs, text, id_col, text_col, pos=pos_rel
+        ).select("doc_id")
+    else:
+        post = postings(docs, id_col, text_col)
+        phrase_fn = lambda text: phrase_match(  # noqa: E731
+            docs, text, id_col, text_col
+        ).select("doc_id")
+
     matched = compile_matches(
         ast,
         post,
-        phrase_fn=lambda text: phrase_match(docs, text, id_col, text_col).select(
-            "doc_id"
-        ),
+        phrase_fn=phrase_fn,
         universe=docs.select(F.col(id_col).alias("doc_id")),
     )
     pos = sorted(set(positive_terms(ast)))
