@@ -571,3 +571,34 @@ def fulltext_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "fulltext_spell_suggest",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    vocab AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+    cand AS (
+      SELECT term, CAST(levenshtein(term, 'qery') AS BIGINT) AS dist, df
+      FROM vocab WHERE levenshtein(term, 'qery') <= 2)
+    SELECT term, dist, df FROM cand
+    ORDER BY dist, df DESC, term LIMIT 5
+    """,
+)
+def fulltext_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean: misspelled query term → top-5 vocabulary suggestions
+    ranked by (edit distance, document frequency) — frequency-weighted
+    correction, the standard search-box feature built from the posting
+    table's vocabulary + Levenshtein (stringExpressions.scala:1083).
+
+    Scale: the vocabulary relation is |distinct terms| (≪ corpus); distance
+    evaluates per vocab row (codegen'd), ranking is a bounded top-k heap."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = FT.doc_freq(FT.postings(d))
+    dist = F.levenshtein("term", F.lit("qery"))
+    return (
+        vocab.select("term", dist.cast("long").alias("dist"), "df")
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", F.col("df").desc(), "term")
+        .limit(5)
+    )
