@@ -194,3 +194,19 @@ def test_python_datasource_with_pushdown(spark):
     assert df.filter(F.col("shard") == 3).count() == sum(
         1 for i in range(500) if i % 7 == 3
     )
+
+
+def test_parquet_schema_merge(spark, tmp_path):
+    """Parquet schema evolution (reference ParquetFileFormat schema merge,
+    ParquetFileFormat.scala:54): parts written with different column sets
+    read back as the union schema under mergeSchema=true, null-filling."""
+    path = f"file://{tmp_path}/evolving"
+    spark.range(5).selectExpr("id", "id * 2 AS old_col").write.mode("append").parquet(path)
+    spark.range(5, 10).selectExpr("id", "id * 3 AS new_col").write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert {f.name for f in merged.schema} == {"id", "old_col", "new_col"}
+    assert merged.count() == 10
+    rows = {r.id: (r.old_col, r.new_col) for r in merged.collect()}
+    assert rows[2] == (4, None)
+    assert rows[7] == (None, 21)
