@@ -210,3 +210,30 @@ def fn_collation_case_insensitive(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select(F.lower(F.col("_seg").cast("string")).alias("seg"), "n", "n_machinery")
     )
+
+
+@query(
+    "fn_zorder_key",
+    oracle=(
+        lambda z: f"""
+    SELECT l_orderkey, l_linenumber,
+           {z} AS zkey
+    FROM lineitem WHERE l_orderkey < 50
+    """
+    )(__import__(
+        "sparkfulltextquery_spark.functions.layout", fromlist=["zorder_key_duck"]
+    ).zorder_key_duck("l_suppkey", "l_partkey", bits=12)),
+)
+def fn_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: bit-interleave of (l_suppkey,
+    l_partkey) — the sort key behind multi-dimensional clustered rewrites
+    (functions.layout.zorder_rewrite). Pure bitwise column expressions,
+    bit-identical across engines."""
+    from sparkfulltextquery_spark.functions.layout import zorder_key
+
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key("l_suppkey", "l_partkey", bits=12).alias("zkey"),
+    )

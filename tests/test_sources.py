@@ -210,3 +210,31 @@ def test_parquet_schema_merge(spark, tmp_path):
     rows = {r.id: (r.old_col, r.new_col) for r in merged.collect()}
     assert rows[2] == (4, None)
     assert rows[7] == (None, 21)
+
+
+def test_zorder_rewrite_clusters_files(spark, tmp_path):
+    """Z-order rewrite: files must cover (near-)disjoint ranges of the
+    Morton key, so min/max stats prune 2-D predicates."""
+    from sparkfulltextquery_spark.functions.layout import zorder_key, zorder_rewrite
+    from sparkfulltextquery_spark.sources import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem").select("l_suppkey", "l_partkey")
+    out = f"{tmp_path}/zordered"
+    zorder_rewrite(l, "l_suppkey", "l_partkey", out, n_files=4, bits=12)
+
+    back = spark.read.parquet(out)
+    assert back.count() == l.count()
+    ranges = (
+        back.select(
+            F.input_file_name().alias("f"),
+            zorder_key("l_suppkey", "l_partkey", bits=12).alias("z"),
+        )
+        .groupBy("f")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    assert len(ranges) >= 2
+    # range-partitioned on z => file z-ranges are pairwise disjoint
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (spans,)
