@@ -20,7 +20,7 @@ No Pandas UDF needed: dim≤~1k dot products stay in whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -225,3 +225,64 @@ def hyperplane_band_keys_duck(vec_expr: str, dim: int) -> str:
 
 # registered queries import the helpers above, so this import must come last
 from sparkfulltextquery_spark.similarity import queries  # noqa: E402,F401
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """Persist the IVF index: vectors parquet PARTITIONED BY cluster id (so
+    a probe is directory-level partition pruning, not a filter scan) +
+    the small centroid table. The similarity-side analogue of the bucketed
+    text index (functions.index.build_index / DataFrameWriter.scala:170)."""
+    (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col(label_col).alias("label"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(f"{out_dir}/vectors")
+    )
+    label_centroids(embeddings, label_col, vec_col).write.mode("overwrite").parquet(
+        f"{out_dir}/centroids"
+    )
+    return out_dir
+
+
+def ann_search_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """ANN top-k from the persisted IVF index: rank stored centroids, pick
+    n_probe cluster ids (a bounded driver-side list — same discipline as
+    top-k), scan ONLY those partitions (PartitionFilters in the plan), and
+    brute-force the survivors."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    probe_labels = [
+        r.label
+        for r in cents.select(
+            "label", cosine_expr(F.col("centroid"), q).alias("ccos")
+        )
+        .orderBy(F.col("ccos").desc(), F.col("label"))
+        .limit(n_probe)
+        .collect()
+    ]
+    vecs = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("label").isin(probe_labels)
+    )
+    return (
+        vecs.select(
+            "vec_id", F.round(cosine_expr(F.col("v"), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -255,3 +255,56 @@ def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_max_abs"),
         )
     )
+
+
+_ANN_INDEX_CACHE: dict = {}
+
+
+def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf_dir) the persisted IVF index under a temp
+    dir — mirrors functions.fulltext_queries._ensure_index."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        from sparkfulltextquery_spark.similarity import build_ann_index
+
+        out = tempfile.mkdtemp(prefix="sftq_ann_")
+        e = load_table(spark, sf_dir, "embeddings")
+        _ANN_INDEX_CACHE[key] = build_ann_index(e, f"file://{out}")
+    return _ANN_INDEX_CACHE[key]
+
+
+@query(
+    "sim_ivf_topk_indexed",
+    oracle=f"""
+    WITH {_E_CTE},
+    dims AS (
+      SELECT label, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM e
+    ),
+    cents AS (
+      SELECT label, list(m ORDER BY dim) AS c
+      FROM (SELECT label, dim, avg(x) AS m FROM dims GROUP BY label, dim)
+      GROUP BY label
+    ),
+    probes AS (
+      SELECT label FROM cents CROSS JOIN q
+      ORDER BY {_COS.format(a='c', b='qv')} DESC, label LIMIT 3
+    )
+    SELECT vec_id, round({_COS.format(a='v', b='qv')}, 6) AS cosine
+    FROM e JOIN probes USING (label) CROSS JOIN q
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search from the PERSISTED index: vectors stored partitioned by
+    cluster id, centroids precomputed — a probe reads only n_probe
+    partition directories (PartitionFilters, asserted in
+    tests/test_index.py). Same results as sim_ivf_topk without recomputing
+    centroids per query; the ANN analogue of the bucketed text index."""
+    from sparkfulltextquery_spark.similarity import ann_search_indexed
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    idx = _ensure_ann_index(spark, sf_dir)
+    return ann_search_indexed(spark, idx, [float(x) for x in qvec], k=10, n_probe=3)

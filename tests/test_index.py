@@ -130,3 +130,18 @@ def test_streaming_index_updates_equal_batch_build(spark, tmp_path):
     assert live.count() == want.count()
     assert live.exceptAll(want).count() == 0
     assert want.exceptAll(live).count() == 0
+
+
+def test_ann_index_probe_prunes_partitions(spark):
+    """The persisted IVF index must answer probes via directory-level
+    partition pruning (PartitionFilters on label), not a full vector scan,
+    and must agree with the recompute-everything IVF path."""
+    import __spark_entry__  # noqa: F401  (populates the registry)
+    from sparkfulltextquery_spark.registry import REGISTRY
+
+    indexed = REGISTRY["sim_ivf_topk_indexed"].fn(spark, SF_DIR)
+    plan = physical_plan(indexed)
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters", 1)[1][:200], plan
+
+    base = REGISTRY["sim_ivf_topk"].fn(spark, SF_DIR)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in base.collect()]
