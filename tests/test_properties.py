@@ -308,3 +308,40 @@ def test_bitmap_distinct_is_exact_and_mergeable(spark):
         .est
     )
     assert merged == l.select(F.countDistinct("l_partkey")).collect()[0][0]
+
+
+def test_search_edge_cases_empty_not_crash(spark):
+    # unknown terms, absent phrases, and empty-edge graphs must return
+    # EMPTY relations (not errors) — the degenerate inputs a production
+    # pipeline hits daily
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.dedup.components import connected_components
+    from sparkfulltextquery_spark.functions.fulltext import bm25_search, phrase_match
+    from sparkfulltextquery_spark.functions.querylang import search
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert bm25_search(docs, "zzzzqx nonexistentterm", k=5).count() == 0
+    assert phrase_match(docs, "zzzzqx nonexistentterm").count() == 0
+    assert search(docs, '"zzzzqx nonexistentterm" OR qqqzzz', k=5).count() == 0
+    # NOT over everything-matching term -> empty; NOT over nothing -> all
+    n_docs = docs.count()
+    assert search(docs, "NOT zzzzqx", k=n_docs + 5).count() == min(n_docs, n_docs + 5)
+
+    empty_edges = spark.createDataFrame([], "src int, dst int")
+    assert connected_components(empty_edges).count() == 0
+
+    # empty-token document chunks to one empty chunk, never crashes
+    from sparkfulltextquery_spark.registry import REGISTRY
+    import __spark_entry__  # noqa: F401
+
+    one = spark.createDataFrame(
+        [(1, "..."), (2, "a b")], "doc_id bigint, text string"
+    )
+    from sparkfulltextquery_spark.functions.text import tokenize
+
+    assert one.select(F.size(tokenize(F.col("text"))).alias("n")).filter(
+        F.col("n") == 0
+    ).count() == 1
