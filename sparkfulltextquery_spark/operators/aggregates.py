@@ -512,3 +512,23 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.bitmap_count("bm")).alias("bitmap_distinct"))
         .join(exact, "l_returnflag")
     )
+
+
+@query("agg_histogram_numeric")
+def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric — the aggregate the reference delegates to Hive
+    (HiveSessionCatalog.scala:227-230), native since Spark 3.3. Bin centers
+    are data-adaptive (engine-specific placement) → rows-only check with
+    the array flattened for the canonicalizer; the Hive-registry form is
+    exercised in tests/test_hive.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    hist = l.agg(F.expr("histogram_numeric(l_quantity, 8)").alias("h"))
+    return hist.select(
+        F.size("h").alias("n_bins"),
+        F.round(
+            F.aggregate(F.col("h"), F.lit(0.0), lambda acc, s: acc + s["y"]), 2
+        ).alias("total_weight"),
+        F.array_join(
+            F.transform(F.col("h"), lambda s: F.round(s["y"], 1).cast("string")), ","
+        ).alias("bin_weights"),
+    )

@@ -225,3 +225,22 @@ def test_sql_hints_rebalance_and_broadcast(spark):
         "FROM li_h JOIN n_h ON l_suppkey % 25 = n_nationkey"
     )
     assert "BroadcastHashJoin" in physical_plan(bc)
+
+
+def test_exchange_reuse_in_self_join_aggregate(spark):
+    # identical shuffle subtrees must be computed ONCE (ReuseExchange,
+    # reference exchange/Exchange.scala:48) — the aggregate-join-back
+    # pattern (q2/q15 shape) depends on it to avoid double scans. Reuse is
+    # finalized by AQE, so assert on the executed plan after an action.
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    agg = l.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    a = agg.select(F.col("l_suppkey").alias("k1"), F.col("q").alias("qa"))
+    b = agg.select(F.col("l_suppkey").alias("k2"), F.col("q").alias("qb"))
+    j = a.join(b, F.col("k1") == F.col("k2"))
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
