@@ -58,6 +58,48 @@ CASES = [
     ("isnan(cast('NaN' as double))", True),
     ("nanvl(cast('NaN' as double), 9.0)", 9.0),
     ("try_divide(1, 0)", None),
+    # round-3 additions: string/regex/url/bit tail
+    ("mask('AbC-123')", "XxX-nnn"),
+    ("mask('AbC-123', 'Q')", "QxQ-nnn"),
+    ("url_encode('a b&c')", "a+b%26c"),
+    ("url_decode('a+b%26c')", "a b&c"),
+    ("parse_url('https://h/p?q=1', 'HOST')", "h"),
+    ("split_part('a,b,c', ',', 2)", "b"),
+    ("left('abcdef', 2)", "ab"),
+    ("right('abcdef', 2)", "ef"),
+    ("overlay('abcdef' PLACING 'ZZ' FROM 2)", "aZZdef"),
+    ("repeat('ab', 3)", "ababab"),
+    ("replace('aaa', 'a', 'b')", "bbb"),
+    ("position('c' IN 'abc')", 3),
+    ("startswith('abcd', 'ab')", True),
+    ("endswith('abcd', 'cd')", True),
+    ("contains('abcd', 'bc')", True),
+    ("'aBc' ilike 'abc'", True),
+    ("equal_null(NULL, NULL)", True),
+    ("luhn_check('79927398713')", True),
+    ("soundex('Robert')", "R163"),
+    ("translate('abca', 'ab', 'xy')", "xycx"),
+    ("regexp_count('a1b2c3', '[0-9]')", 3),
+    ("regexp_instr('ab12', '[0-9]+')", 3),
+    ("regexp_substr('ab12cd', '[0-9]+')", "12"),
+    ("array_join(regexp_extract_all('a1b22', '([0-9]+)'), '-')", "1-22"),
+    ("bit_count(7)", 3),
+    ("bit_get(8, 3)", 1),
+    ("hex(255)", "FF"),
+    ("unhex('4142')", b"AB"),
+    ("to_number('12,345', '99,999')", 12345),
+    ("to_char(123.45, '999.99')", "123.45"),
+    ("to_binary('abc', 'utf-8')", b"abc"),
+    ("try_element_at(array(1, 2), 9)", None),
+    ("try_to_timestamp('nope')", None),
+    ("btrim('xxhixx', 'x')", "hi"),
+    ("char(97)", "a"),
+    ("ascii('a')", 97),
+    ("crc32('abc')", 891568578),
+    ("base64('ab')", "YWI="),
+    ("string(unbase64('YWI='))", "ab"),
+    ("decode(encode('hi', 'utf-8'), 'utf-8')", "hi"),
+    ("format_number(1234567.891, 2)", "1,234,567.89"),
     ("try_add(9223372036854775807, 1)", None),
     # datetime tail
     ("day(date'2024-03-05')", 5),
