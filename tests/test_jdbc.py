@@ -77,3 +77,31 @@ def test_jdbc_predicate_pushdown(spark, jdbc_url):
     assert "PushedFilters" in plan and "c_acctbal" in plan.split("PushedFilters")[1][:200]
     rows = df.collect()
     assert all(r.c_acctbal > 5000 for r in rows)
+
+
+def test_jdbc_aggregate_pushdown(spark, jdbc_url):
+    """DSv2 JDBC aggregate pushdown: through the JDBCTableCatalog (the v2
+    read path — format('jdbc') stays v1) the groupBy/count/max executes
+    INSIDE the database; the scan node advertises PushedAggregates."""
+    spark.conf.set(
+        "spark.sql.catalog.derbycat",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set("spark.sql.catalog.derbycat.url", jdbc_url)
+    spark.conf.set("spark.sql.catalog.derbycat.driver", DRIVER)
+    spark.conf.set("spark.sql.catalog.derbycat.pushDownAggregate", "true")
+
+    df = spark.table("derbycat.APP.CUSTOMERS")
+    agg = df.groupBy("C_NATIONKEY").agg(
+        F.count(F.lit(1)).alias("n"), F.max("C_ACCTBAL").alias("mx")
+    )
+    plan = physical_plan(agg)
+    assert "PushedAggregates" in plan and "COUNT" in plan.upper(), plan
+    want = (
+        load_table(spark, SF_DIR, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("c_acctbal").alias("mx"))
+    )
+    got = {(r[0], r[1], round(r[2], 2)) for r in agg.collect()}
+    exp = {(r[0], r[1], round(r[2], 2)) for r in want.collect()}
+    assert got == exp
