@@ -254,3 +254,48 @@ def read_live_postings(spark: SparkSession, index_dir: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.sum("tf").alias("tf"))
     )
+
+
+def stream_delete_docs(
+    doc_id_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+):
+    """Tombstone deletions for the streaming index: deleted doc_ids append
+    as their own log segments under ``_deletes`` — reads subtract them
+    (anti join); segments are never rewritten in the hot path (the same
+    log-structured discipline as ingestion; compaction folds tombstones in
+    when it rewrites segments)."""
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .withColumn("segment", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{index_dir}/_deletes")
+        )
+
+    return (
+        doc_id_stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_live_postings_with_deletes(spark: SparkSession, index_dir: str) -> DataFrame:
+    """read_live_postings minus tombstoned documents."""
+    live = (
+        spark.read.parquet(index_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    try:
+        dels = spark.read.parquet(f"{index_dir}/_deletes").select("doc_id").distinct()
+    except Exception:
+        return live  # no tombstones yet
+    # re-project: the join key moves first in join output; keep the
+    # canonical (term, doc_id, tf) order of the posting relation
+    return live.join(dels, "doc_id", "left_anti").select("term", "doc_id", "tf")

@@ -145,3 +145,39 @@ def test_ann_index_probe_prunes_partitions(spark):
 
     base = REGISTRY["sim_ivf_topk"].fn(spark, SF_DIR)
     assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in base.collect()]
+
+
+def test_streaming_index_tombstone_deletes(spark, tmp_path):
+    """Tombstoned docs disappear from reads without rewriting segments:
+    live postings == batch postings over (corpus minus deleted docs)."""
+    from sparkfulltextquery_spark.functions.fulltext import postings
+    from sparkfulltextquery_spark.functions.index import (
+        read_live_postings_with_deletes,
+        stream_delete_docs,
+        stream_update_postings,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = f"file://{tmp_path}/d_src"
+    dsrc = f"file://{tmp_path}/d_del"
+    idx = f"file://{tmp_path}/d_idx"
+
+    docs.write.mode("append").parquet(src)
+    q = stream_update_postings(
+        spark.readStream.schema(docs.schema).parquet(src), idx, f"file://{tmp_path}/ck1"
+    )
+    q.awaitTermination()
+
+    # tombstone every doc_id % 5 == 0 via the delete stream
+    dels = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    dels.write.mode("append").parquet(dsrc)
+    q = stream_delete_docs(
+        spark.readStream.schema(dels.schema).parquet(dsrc), idx, f"file://{tmp_path}/ck2"
+    )
+    q.awaitTermination()
+
+    live = read_live_postings_with_deletes(spark, idx)
+    want = postings(docs.filter(F.col("doc_id") % 5 != 0))
+    assert live.count() == want.count()
+    assert live.exceptAll(want).count() == 0
