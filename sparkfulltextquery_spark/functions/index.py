@@ -299,3 +299,17 @@ def read_live_postings_with_deletes(spark: SparkSession, index_dir: str) -> Data
     # re-project: the join key moves first in join output; keep the
     # canonical (term, doc_id, tf) order of the posting relation
     return live.join(dels, "doc_id", "left_anti").select("term", "doc_id", "tf")
+
+
+def compact_posting_segments(spark: SparkSession, index_dir: str, out_dir: str) -> str:
+    """Fold the posting log into one merged generation: sum tf across
+    segments, subtract tombstones, write a single segment (segment=0) with
+    no ``_deletes``. Reads after compaction see identical postings from
+    O(1) files instead of O(batches) — run it on the same cadence as
+    small-file compaction (sources.tables.compact_small_files). Writing a
+    NEW directory keeps the operation atomic-by-rename for readers."""
+    merged = read_live_postings_with_deletes(spark, index_dir).withColumn(
+        "segment", F.lit(0)
+    )
+    merged.write.mode("overwrite").parquet(out_dir)
+    return out_dir

@@ -181,3 +181,52 @@ def test_streaming_index_tombstone_deletes(spark, tmp_path):
     want = postings(docs.filter(F.col("doc_id") % 5 != 0))
     assert live.count() == want.count()
     assert live.exceptAll(want).count() == 0
+
+
+def test_posting_log_compaction(spark, tmp_path):
+    """Compaction folds segments + tombstones into one generation with
+    identical read results and fewer files."""
+    import glob
+
+    from sparkfulltextquery_spark.functions.index import (
+        compact_posting_segments,
+        read_live_postings_with_deletes,
+        stream_delete_docs,
+        stream_update_postings,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = f"file://{tmp_path}/c_src"
+    idx = f"file://{tmp_path}/c_idx"
+
+    # three ingest batches -> three segment generations
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).write.mode(
+            "append"
+        ).parquet(src)
+        q = stream_update_postings(
+            spark.readStream.schema(docs.schema).parquet(src),
+            idx,
+            f"file://{tmp_path}/c_ck",
+        )
+        q.awaitTermination()
+
+    dels = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    dels.write.mode("append").parquet(f"file://{tmp_path}/c_del")
+    q = stream_delete_docs(
+        spark.readStream.schema(dels.schema).parquet(f"file://{tmp_path}/c_del"),
+        idx,
+        f"file://{tmp_path}/c_ck2",
+    )
+    q.awaitTermination()
+
+    before = read_live_postings_with_deletes(spark, idx)
+    out = compact_posting_segments(spark, idx, f"file://{tmp_path}/c_idx_gen2")
+    after = read_live_postings_with_deletes(spark, out)
+
+    assert after.count() == before.count()
+    assert after.exceptAll(before).count() == 0
+    n_before = len(glob.glob(f"{tmp_path}/c_idx/*.parquet"))
+    n_after = len(glob.glob(f"{tmp_path}/c_idx_gen2/*.parquet"))
+    assert n_after <= n_before
