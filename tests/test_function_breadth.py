@@ -100,6 +100,31 @@ CASES = [
     ("string(unbase64('YWI='))", "ab"),
     ("decode(encode('hi', 'utf-8'), 'utf-8')", "hi"),
     ("format_number(1234567.891, 2)", "1,234,567.89"),
+    # datetime tail
+    ("timestamp_seconds(0)", lambda v: str(v).startswith("1970-01-01")),
+    ("unix_millis(timestamp'1970-01-01 00:00:01Z')", 1000),
+    ("unix_micros(timestamp'1970-01-01 00:00:01Z')", 1000000),
+    ("date_trunc('QUARTER', '2024-05-15')", lambda v: "2024-04-01" in str(v)),
+    ("trunc('2024-05-15', 'MM')", lambda v: "2024-05-01" in str(v)),
+    ("quarter(date'2024-05-15')", 2),
+    ("weekofyear(date'2024-01-04')", 1),
+    ("dayofweek(date'2024-01-07')", 1),
+    ("weekday(date'2024-01-07')", 6),
+    ("last_day(date'2024-02-10')", lambda v: "2024-02-29" in str(v)),
+    ("next_day(date'2024-01-01', 'FRI')", lambda v: "2024-01-05" in str(v)),
+    ("round(months_between(date'2024-03-31', date'2024-02-29'), 2)", 1.0),
+    ("add_months(date'2024-01-31', 1)", lambda v: "2024-02-29" in str(v)),
+    ("datediff(date'2024-01-10', date'2024-01-03')", 7),
+    ("date_add(date'2024-01-01', 9)", lambda v: "2024-01-10" in str(v)),
+    ("dateadd(DAY, 9, date'2024-01-01')", lambda v: "2024-01-10" in str(v)),
+    ("datepart('year', date'2024-05-05')", 2024),
+    ("cast(make_ym_interval(1, 2) as string)", "INTERVAL '1-2' YEAR TO MONTH"),
+    ("make_dt_interval(1, 2, 3, 4.5)", lambda v: v is not None),
+    ("day(date'2024-05-09')", 9),
+    ("to_date('09/05/2024', 'dd/MM/yyyy')", lambda v: "2024-05-09" in str(v)),
+    ("date_format(date'2024-05-09', 'yyyy|MM|dd')", "2024|05|09"),
+    ("from_unixtime(86400, 'yyyy-MM-dd')", "1970-01-02"),
+    ("to_unix_timestamp('1970-01-02', 'yyyy-MM-dd')", 86400),
     ("try_add(9223372036854775807, 1)", None),
     # datetime tail
     ("day(date'2024-03-05')", 5),
