@@ -308,3 +308,27 @@ def sim_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     idx = _ensure_ann_index(spark, sf_dir)
     return ann_search_indexed(spark, idx, [float(x) for x in qvec], k=10, n_probe=3)
+
+
+@query("fulltext_query_expansion")  # training nondeterminism -> rows-only
+def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synonym-expanded retrieval: the query term is widened with its
+    Word2Vec nearest neighbors (embedding-trained on the same corpus), then
+    BM25-ranked as an OR query — the search+ML composition the reference's
+    two halves (full-text scoring, ml.feature.Word2Vec) exist to enable.
+    Output: top-10 (doc_id, score) for the expanded query.
+
+    Scale: expansion terms are a bounded driver-side list (k nearest words
+    — same discipline as IVF probe labels); the search itself is the
+    engine's standard posting-semi-join + BM25 top-k plan."""
+    from sparkfulltextquery_spark.functions.fulltext import bm25_search
+    from sparkfulltextquery_spark.similarity.word2vec import (
+        find_synonyms,
+        train_word2vec,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    vectors = train_word2vec(d, vector_size=16, min_count=5, max_iter=1, seed=42)
+    expansions = [r.word for r in find_synonyms(vectors, "query", k=3).collect()]
+    expanded = " ".join(["query"] + expansions)
+    return bm25_search(d, expanded, k=10)
