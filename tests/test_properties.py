@@ -345,3 +345,30 @@ def test_search_edge_cases_empty_not_crash(spark):
     assert one.select(F.size(tokenize(F.col("text"))).alias("n")).filter(
         F.col("n") == 0
     ).count() == 1
+
+
+def test_minhash_planted_duplicates_full_recall(spark):
+    # identical documents share every band -> always candidates -> jaccard
+    # 1.0: planted exact dups must ALL be recovered (recall = 1 for the
+    # degenerate case), and verified pairs must include no false 1.0s
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.dedup.minhash import verified_near_dups
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 40
+    )
+    clones = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = base.union(clones)
+
+    pairs = verified_near_dups(corpus, threshold=0.99).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs if r.jaccard >= 0.999}
+    planted = {(i, i + 100000) for (i,) in base.select("doc_id").collect()}
+    missing = planted - got
+    assert not missing, f"missing planted dup pairs: {sorted(missing)[:5]}"
+    # any extra 1.0 pairs must be genuinely identical texts
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    for a, b in got - planted:
+        assert texts[a] == texts[b], (a, b)
