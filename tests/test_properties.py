@@ -372,3 +372,43 @@ def test_minhash_planted_duplicates_full_recall(spark):
     texts = {r.doc_id: r.text for r in corpus.collect()}
     for a, b in got - planted:
         assert texts[a] == texts[b], (a, b)
+
+
+def test_hyperplane_lsh_recall_floor(spark):
+    # planted near-identical vectors (tiny single-coordinate perturbation,
+    # cosine ≈ 0.999) must essentially all surface as LSH band candidates —
+    # at p ≈ 1 the banding curve 1-(1-p^6)^4 is ≈ 1, so missing pairs mean
+    # the banding is wired wrong, not probabilistic bad luck
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.similarity import hyperplane_band_keys
+    from sparkfulltextquery_spark.similarity.queries import EMB_DIM
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).filter(F.col("vec_id") < 200)
+    clones = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+        ).alias("v"),
+    )
+    corpus = e.union(clones)
+    keyed = corpus.select(
+        "vec_id", F.explode(hyperplane_band_keys(F.col("v"), EMB_DIM)).alias("bk")
+    )
+    a = keyed.select("bk", F.col("vec_id").alias("vec_a"))
+    b = keyed.select("bk", F.col("vec_id").alias("vec_b"))
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, "bk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .collect()
+    }
+    planted = {(i, i + 100000) for (i,) in e.select("vec_id").collect()}
+    recall = len(planted & cand) / len(planted)
+    assert recall >= 0.95, f"planted near-identical recall {recall:.2f}"
