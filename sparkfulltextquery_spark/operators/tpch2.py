@@ -572,3 +572,75 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "analytics_multi_channel_union",
+    oracle="""
+    WITH channels AS (
+      SELECT 'urgent' AS channel, o_totalprice AS amt FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 'open' AS channel, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'big' AS channel, o_totalprice FROM orders WHERE o_totalprice > 300000
+    )
+    SELECT channel, count(*) AS n, round(sum(amt), 2) AS total
+    FROM channels GROUP BY channel
+    """,
+)
+def analytics_multi_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS channel-union signature (e.g. q5/q77: per-channel relations
+    UNION ALL'd then re-aggregated). Union is shuffle-free concat
+    (UnionExec, basicPhysicalOperators.scala:471); one aggregation after."""
+    o = load_table(spark, sf_dir, "orders")
+    chans = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.lit("urgent").alias("channel"), F.col("o_totalprice").alias("amt")
+        )
+        .union(
+            o.filter(F.col("o_orderstatus") == "O").select(
+                F.lit("open"), F.col("o_totalprice")
+            )
+        )
+        .union(
+            o.filter(F.col("o_totalprice") > 300000).select(
+                F.lit("big"), F.col("o_totalprice")
+            )
+        )
+    )
+    return chans.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("amt"), 2).alias("total")
+    )
+
+
+@query(
+    "analytics_bucket_counts_one_pass",
+    oracle="""
+    SELECT count(CASE WHEN l_quantity < 10 THEN 1 END)                        AS q_0_10,
+           count(CASE WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1 END)   AS q_10_20,
+           count(CASE WHEN l_quantity >= 20 AND l_quantity < 30 THEN 1 END)   AS q_20_30,
+           count(CASE WHEN l_quantity >= 30 AND l_quantity < 40 THEN 1 END)   AS q_30_40,
+           count(CASE WHEN l_quantity >= 40 THEN 1 END)                       AS q_40_up,
+           count(CASE WHEN l_discount >= 0.05 THEN 1 END)                     AS discounted,
+           count(CASE WHEN l_tax = 0 THEN 1 END)                              AS tax_free
+    FROM lineitem
+    WHERE l_returnflag = 'N'
+    """,
+)
+def analytics_bucket_counts_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 signature collapsed to its efficient form: the original
+    writes 8 scalar subqueries (8 scans); the engine form is ONE scan with
+    conditional counts — the rewrite every engine wants for dashboard-tile
+    queries. Single partial+final aggregate, zero joins."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "N")
+    q = F.col("l_quantity")
+    return l.agg(
+        F.count(F.when(q < 10, 1)).alias("q_0_10"),
+        F.count(F.when((q >= 10) & (q < 20), 1)).alias("q_10_20"),
+        F.count(F.when((q >= 20) & (q < 30), 1)).alias("q_20_30"),
+        F.count(F.when((q >= 30) & (q < 40), 1)).alias("q_30_40"),
+        F.count(F.when(q >= 40, 1)).alias("q_40_up"),
+        F.count(F.when(F.col("l_discount") >= 0.05, 1)).alias("discounted"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("tax_free"),
+    )
