@@ -1,5 +1,45 @@
-python - <<'EOF'
-c = open('/root/repo/PLANS.md').read()
-c = c.replace("Regenerate: `python scripts_gen_plans.py` (or see git history). These are\nthe plans the guardrails in tests/test_plans.py assert on — pushdown\nreaching scans, broadcast exchanges on dims, bounded top-k heaps, no\nstray CartesianProduct, partial+final aggregation.",
-"Regenerate: `python scripts/gen_plans.py`. These are the plans the\nguardrails in tests/test_plans.py assert on — pushdown reaching scans,\nbroadcast exchanges on dims, bounded top-k heaps, no stray\nCartesianProduct, partial+final aggregation.")
-open('/root/repo/PLANS.md','w').write(c)
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the flagship queries."""
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from sparkfulltextquery_spark import get_spark  # noqa: E402
+from sparkfulltextquery_spark.plans import physical_plan  # noqa: E402
+import __spark_entry__ as E  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+FLAGSHIPS = {
+    "q5_local_supplier_volume": "relational spine: pushdown + broadcast dims + partial/final agg",
+    "q3_shipping_priority": "top-k: TakeOrderedAndProject bounded heap, no global sort",
+    "q21_suppliers_kept_waiting": "EXISTS/NOT EXISTS as LeftSemi + LeftAnti self-joins",
+    "fulltext_bm25_search": "posting semi-join + broadcast stats + top-k heap",
+    "dedup_minhash_pairs": "LSH banding: no cartesian anywhere; candidates-only verify join",
+    "pipeline_training_data": "capstone: 3 shuffles total; everything else broadcast/row-local",
+    "sim_ivf_topk_indexed": "persisted ANN index: PartitionFilters prune to probed clusters",
+}
+
+
+def main() -> None:
+    spark = get_spark()
+    qs = E.queries()
+    out = [
+        "# PLANS — physical plans of flagship queries (auto-generated at sf0.01)",
+        "",
+        "Regenerate: `python scripts/gen_plans.py`. These are the plans the",
+        "guardrails in tests/test_plans.py assert on — pushdown reaching scans,",
+        "broadcast exchanges on dims, bounded top-k heaps, no stray",
+        "CartesianProduct, partial+final aggregation.",
+        "",
+    ]
+    for name, why in FLAGSHIPS.items():
+        tree = physical_plan(qs[name](spark, SF)).split("\n\n")[0]
+        out += [f"## {name}", f"*{why}*", "", "```", tree.strip(), "```", ""]
+    (REPO / "PLANS.md").write_text("\n".join(out))
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
