@@ -491,3 +491,38 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# 8. Deterministic global shuffle: reproducible training order.
+# --------------------------------------------------------------------------
+
+_SHUFFLE_ORACLE = """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS train_pos
+    FROM documents
+"""
+
+
+@query("curation_global_shuffle", oracle=_SHUFFLE_ORACLE)
+def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible training order: every doc gets a global position by
+    sorting on a content hash — a deterministic permutation (same order
+    every run/engine) instead of rand(), so a training run can resume and
+    re-shard without reshuffling history.
+
+    Scale: Spark plans the global row_number over a RANGE-partitioned sort
+    (no single-partition collapse for the sort itself; the window's final
+    numbering is the one necessarily-serial pass). For pure sharding at
+    100 TB, skip the global numbering and use the hash itself as sort key +
+    repartitionByRange — same order, fully parallel (the rewrite
+    demonstrated by functions.layout.zorder_rewrite)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    from pyspark.sql import Window as W2
+
+    w = W2.orderBy(h, "doc_id")
+    return d.select(
+        "doc_id", "source", F.row_number().over(w).cast("long").alias("train_pos")
+    )
