@@ -244,3 +244,26 @@ def test_exchange_reuse_in_self_join_aggregate(spark):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    # DPP: joining a partitioned fact to a filtered dim must plant a
+    # dynamicpruning subquery on the fact scan — partitions whose keys the
+    # dim filter eliminates are never read (the runtime analogue of static
+    # partition pruning; the decisive scan-reduction at 100 TB star joins)
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        f"{tmp_path}/orders_part"
+    )
+    fact = spark.read.parquet(f"{tmp_path}/orders_part")
+    dim = spark.createDataFrame(
+        [("1-URGENT", "u"), ("5-LOW", "l")], "prio string, tag string"
+    ).filter(F.col("tag") == "u")
+    j = fact.join(dim, fact.o_orderpriority == dim.prio)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

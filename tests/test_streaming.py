@@ -387,3 +387,38 @@ def test_transform_with_state_across_restarts(spark, tmp_path):
     for u, (n, t) in got.items():
         assert (n, t) == want[u], (u, (n, t), want[u])
     assert len(got) > 0
+
+
+def test_incremental_rollup_dynamic_partition_overwrite(spark, tmp_path):
+    """The materialized per-source rollup must equal the batch aggregate
+    after two incremental refreshes, with each refresh rewriting only the
+    touched source partitions (dynamic partition overwrite)."""
+    from sparkfulltextquery_spark.sources import load_table
+    from sparkfulltextquery_spark.streaming import stream_rollup_by_source
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    src = f"file://{tmp_path}/r_src"
+    roll = f"{tmp_path}/r_roll"
+
+    docs.filter(F.col("doc_id") < 250).write.mode("append").parquet(src)
+    q = stream_rollup_by_source(
+        spark.readStream.schema(docs.schema).parquet(src), roll, f"file://{tmp_path}/r_ck"
+    )
+    q.awaitTermination()
+    docs.filter(F.col("doc_id") >= 250).write.mode("append").parquet(src)
+    q = stream_rollup_by_source(
+        spark.readStream.schema(docs.schema).parquet(src), roll, f"file://{tmp_path}/r_ck"
+    )
+    q.awaitTermination()
+
+    got = {
+        r.source: (r.n_docs, r.n_chars)
+        for r in spark.read.parquet(roll).collect()
+    }
+    want = {
+        r.source: (r.n, r.c)
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("c"))
+        .collect()
+    }
+    assert got == want
