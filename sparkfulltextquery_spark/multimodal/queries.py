@@ -92,3 +92,63 @@ def multimodal_size_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
         F.max(F.col("meta.n_bytes")).alias("max_bytes"),
     )
+
+
+_FRAME_SIZE = 64
+_FRAME_EVERY = 3  # keep every 3rd frame
+
+_FRAME_ORACLE = f"""
+    WITH frames AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(length(text) / {_FRAME_SIZE}.0) AS BIGINT)))
+               AS frame_idx,
+             text
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(substr(text, frame_idx * {_FRAME_SIZE} + 1, {_FRAME_SIZE}))
+                AS BIGINT) AS frame_len,
+           md5(substr(text, frame_idx * {_FRAME_SIZE} + 1, {_FRAME_SIZE})) AS frame_md5
+    FROM frames
+    WHERE frame_idx % {_FRAME_EVERY} = 0
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque media payloads (the video-path plumbing of
+    the north-star multimodal column): each payload is cut into fixed-size
+    frames, every k-th frame is kept, and per-frame features (here: length
+    + content digest; a real pipeline would decode/resize) are computed in
+    an Arrow-batched mapInPandas stage. The 1→N frame expansion happens
+    INSIDE the Python stage — batch shape (one row per sampled frame) and
+    schema are exactly what a GPU feature-extractor consumes.
+
+    Deterministic digest (md5) ⇒ exact DuckDB oracle despite the Python
+    boundary. ASCII-synthetic corpus makes char slicing == byte slicing
+    (see multimodal_fake_features note)."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+
+    def frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = -(-len(text) // _FRAME_SIZE)
+                for i in range(0, n, _FRAME_EVERY):
+                    frame = text[i * _FRAME_SIZE : (i + 1) * _FRAME_SIZE]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_md5"].append(hashlib.md5(frame.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        frames,
+        schema="doc_id bigint, frame_idx bigint, frame_len bigint, frame_md5 string",
+    )
