@@ -152,3 +152,82 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frames,
         schema="doc_id bigint, frame_idx bigint, frame_len bigint, frame_md5 string",
     )
+
+
+_IMG_W = 32       # fake image width in bytes (rows = len(text) // W)
+_IMG_BLOCK = 4    # resize: 4x4 block aggregation
+
+_RESIZE_ORACLE = f"""
+    WITH img AS (
+      SELECT doc_id, text,
+             length(text) // {_IMG_W} AS n_rows
+      FROM documents WHERE doc_id < 100 AND length(text) >= {_IMG_W * _IMG_BLOCK}
+    ),
+    cells AS (
+      SELECT doc_id, text,
+             unnest(range(0, n_rows // {_IMG_BLOCK})) AS out_r,
+             CAST({_IMG_W} / {_IMG_BLOCK} AS BIGINT) AS out_cols
+      FROM img
+    ),
+    expanded AS (
+      SELECT doc_id, text, out_r, unnest(range(0, out_cols)) AS out_c FROM cells
+    )
+    SELECT doc_id, out_r, out_c,
+           CAST(list_sum(list_transform(range(0, {_IMG_BLOCK * _IMG_BLOCK}),
+             k -> ascii(substr(text,
+               CAST((out_r * {_IMG_BLOCK} + k // {_IMG_BLOCK}) * {_IMG_W}
+                    + out_c * {_IMG_BLOCK} + (k % {_IMG_BLOCK}) + 1 AS INT),
+               1)))) AS BIGINT) AS block_sum
+    FROM expanded
+"""
+
+
+@query("multimodal_thumbnail_resize", oracle=_RESIZE_ORACLE)
+def multimodal_thumbnail_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (the image path of the multimodal north star): the
+    payload is interpreted as a W×H byte grid and downsampled by 4×4 block
+    aggregation — one output row per thumbnail cell with the exact block
+    sum (a real pipeline divides by block area and writes pixels; the sum
+    keeps the oracle integer-exact). Runs in the same Arrow-batched
+    mapInPandas stage shape as decode/feature-extract/frame-sample; numpy
+    does the grid reshape per batch.
+
+    Scale: per-row work is O(payload); output is (H/b)×(W/b) rows per image
+    — the expansion is bounded by the thumbnail size, not the source."""
+    import numpy as np
+    import pandas as pd
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.length("text") >= _IMG_W * _IMG_BLOCK))
+        .select("doc_id", "text")
+    )
+
+    def resize(batches):
+        b = _IMG_BLOCK
+        for pdf in batches:
+            out = {"doc_id": [], "out_r": [], "out_c": [], "block_sum": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n_rows = len(text) // _IMG_W
+                grid = np.frombuffer(
+                    text[: n_rows * _IMG_W].encode("ascii", "replace"), dtype=np.uint8
+                ).reshape(n_rows, _IMG_W)
+                hb, wb = n_rows // b, _IMG_W // b
+                if hb == 0:
+                    continue
+                block = (
+                    grid[: hb * b, : wb * b]
+                    .reshape(hb, b, wb, b)
+                    .sum(axis=(1, 3), dtype=np.int64)
+                )
+                for r in range(hb):
+                    for c in range(wb):
+                        out["doc_id"].append(doc_id)
+                        out["out_r"].append(r)
+                        out["out_c"].append(c)
+                        out["block_sum"].append(int(block[r, c]))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        resize, schema="doc_id bigint, out_r bigint, out_c bigint, block_sum bigint"
+    )
