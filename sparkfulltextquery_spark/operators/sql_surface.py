@@ -407,3 +407,28 @@ def sqlt_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag
         """
     )
+
+
+_NULL_ORDERING_SQL = """
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey, v,
+           CAST(row_number() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey)
+                AS BIGINT) AS rk_nulls_first,
+           CAST(row_number() OVER (ORDER BY v DESC NULLS LAST, o_orderkey)
+                AS BIGINT) AS rk_nulls_last
+    FROM t
+"""
+
+
+@query("sqlt_null_ordering", oracle=_NULL_ORDERING_SQL)
+def sqlt_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null sort order made explicit (SURVEY §7 'hard parts': Spark defaults
+    to NULLS FIRST on ASC, DuckDB to NULLS LAST — silent cross-engine
+    divergence unless spelled out). Both rankings pin the explicit
+    NULLS FIRST/LAST forms, which agree everywhere."""
+    _views(spark, sf_dir)
+    return spark.sql(_NULL_ORDERING_SQL)
