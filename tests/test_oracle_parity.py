@@ -44,3 +44,14 @@ def test_rows_only_smoke(spark, name):
     # runs, has a schema, and is collectable
     assert len(df.schema) > 0
     df.limit(5).collect()
+
+
+def test_all_query_schemas_deterministic(spark):
+    """Two plan-builds of every registered query must yield identical
+    schemas (the driver's stable-schema smoke, applied to all 200+):
+    catches accidental nondeterminism in column naming/order/type."""
+    for name in _WITH_ORACLE + _ROWS_ONLY:
+        fn = REGISTRY[name].fn
+        s1 = fn(spark, SF_DIR).schema
+        s2 = fn(spark, SF_DIR).schema
+        assert s1 == s2, f"{name}: schema changed between invocations"
