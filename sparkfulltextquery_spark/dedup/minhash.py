@@ -141,7 +141,10 @@ def verified_near_dups(
     # the shingle-set relation feeds signatures, sizes AND both sides of the
     # intersection join; building every consumer from the same subtree lets
     # ReuseExchange serve them from one shuffle (persist() measured slower
-    # here — columnar-cache overhead exceeds the recompute at this scale)
+    # here — columnar-cache overhead exceeds the recompute at this scale;
+    # hashing shingles to h28 BEFORE the distinct also measured ~3.5× slower
+    # at sf0.1 — the md5 re-evaluates per consumer branch and costs more
+    # than the narrower bigint shuffle saves)
     toks = doc_shingle_sets(docs, id_col, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     bands = lsh_band_keys(minhash_signatures_wide(toks))
