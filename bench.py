@@ -104,6 +104,31 @@ def _micro_benchmarks(spark) -> dict[str, dict[str, float]]:
         df1.join(df2.hint("SHUFFLE_HASH"), F.col("k1") == F.col("k2")).count()
         return n
 
+    def sort_longs():
+        # SortBenchmark.scala:119-130 — 25M longs, eight-byte-key radix sort
+        # baseline 25.2 M rows/s. The reference sorts an in-memory array (no
+        # exchange), so the twin is sortWithinPartitions: per-partition
+        # UnsafeExternalSorter radix sort, no shuffle. Keys scrambled via
+        # xxhash64 (stays in ANSI long range); scaled 4x for local[N]
+        n = 100 << 20
+        (
+            spark.range(n)
+            .selectExpr("xxhash64(id) as k")
+            .sortWithinPartitions("k")
+            .write.format("noop").mode("overwrite").save()
+        )
+        return n
+
+    def sort_merge_join():
+        # JoinBenchmark.scala:200-204 — sort-merge join baseline 0.6 M rows/s.
+        # MERGE hint pins SortMergeJoin regardless of size heuristics; scaled
+        # 16x so sort+shuffle amortize task overhead on local[N]
+        n = 32 << 20
+        df1 = spark.range(n).selectExpr("id * 2 as k1")
+        df2 = spark.range(n).selectExpr("id * 3 as k2")
+        df1.join(df2.hint("MERGE"), F.col("k1") == F.col("k2")).count()
+        return n
+
     micros = {
         "agg_wo_group": (agg_wo_group, 1132.9),
         "range_filter_sum": (range_filter_sum, 874.1),
@@ -111,6 +136,8 @@ def _micro_benchmarks(spark) -> dict[str, dict[str, float]]:
         "hashagg_linear_keys": (hashagg_linear_keys, 93.5),
         "broadcast_hash_join": (broadcast_hash_join, 65.3),
         "shuffled_hash_join": (shuffled_hash_join, 7.9),
+        "sort_longs": (sort_longs, 25.2),
+        "sort_merge_join": (sort_merge_join, 0.6),
     }
     out: dict[str, dict[str, float]] = {}
     for name, (fn, baseline_mrows) in micros.items():
