@@ -386,3 +386,73 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, src="name_a", dst="name_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "component").select("vertex", "component", "cluster_size")
+
+
+# ---------------- incremental dedup vs persisted signature store ----------------
+
+_SIG_STORE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ensure_sig_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf_dir) the persisted MinHash signature store
+    over the 'existing corpus' slice (doc_id % 10 != 7) of documents."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _SIG_STORE_CACHE:
+        from sparkfulltextquery_spark.dedup.incremental import build_signature_store
+
+        path = tempfile.mkdtemp(prefix="sftq_sigstore_")
+        corpus = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 10 != 7
+        )
+        build_signature_store(corpus, f"file://{path}")
+        _SIG_STORE_CACHE[key] = f"file://{path}"
+    return _SIG_STORE_CACHE[key]
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bands AS (
+      SELECT doc_id, perm // {MH.ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(sig AS varchar), ',' ORDER BY perm)) AS band_key
+      FROM sigs GROUP BY doc_id, perm // {MH.ROWS_PER_BAND}
+    ),
+    cands AS (
+      SELECT DISTINCT d.doc_id AS doc_new, e.doc_id AS doc_old
+      FROM bands d JOIN bands e
+        ON d.band = e.band AND d.band_key = e.band_key
+      WHERE d.doc_id % 10 = 7 AND e.doc_id % 10 <> 7
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_new, c.doc_old, count(*) AS n_inter
+      FROM cands c
+      JOIN toks tn ON tn.doc_id = c.doc_new
+      JOIN toks te ON te.doc_id = c.doc_old AND te.token = tn.token
+      GROUP BY c.doc_new, c.doc_old
+    )
+    SELECT i.doc_new, i.doc_old,
+           round(n_inter / (nn.n + no.n - n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes nn ON nn.doc_id = i.doc_new
+    JOIN sizes no ON no.doc_id = i.doc_old
+    WHERE round(n_inter / (nn.n + no.n - n_inter), 6) >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the delta batch (doc_id % 10 = 7)
+    probed against the persisted signature store of the existing corpus —
+    the corpus is hashed once at store-build time, each ingest batch only
+    shingles its own rows, probes band buckets, and verifies candidates
+    (dedup/incremental.py). The oracle recomputes the identical algorithm
+    from scratch; results match because signatures are deterministic."""
+    from sparkfulltextquery_spark.dedup.incremental import incremental_near_dups
+
+    store = _ensure_sig_store(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return incremental_near_dups(spark, delta, corpus, store, threshold=0.5)

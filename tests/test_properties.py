@@ -412,3 +412,36 @@ def test_hyperplane_lsh_recall_floor(spark):
     planted = {(i, i + 100000) for (i,) in e.select("vec_id").collect()}
     recall = len(planted & cand) / len(planted)
     assert recall >= 0.95, f"planted near-identical recall {recall:.2f}"
+
+
+def test_incremental_store_planted_duplicates_full_recall(spark, tmp_path):
+    # clones of corpus docs arriving as a later batch must ALL be caught by
+    # probing the persisted signature store — without re-hashing the corpus
+    # (the store is built once, before the delta exists)
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.dedup.incremental import (
+        build_signature_store,
+        incremental_near_dups,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    corpus = load_table(spark, SF_DIR, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 40
+    )
+    store = f"file://{tmp_path}/sigstore"
+    build_signature_store(corpus, store)
+
+    delta = corpus.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    pairs = incremental_near_dups(
+        spark, delta, corpus, store, threshold=0.99
+    ).collect()
+    got = {(r.doc_new, r.doc_old) for r in pairs if r.jaccard >= 0.999}
+    planted = {(i + 100000, i) for (i,) in corpus.select("doc_id").collect()}
+    missing = planted - got
+    assert not missing, f"missing planted pairs: {sorted(missing)[:5]}"
+    # every surviving pair verified at jaccard 1.0 must be a true clone
+    texts = {r.doc_id: r.text for r in corpus.collect()}
+    for new_id, old_id in got - planted:
+        assert texts[new_id - 100000] == texts[old_id], (new_id, old_id)
