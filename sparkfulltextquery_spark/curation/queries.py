@@ -526,3 +526,22 @@ def curation_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "source", F.row_number().over(w).cast("long").alias("train_pos")
     )
+
+
+# --------------------------------------------------------------------------
+# 8. Model-based quality scoring: hashed-feature linear classifier as pure
+#    column expressions (curation/classifier.py).
+# --------------------------------------------------------------------------
+
+from sparkfulltextquery_spark.curation.classifier import (  # noqa: E402
+    quality_logit_oracle,
+    quality_logit_score,
+)
+
+
+@query("curation_quality_classifier", oracle=quality_logit_oracle("documents"))
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document scored by the hashed linear model: the model ships as
+    a literal array inside the plan (no broadcast, no UDF); two
+    key-partitioned shuffles regardless of corpus size."""
+    return quality_logit_score(load_table(spark, sf_dir, "documents"))
