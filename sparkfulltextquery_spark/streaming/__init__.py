@@ -83,6 +83,7 @@ def attribute_purchases(
     purchases: DataFrame,
     horizon: str = "6 hours",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with a time-range condition: attribute each
     purchase to the clicks of the same user in the preceding ``horizon``
@@ -111,7 +112,10 @@ def attribute_purchases(
         & (p.purchase_ts >= c.click_ts)
         & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {horizon}"))
     )
-    return c.join(p, cond, "inner").select(
+    # outer stream-stream joins emit the null-padded side only once the
+    # watermark passes a row's join window — state expiry doubles as the
+    # completeness signal (StreamingSymmetricHashJoinExec outer semantics)
+    return c.join(p, cond, how).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts", "purchase_value"
     )
 

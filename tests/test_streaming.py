@@ -422,3 +422,77 @@ def test_incremental_rollup_dynamic_partition_overwrite(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_watermark_flush(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched clicks must emit null-padded
+    rows ONLY after the watermark passes their join horizon (outer rows are
+    withheld while a future match is still possible), and the still-open
+    tail must stay withheld. Three checkpointed AvailableNow runs advance
+    the watermark across cohorts."""
+    from datetime import datetime, timedelta
+
+    from sparkfulltextquery_spark.streaming import attribute_purchases
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    cs, ps = f"file://{tmp_path}/oclicks", f"file://{tmp_path}/opurch"
+    ckpt = f"file://{tmp_path}/os2sckpt"
+    cschema = "user_id int, event_id int, ts timestamp"
+    pschema = "user_id int, event_id int, ts timestamp, value double"
+
+    out_dir = f"file://{tmp_path}/os2sout"
+
+    def run(_name):
+        # file sink, not memory: append-mode recovery from a checkpoint
+        # across runs needs a sink with its own commit log
+        joined = attribute_purchases(
+            spark.readStream.schema(cschema).parquet(cs),
+            spark.readStream.schema(pschema).parquet(ps),
+            how="left_outer",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    # cohort 1: one matched click (u1), two forever-unmatched (u2, u3)
+    spark.createDataFrame(
+        [(1, 101, t0), (2, 102, t0), (3, 103, t0)], cschema
+    ).write.mode("append").parquet(cs)
+    spark.createDataFrame(
+        [(1, 201, t0 + timedelta(hours=1), 9.99)], pschema
+    ).write.mode("append").parquet(ps)
+    out1 = run("os2s_1")
+    assert {(r.click_id, r.purchase_id) for r in out1.collect()} == {(101, 201)}
+
+    # cohort 2, 48h later: matched pair for u9 — pushes both watermarks far
+    # past cohort 1's click horizon (6h) + delay (2h)
+    spark.createDataFrame(
+        [(9, 109, t0 + timedelta(hours=48))], cschema
+    ).write.mode("append").parquet(cs)
+    spark.createDataFrame(
+        [(9, 209, t0 + timedelta(hours=48, minutes=30), 1.5)], pschema
+    ).write.mode("append").parquet(ps)
+    run("os2s_2")
+
+    # cohort 3, 49h: an unmatched click that must stay withheld (watermark
+    # never reaches its horizon); its batch starts with cohort-2's watermark,
+    # flushing cohort-1's expired unmatched clicks as null-padded rows
+    spark.createDataFrame(
+        [(10, 110, t0 + timedelta(hours=49))], cschema
+    ).write.mode("append").parquet(cs)
+    out3 = run("os2s_3")
+
+    rows = out3.collect()
+    matched = {(r.click_id, r.purchase_id) for r in rows if r.purchase_id is not None}
+    outer = {r.click_id for r in rows if r.purchase_id is None}
+    assert matched == {(101, 201), (109, 209)}
+    assert outer == {102, 103}, f"expected cohort-1 unmatched flush, got {outer}"
+    # u10's click is inside the open tail — not emitted yet
+    assert 110 not in {r.click_id for r in rows}
