@@ -545,3 +545,55 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a literal array inside the plan (no broadcast, no UDF); two
     key-partitioned shuffles regardless of corpus size."""
     return quality_logit_score(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# 9. Boilerplate mining: token n-grams repeated across many distinct
+#    documents (headers / disclaimers / template text). Cross-doc
+#    complement of the within-doc repetition metrics above.
+# --------------------------------------------------------------------------
+
+_BOILER_K = 6
+_BOILER_MIN_DOCS = 3
+_BOILER_TOP = 20
+
+
+@query(
+    "curation_boilerplate_ngrams",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({ngrams_duck(_TOK, n=_BOILER_K)}) AS gram
+      FROM documents
+    ),
+    agg AS (
+      SELECT gram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_total
+      FROM sh GROUP BY gram
+    )
+    SELECT gram, n_docs, n_total
+    FROM agg WHERE n_docs >= {_BOILER_MIN_DOCS}
+    ORDER BY n_docs DESC, n_total DESC, gram ASC
+    LIMIT {_BOILER_TOP}
+    """,
+)
+def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-document repeated 6-grams: grams occurring in >= 3
+    distinct docs, ranked by document reach — the detection relation a
+    boilerplate-removal pass consumes (removal itself is then an anti-join /
+    regexp strip against this list).
+
+    Scale: one hash shuffle on gram with map-side partial aggregation; the
+    multi-distinct (n_docs + n_total in one pass) uses Spark's expand
+    rewrite. Top-k is a TakeOrderedAndProject bounded heap — no global
+    sort. At 100 TB the gram key space is large but uniform (no skew:
+    boilerplate grams are the heavy keys, and AQE splits them)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(ngrams(tokenize("text"), n=_BOILER_K)).alias("gram"))
+    agg = sh.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return (
+        agg.filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_total"), F.asc("gram"))
+        .limit(_BOILER_TOP)
+    )

@@ -144,7 +144,9 @@ def verified_near_dups(
     # here — columnar-cache overhead exceeds the recompute at this scale;
     # hashing shingles to h28 BEFORE the distinct also measured ~3.5× slower
     # at sf0.1 — the md5 re-evaluates per consumer branch and costs more
-    # than the narrower bigint shuffle saves)
+    # than the narrower bigint shuffle saves; joining the verification on
+    # h28 bigints instead of token strings measured a wash, 1.18s vs 1.15s,
+    # because AQE broadcasts both sides here and key width stops mattering)
     toks = doc_shingle_sets(docs, id_col, text_col)
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     bands = lsh_band_keys(minhash_signatures_wide(toks))
