@@ -19,6 +19,9 @@ FLAGSHIPS = {
     "dedup_minhash_pairs": "LSH banding: no cartesian anywhere; candidates-only verify join",
     "pipeline_training_data": "capstone: 3 shuffles total; everything else broadcast/row-local",
     "sim_ivf_topk_indexed": "persisted ANN index: PartitionFilters prune to probed clusters",
+    "dedup_incremental_minhash": "delta probes persisted band-key store; corpus never re-hashed",
+    "curation_quality_classifier": "model as plan literals: no UDF, no broadcast, 2 shuffles",
+    "curation_boilerplate_ngrams": "gram shuffle + multi-distinct expand + bounded top-k heap",
 }
 
 
