@@ -34,12 +34,58 @@ from sparkfulltextquery_spark.dedup.minhash import (
 
 def build_signature_store(docs: DataFrame, path: str) -> None:
     """Persist the corpus's LSH band keys (partitioned by band — probe joins
-    prune to the band directory) and shingle-set sizes."""
+    prune to the band directory) and shingle-set sizes. segment = -1 marks
+    the batch-built generation; streamed appends stamp their batch id."""
     toks = doc_shingle_sets(docs)
-    bands = lsh_band_keys(minhash_signatures_wide(toks))
+    bands = lsh_band_keys(minhash_signatures_wide(toks)).withColumn(
+        "segment", F.lit(-1)
+    )
     bands.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sizes = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("segment", F.lit(-1))
+    )
     sizes.write.mode("overwrite").parquet(f"{path}/sizes")
+
+
+def stream_update_signature_store(
+    doc_stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Keep the signature store fresh as documents stream in: each
+    micro-batch signs only its own docs and appends band keys + sizes as
+    log segments stamped with the batch id (the same log-structured
+    discipline as functions.index.stream_update_postings — never rewrite,
+    exactly-once from checkpointed offsets + idempotent batch-id appends).
+    Later incremental_near_dups probes see streamed docs immediately."""
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        toks = doc_shingle_sets(batch_df, id_col, text_col)
+        (
+            lsh_band_keys(minhash_signatures_wide(toks))
+            .withColumn("segment", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(f"{store_path}/bands")
+        )
+        (
+            toks.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("segment", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(f"{store_path}/sizes")
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def incremental_near_dups(

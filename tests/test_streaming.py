@@ -496,3 +496,49 @@ def test_stream_stream_left_outer_join_watermark_flush(spark, tmp_path):
     assert outer == {102, 103}, f"expected cohort-1 unmatched flush, got {outer}"
     # u10's click is inside the open tail — not emitted yet
     assert 110 not in {r.click_id for r in rows}
+
+
+def test_streaming_signature_store_feeds_incremental_dedup(spark, tmp_path):
+    """Signature store stays fresh under streaming ingest: docs appended via
+    foreachBatch log segments are immediately probe-able — a delta batch
+    finds clones of BOTH the batch-built corpus and the streamed cohort."""
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.dedup.incremental import (
+        build_signature_store,
+        incremental_near_dups,
+        stream_update_signature_store,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    cohort_a = docs.filter(F.col("doc_id") < 20)
+    cohort_b = docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    store = f"file://{tmp_path}/sigstore"
+    build_signature_store(cohort_a, store)
+
+    src = f"file://{tmp_path}/ingest"
+    cohort_b.write.mode("append").parquet(src)
+    q = stream_update_signature_store(
+        spark.readStream.schema(cohort_b.schema).parquet(src),
+        store,
+        f"file://{tmp_path}/sigckpt",
+    )
+    q.awaitTermination()
+
+    # delta: one clone of an A doc, one clone of a streamed B doc
+    delta = (
+        cohort_a.filter(F.col("doc_id") == 5)
+        .select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+        .union(
+            cohort_b.filter(F.col("doc_id") == 1025).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+    )
+    corpus = cohort_a.union(cohort_b)
+    pairs = incremental_near_dups(spark, delta, corpus, store, threshold=0.99)
+    got = {(r.doc_new, r.doc_old) for r in pairs.collect() if r.jaccard >= 0.999}
+    assert (500005, 5) in got, got
+    assert (501025, 1025) in got, got
