@@ -247,6 +247,40 @@ def phrase_match(
     return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
+def proximity_match(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos: DataFrame | None = None,
+) -> DataFrame:
+    """Documents where ``term_a`` and ``term_b`` co-occur within ``window``
+    tokens (the NEAR/k operator): per-doc position-list join with a range
+    predicate. Returns (doc_id, n_pairs, min_distance).
+
+    Scales like phrase_match: the join is equi on doc_id and each side is
+    one term's positions (posting-sized, not corpus-sized); per-doc
+    position lists bound the range comparison. For adversarially long
+    documents the same block-bucketing rewrite as operators/rangejoin.py
+    applies (bucket pos by window width, join adjacent buckets)."""
+    if pos is None:
+        pos = positional_relation(docs, id_col, text_col)
+    pa = pos.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))
+    pb = pos.filter(F.col("term") == term_b).select("doc_id", F.col("pos").alias("pb"))
+    d = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        pa.join(pb, "doc_id")
+        .filter(d <= window)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(d).alias("min_distance"),
+        )
+    )
+
+
 def boolean_search(
     docs: DataFrame,
     all_of: list[str] | None = None,

@@ -162,6 +162,60 @@ def fulltext_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fulltext_proximity_search",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    a AS (SELECT doc_id, pos FROM pos WHERE term = 'spark'),
+    b AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
+    j AS (
+      SELECT a.doc_id, abs(a.pos - b.pos) AS d
+      FROM a JOIN b USING (doc_id)
+      WHERE abs(a.pos - b.pos) <= 5
+    )
+    SELECT doc_id, count(*) AS n_pairs, min(d) AS min_distance
+    FROM j GROUP BY doc_id
+    """,
+)
+def fulltext_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/5 proximity: docs where 'spark' and 'join' co-occur within 5
+    tokens — position-list equi-join on doc_id + range predicate
+    (FT.proximity_match), the operator between boolean AND (any distance)
+    and phrase (distance exactly 1, ordered)."""
+    d = load_table(spark, sf_dir, "documents")
+    return FT.proximity_match(d, "spark", "join", window=5)
+
+
+@query(
+    "fulltext_prefix_search",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT doc_id, count(DISTINCT term) AS n_terms,
+           cast(sum(tf) AS bigint) AS total_tf
+    FROM tfs WHERE term LIKE 'quer%'
+    GROUP BY doc_id
+    """,
+)
+def fulltext_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard term query 'quer*': prefix predicate over the posting
+    vocabulary (StartsWith pushes into a bucketed/persisted posting scan as
+    a range filter on the sorted term column), then per-doc matched-term
+    and tf rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    post = FT.postings(d)
+    return (
+        post.filter(F.col("term").startswith("quer"))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").alias("total_tf"),
+        )
+    )
+
+
+@query(
     "fulltext_ngrams_top",
     oracle=f"""
     WITH grams AS (
