@@ -216,6 +216,53 @@ def fulltext_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fulltext_faceted_search",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    m AS (SELECT DISTINCT doc_id FROM tfs WHERE term IN ('join', 'spark')),
+    d AS (SELECT dd.doc_id, dd.source, dd.lang FROM documents dd JOIN m USING (doc_id)),
+    f AS (
+      SELECT 'source' AS facet, source AS value FROM d
+      UNION ALL
+      SELECT 'lang' AS facet, lang AS value FROM d
+    )
+    SELECT facet, value, count(*) AS n_docs
+    FROM f GROUP BY facet, value
+    """,
+)
+def fulltext_faceted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: per-facet result counts for the match set of
+    'spark join' (any-term match) over the source and lang dimensions —
+    the aggregation panel a search UI renders beside ranked hits.
+
+    Scale: the facet pairs are exploded from each matched row
+    (array<struct> literal — no join, no second corpus pass) and counted
+    in ONE hash shuffle; the match set arrives via the same pruned posting
+    semi-join as every other search query."""
+    d = load_table(spark, sf_dir, "documents")
+    post = FT.postings(d)
+    matched = (
+        post.filter(F.col("term").isin(["join", "spark"]))
+        .select("doc_id")
+        .distinct()
+    )
+    hits = d.join(matched, "doc_id", "left_semi")
+    pairs = hits.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("source").alias("facet"), F.col("source").alias("value")),
+                F.struct(F.lit("lang").alias("facet"), F.col("lang").alias("value")),
+            )
+        ).alias("fv")
+    )
+    return (
+        pairs.select("fv.facet", "fv.value")
+        .groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
     "fulltext_ngrams_top",
     oracle=f"""
     WITH grams AS (

@@ -53,3 +53,33 @@ def test_observe_metrics_follow_filters(spark):
     kept = observed.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert obs.get["n_in"] == ord_.count()
     assert 0 < kept < obs.get["n_in"]
+
+
+def test_observe_metrics_on_streaming_query(spark, tmp_path):
+    """observe() on a streaming DataFrame: per-micro-batch metrics surface in
+    StreamingQueryProgress.observedMetrics — the no-second-pass quality gate
+    for ingest pipelines."""
+    li = load_table(spark, SF_DIR, "lineitem").limit(1000)
+    src = f"file://{tmp_path}/obsrc"
+    li.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(li.schema).parquet(src).observe(
+        "ingest_gate",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity").isNull(), 1)).alias("n_null_qty"),
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", f"file://{tmp_path}/obckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    seen = [
+        p.observedMetrics["ingest_gate"]
+        for p in q.recentProgress
+        if "ingest_gate" in (p.observedMetrics or {})
+    ]
+    assert seen, "no observed metrics in any progress event"
+    assert sum(m["n_rows"] for m in seen) == 1000
+    assert all(m["n_null_qty"] == 0 for m in seen)
