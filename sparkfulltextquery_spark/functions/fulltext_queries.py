@@ -703,3 +703,50 @@ def fulltext_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", F.col("df").desc(), "term")
         .limit(5)
     )
+
+
+@query(
+    "fulltext_proximity_search_indexed",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    a AS (SELECT doc_id, pos FROM pos WHERE term = 'spark'),
+    b AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
+    j AS (
+      SELECT a.doc_id, abs(a.pos - b.pos) AS d
+      FROM a JOIN b USING (doc_id)
+      WHERE abs(a.pos - b.pos) <= 5
+    )
+    SELECT doc_id, count(*) AS n_pairs, min(d) AS min_distance
+    FROM j GROUP BY doc_id
+    """,
+)
+def fulltext_proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same NEAR/5 relation as fulltext_proximity_search but answered from
+    the persisted positional index: two pruned term buckets, no corpus
+    re-tokenization (functions/index.py::proximity_match_indexed)."""
+    from sparkfulltextquery_spark.functions.index import proximity_match_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return proximity_match_indexed(spark, "spark", "join", window=5, table_prefix=prefix)
+
+
+@query(
+    "fulltext_autocomplete",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT term, count(*) AS df
+    FROM tfs WHERE term LIKE 'qu%'
+    GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+    """,
+)
+def fulltext_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typeahead: top-10 vocabulary completions of 'qu', ranked by document
+    frequency, from the persisted posting vocabulary (StartsWith range scan
+    + bounded top-k heap — no corpus access at query time)."""
+    from sparkfulltextquery_spark.functions.index import suggest_terms
+
+    prefix = _ensure_index(spark, sf_dir)
+    return suggest_terms(spark, "qu", top=10, table_prefix=prefix)

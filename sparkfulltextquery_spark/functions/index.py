@@ -164,6 +164,52 @@ def phrase_match_indexed(
     return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
+def proximity_match_indexed(
+    spark: SparkSession,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    table_prefix: str = "sftq_index",
+) -> DataFrame:
+    """NEAR/k proximity off the persisted positional index: read only the
+    two terms' buckets, explode their position arrays, equi-join on doc_id
+    with the |pa-pb| <= window range predicate. Same
+    corpus-size-independent bucket pruning as phrase_match_indexed.
+    Returns (doc_id, n_pairs, min_distance)."""
+    post = spark.table(f"{table_prefix}_postings").filter(
+        F.col("term").isin(sorted({term_a, term_b}))
+    )
+    pos = post.select("doc_id", "term", F.explode("positions").alias("pos"))
+    pa = pos.filter(F.col("term") == term_a).select("doc_id", F.col("pos").alias("pa"))
+    pb = pos.filter(F.col("term") == term_b).select("doc_id", F.col("pos").alias("pb"))
+    d = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        pa.join(pb, "doc_id")
+        .filter(d <= window)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.min(d).alias("min_distance"))
+    )
+
+
+def suggest_terms(
+    spark: SparkSession,
+    prefix: str,
+    top: int = 10,
+    table_prefix: str = "sftq_index",
+) -> DataFrame:
+    """Typeahead autocomplete: top vocabulary terms for a prefix, ranked by
+    document frequency — a StartsWith range predicate over the persisted
+    posting vocabulary + a bounded top-k heap. Returns (term, df)."""
+    post = spark.table(f"{table_prefix}_postings")
+    return (
+        post.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(top)
+    )
+
+
 def search_indexed(
     spark: SparkSession,
     query: str,

@@ -230,3 +230,31 @@ def test_posting_log_compaction(spark, tmp_path):
     n_before = len(glob.glob(f"{tmp_path}/c_idx/*.parquet"))
     n_after = len(glob.glob(f"{tmp_path}/c_idx_gen2/*.parquet"))
     assert n_after <= n_before
+
+
+def test_indexed_proximity_equals_inline_and_prunes(spark, index_tables):
+    from sparkfulltextquery_spark.functions.fulltext import proximity_match
+    from sparkfulltextquery_spark.functions.index import proximity_match_indexed
+
+    docs = load_table(spark, SF_DIR, "documents")
+    inline = {
+        (r.doc_id, r.n_pairs, r.min_distance)
+        for r in proximity_match(docs, "spark", "join", window=5).collect()
+    }
+    indexed_df = proximity_match_indexed(spark, "spark", "join", window=5, table_prefix="t_idx")
+    indexed = {(r.doc_id, r.n_pairs, r.min_distance) for r in indexed_df.collect()}
+    assert inline == indexed and len(indexed) > 0
+
+    plan = physical_plan(indexed_df)
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan
+
+
+def test_autocomplete_ranked_by_df(spark, index_tables):
+    from sparkfulltextquery_spark.functions.index import suggest_terms
+
+    got = suggest_terms(spark, "qu", top=10, table_prefix="t_idx").collect()
+    assert 0 < len(got) <= 10
+    assert all(r.term.startswith("qu") for r in got)
+    dfs = [r.df for r in got]
+    assert dfs == sorted(dfs, reverse=True)
