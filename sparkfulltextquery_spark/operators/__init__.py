@@ -12,6 +12,7 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     funnels,
     generators,
     joins,
+    mutation,
     pyfuncs,
     rangejoin,
     relational,

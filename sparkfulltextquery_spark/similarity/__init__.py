@@ -286,3 +286,96 @@ def ann_search_indexed(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+PQ_SUBSPACES = 8
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    m: int = PQ_SUBSPACES,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Product-quantization codebook: (s, label, csub) — one centroid slice
+    per (subspace, code). Codes reuse the coarse clusters (`label`), so the
+    per-subspace codebook is just the label-centroid sliced into m pieces:
+    deterministic, trained in one shuffle (label_centroids), and tiny
+    (m·L rows) → always broadcast."""
+    cents = label_centroids(embeddings, label_col, vec_col)
+    dim = len(embeddings.select(vec_col).head()[0])
+    sub = dim // m
+    slices = F.array(*[F.slice("centroid", s * sub + 1, sub) for s in range(m)])
+    return cents.select("label", F.posexplode(slices).alias("s", "csub"))
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """PQ + asymmetric-distance top-k: each vector is encoded as m small
+    codes (argmin centroid per subspace), the query is NOT quantized, and
+    the score is the sum of m lookup-table entries (ADC).
+
+    Scale shape: encode is rows × m × L dot products, all JVM-side with the
+    codebook broadcast; the per-(vec,subspace) argmin is min(struct(dist,
+    label)) — a partial-aggregable hash aggregate, not a window sort; the
+    LUT (m·L rows) is computed once from the literal query and broadcast;
+    final scoring is one groupBy(vec_id) + top-k heap. At 100 TB codes are
+    precomputed and stored (m bytes/vector instead of 4·dim), so a query
+    touches only the LUT join + sum — the classic IVF-PQ memory win."""
+    dim = len(query_vec)
+    sub = dim // m
+    cb = pq_codebook(embeddings, m, vec_col, label_col)
+
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    vslices = F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
+    esub = ev.select("vec_id", F.posexplode(vslices).alias("s", "vsub"))
+
+    # encode: nearest codebook entry per (vector, subspace); squared-L2
+    # rounded to 6 so the argmin tie-break (label asc) is engine-portable
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with("vsub", "csub", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    codes = (
+        esub.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", "label", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "label")).alias("best"))
+        .select("vec_id", "s", F.col("best.label").alias("label"))
+    )
+
+    # ADC lookup table: partial score of the (un-quantized) query against
+    # every codebook entry
+    qsubs = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in query_vec[s * sub : (s + 1) * sub]])
+            for s in range(m)
+        ]
+    )
+    lut = cb.select(
+        "s",
+        "label",
+        F.round(dot_expr(F.element_at(qsubs, F.col("s") + 1), F.col("csub")), 6).alias(
+            "partial"
+        ),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["s", "label"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("partial"), 6).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -332,3 +332,53 @@ def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansions = [r.word for r in find_synonyms(vectors, "query", k=3).collect()]
     expanded = " ".join(["query"] + expansions)
     return bm25_search(d, expanded, k=10)
+
+
+@query(
+    "sim_pq_adc_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    dims AS (
+      SELECT label, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM e
+    ),
+    cmean AS (SELECT label, dim, avg(x) AS mdim FROM dims GROUP BY label, dim),
+    cb AS (
+      SELECT label, (dim - 1) // 8 AS s, list(mdim ORDER BY dim) AS csub
+      FROM cmean GROUP BY label, (dim - 1) // 8
+    ),
+    esub AS (
+      SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vsub
+      FROM e CROSS JOIN range(8) t(s)
+    ),
+    codes AS (
+      SELECT vec_id, s, label
+      FROM (
+        SELECT esub.vec_id, esub.s, cb.label,
+               round(list_distance(esub.vsub, cb.csub) ^ 2, 6) AS d2
+        FROM esub JOIN cb USING (s)
+      )
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) = 1
+    ),
+    lut AS (
+      SELECT s, label,
+             round(list_inner_product(list_slice(qv, s * 8 + 1, s * 8 + 8), csub), 6)
+               AS partial
+      FROM cb CROSS JOIN q
+    )
+    SELECT vec_id, round(sum(partial), 6) AS adc
+    FROM codes JOIN lut USING (s, label)
+    GROUP BY vec_id
+    ORDER BY adc DESC, vec_id LIMIT 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: vectors compressed to 8 subspace codes
+    (codebook = label-centroid slices), query scored by asymmetric distance
+    (sum of 8 broadcast-LUT lookups) — the memory-side scale path (m bytes
+    per vector instead of 4·dim) that composes with IVF into IVF-PQ.
+    Exact-oracle checkable because the codebook is deterministic."""
+    from sparkfulltextquery_spark.similarity import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return pq_adc_topk(e, [float(x) for x in qvec], k=10)

@@ -24,6 +24,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def _ltz_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require session-TZ timestamps (EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE); parquet written with isAdjustedToUTC=false reads back
+    as TIMESTAMP_NTZ under Spark's inferTimestampNTZ. Cast once at the
+    event-time boundary — a no-op when the column is already TIMESTAMP,
+    and applied to batch twins too so stream/batch equality holds."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_counts(
@@ -36,7 +48,7 @@ def windowed_counts(
     """Event-time windowed aggregation. Works identically on batch and
     streaming frames; on streams the watermark bounds state (the upgrade over
     the reference, which lacked EventTimeWatermark entirely)."""
-    df = events
+    df = _ltz_event_time(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
@@ -50,7 +62,7 @@ def windowed_counts(
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event feed: drop duplicate event_ids; on streams the
     watermark lets the engine expire seen-id state."""
-    df = events
+    df = _ltz_event_time(events, "ts")
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
     return df.dropDuplicates(["event_id"])
@@ -62,7 +74,7 @@ def sessionize(
     """Session windows per user: activity separated by > gap starts a new
     session (F.session_window — absent in the reference era, capability
     upgrade). Returns (user_id, session_start, session_end, n_events)."""
-    df = events
+    df = _ltz_event_time(events, "ts")
     if df.isStreaming:
         df = df.withWatermark("ts", watermark)
     return (
@@ -92,6 +104,8 @@ def attribute_purchases(
     Structured Streaming requires to ever expire buffered rows
     (StreamingSymmetricHashJoinExec). Works identically on batch frames,
     which is how the equivalence test checks it."""
+    clicks = _ltz_event_time(clicks, "ts")
+    purchases = _ltz_event_time(purchases, "ts")
     c = clicks.select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
@@ -125,7 +139,7 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "24 hours") -> Da
     guaranteed to arrive within the watermark delay of each other — state
     expires by event time instead of growing with all-time distinct ids
     (the production-shape of streaming dedup; Spark 3.5+)."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+    return _ltz_event_time(events, "ts").withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
 

@@ -248,6 +248,7 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
     src = f"file://{tmp_path}/apsrc"
     ev.write.mode("append").parquet(src)
     stream = spark.readStream.schema(ev.schema).parquet(src)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → LTZ for watermark
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"))
