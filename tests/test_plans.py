@@ -267,3 +267,41 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_cdc_latest_wins_is_hash_agg_not_window(spark):
+    """Latest-wins must plan as partial+final HashAggregate (map-side
+    combine), NOT a Window sort — at 100 TB the window form sorts every
+    partition of the snapshot."""
+    df = _q(spark, "cdc_latest_wins")
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2 or "SortAggregate" in plan, plan
+
+
+def test_pq_adc_broadcasts_codebook_and_lut(spark):
+    """PQ encode joins rows against the codebook and the ADC LUT — both are
+    m·L-row tables and must broadcast (no shuffle of the vector table by
+    codebook key), leaving the groupBy(vec_id) + top-k heap as the only
+    vector-side exchange."""
+    df = _q(spark, "sim_pq_adc_topk")
+    assert uses_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert uses_top_k(df)
+
+
+def test_merge_upsert_joins_on_pregrouped_sides(spark):
+    """The MERGE rewrite joins two already-aggregated per-key sides — the
+    full-outer join must not plan a nested loop / cartesian."""
+    df = _q(spark, "merge_upsert_customer_stats")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_scd2_windows_share_one_partitioning(spark):
+    """Both SCD2 window passes partition by o_custkey — the plan must
+    contain exactly one hashpartitioning exchange on the window key."""
+    df = _q(spark, "scd2_priority_history")
+    plan = physical_plan(df)
+    assert plan.count("hashpartitioning(o_custkey") <= 1, plan

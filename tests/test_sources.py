@@ -238,3 +238,41 @@ def test_zorder_rewrite_clusters_files(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in ranges)
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (spans,)
+
+
+def test_xml_round_trip(spark, tmp_path):
+    """XML source/sink (built into Spark 4 after spark-xml's donation,
+    SPARK-44751) — rowTag-scoped records round-trip with schema inference;
+    the reference era required the external com.databricks.spark.xml
+    package for the same capability."""
+    path = f"file://{tmp_path}/xml_nation"
+    n = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").option("rowTag", "nation").xml(path)
+    back = spark.read.option("rowTag", "nation").xml(path)
+    assert back.count() == n.count()
+    assert {f.name for f in back.schema} == {f.name for f in n.schema}
+    got = {
+        (r.n_nationkey, r.n_name, r.n_regionkey)
+        for r in back.collect()
+    }
+    want = {(r.n_nationkey, r.n_name, r.n_regionkey) for r in n.collect()}
+    assert got == want
+
+
+def test_xml_from_xml_function(spark):
+    """from_xml / schema_of_xml expression parity with the source reader —
+    parse an XML string column into a struct without a file scan."""
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame(
+        [(1, "<r><a>5</a><b>x</b></r>"), (2, "<r><a>7</a><b>y</b></r>")],
+        "id int, xml string",
+    )
+    schema = "a INT, b STRING"
+    parsed = df.select(
+        "id", F.from_xml("xml", schema).alias("p")
+    ).select("id", "p.a", "p.b")
+    rows = {(r.id, r.a, r.b) for r in parsed.collect()}
+    assert rows == {(1, 5, "x"), (2, 7, "y")}
