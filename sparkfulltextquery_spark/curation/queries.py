@@ -597,3 +597,107 @@ def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_total"), F.asc("gram"))
         .limit(_BOILER_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style pair statistics: the inner loop of tokenizer training — count
+# adjacent symbol pairs within words across the corpus; the most frequent
+# pair is the next merge. One explode chain, one groupBy: shuffle volume
+# O(distinct pairs), map-side combined; at 100 TB this is the same plan,
+# just more partitions (no driver state, no iteration here — one round).
+# --------------------------------------------------------------------------
+
+_BPE_ORACLE = f"""
+    WITH words AS (
+      SELECT unnest({_TOK}) AS w FROM documents WHERE doc_id % 5 = 0
+    ),
+    chars AS (SELECT split(w, '') AS cs FROM words WHERE len(w) >= 2),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i] || cs[i + 1]))
+        AS pair
+      FROM chars
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 25
+"""
+
+
+@query("curation_bpe_pair_counts", oracle=_BPE_ORACLE)
+def curation_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer training: adjacent character-pair counts
+    within words (on a 1-in-5 doc sample), top-25 merge candidates.
+    The pair relation is built with a zip of the char array against its
+    tail — no positional self-join; everything stays in codegen."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    words = d.select(F.explode(tokenize(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    chars = F.split(F.col("w"), "")
+    # DuckDB's split(w,'') has no trailing empty string; Spark's does — trim
+    # via slice to the word length, then pair c[i] with c[i+1] by zipping
+    # the array against its own tail
+    cs = F.slice(chars, 1, F.length("w"))
+    pairs = words.select(
+        F.explode(
+            F.zip_with(
+                F.slice(cs, 1, F.length("w") - 1),
+                F.slice(cs, 2, F.length("w") - 1),
+                lambda a, b: F.concat(a, b),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Unigram log-probability scoring: rank documents by average per-token
+# -log2 p(token) under the corpus's own unigram LM — the cheap perplexity
+# proxy used to filter incoherent text before expensive model scoring.
+# The LM table is a broadcast join (vocab ≪ corpus); per-doc aggregation
+# is one key-partitioned shuffle.
+# --------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    lm AS (
+      SELECT term, count(*) AS cf FROM tok GROUP BY term
+    ),
+    tot AS (SELECT sum(cf) AS n_tokens FROM lm),
+    scored AS (
+      SELECT tok.doc_id, -log2(lm.cf / tot.n_tokens) AS nll
+      FROM tok JOIN lm USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, round(avg(nll), 4) AS avg_nll, count(*) AS n_tokens
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_nll DESC, doc_id LIMIT 50
+"""
+
+
+@query("curation_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def curation_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: avg -log2 p(token) per document
+    under the corpus unigram LM; the 50 most surprising documents surface
+    first (out-of-distribution / junk detector). The LM is derived from the
+    same one-pass token relation and broadcast into the scoring join."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokenize(F.col("text"))).alias("term"))
+    lm = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    n_tokens = lm.agg(F.sum("cf").alias("n_tokens"))
+    return (
+        tok.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(n_tokens))
+        .withColumn("nll", -F.log2(F.col("cf") / F.col("n_tokens")))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy(F.col("avg_nll").desc(), F.col("doc_id"))
+        .limit(50)
+    )

@@ -208,6 +208,103 @@ def bm25_search(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
+BM25F_TITLE_LEN = 10
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+
+
+def bm25f_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    title_len: int = BM25F_TITLE_LEN,
+    w_title: float = BM25F_W_TITLE,
+    w_body: float = BM25F_W_BODY,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Field-weighted BM25F top-k (Zaragoza/Robertson simple-BM25F):
+    per-field tf is length-normalized with that field's own avgdl, weighted,
+    and folded into one saturating term frequency before the idf product —
+    NOT a per-field score sum (which over-counts saturation):
+
+        tfw(d,t)  = Σ_f  w_f · tf_f / (1 − b + b · dl_f/avgdl_f)
+        score(d)  = Σ_t  idf(t) · tfw / (k1 + tfw)
+
+    Fields are carved deterministically from the single text column (title =
+    first `title_len` tokens, body = rest) so the DuckDB oracle can agree.
+    Same plan discipline as bm25_search: IN-list prune before any join,
+    per-field stats broadcast, one groupBy(doc_id), top-k heap."""
+    q_terms = sorted({t for t in _py_tokenize(query)})
+    if not q_terms:
+        raise ValueError("empty query after tokenization")
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    fields = toks.select(
+        "doc_id",
+        F.slice("toks", 1, title_len).alias("title"),
+        F.slice(
+            "toks",
+            F.lit(title_len + 1),
+            F.greatest(F.size("toks") - title_len, F.lit(0)),
+        ).alias("body"),
+    )
+    ftoks = fields.select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                F.lit("title"), F.col("title"), F.lit("body"), F.col("body")
+            )
+        ).alias("field", "ftoks"),
+    )
+    # per-field doc lengths + avgdl BEFORE the query filter (stats are
+    # corpus properties); the term scan itself is pruned by the IN-list
+    dl = ftoks.select("doc_id", "field", F.size("ftoks").alias("dl"))
+    avgdl = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    fpost = ftoks.select("doc_id", "field", F.explode("ftoks").alias("term"))
+    qpost = (
+        fpost.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qpost.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    w = F.when(F.col("field") == "title", F.lit(w_title)).otherwise(F.lit(w_body))
+    tfw = (
+        qpost.join(dl, ["doc_id", "field"])
+        .join(F.broadcast(avgdl), "field")
+        .withColumn(
+            "part",
+            w * F.col("tf") / (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.sum("part").alias("tfw"))
+    )
+    scored = (
+        tfw.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("idf") * F.col("tfw") / (F.lit(k1) + F.col("tfw"))), 4
+            ).alias("score")
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
 def positional_relation(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
