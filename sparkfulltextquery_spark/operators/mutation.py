@@ -94,7 +94,7 @@ def merge_upsert_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 6 = 0 THEN 'delete' ELSE 'upsert' END AS op,
              o_orderstatus,
-             round(o_totalprice * 1.1, 2) AS o_totalprice
+             round(o_totalprice * 1.1, 3) AS o_totalprice
       FROM orders WHERE o_orderkey % 2 = 0
     ),
     applied AS (
@@ -127,7 +127,7 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("upsert"))
         .alias("op"),
         "o_orderstatus",
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.round(F.col("o_totalprice") * 1.1, 3).alias("o_totalprice"),
     )
     survivors = base.join(changes.select("o_orderkey"), "o_orderkey", "left_anti")
     upserts = changes.filter(F.col("op") == "upsert").select(
