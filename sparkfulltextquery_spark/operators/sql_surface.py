@@ -432,3 +432,37 @@ def sqlt_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLS FIRST/LAST forms, which agree everywhere."""
     _views(spark, sf_dir)
     return spark.sql(_NULL_ORDERING_SQL)
+
+
+@query(
+    "sqlt_script_transform",
+    oracle="""
+    SELECT o_orderpriority AS p, count(*) AS n,
+           cast(sum(o_orderkey) AS bigint) AS key_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sqlt_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style script transform — SELECT TRANSFORM ... USING 'cat'
+    (reference ScriptTransformation, sql/hive/.../hiveOperators.scala-era
+    ScriptTransformationExec; Spark ≥3.0 runs the no-serde form without
+    Hive). Rows are piped through an external process per partition —
+    the escape hatch predating Pandas UDFs. The identity script ('cat')
+    keeps it oracle-checkable: output re-parses as strings, so the query
+    re-aggregates on the script's output to a typed result.
+
+    Scale note: one OS process per partition task, rows stream through
+    stdin/stdout — parallelism is the partition count, same as any
+    mapPartitions; prefer Arrow-batched Pandas UDFs in new code."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p, count(*) AS n, cast(sum(cast(k AS bigint)) AS bigint) AS key_sum
+        FROM (
+          SELECT TRANSFORM(o_orderkey, o_orderpriority)
+          USING 'cat' AS (k STRING, p STRING)
+          FROM orders
+        )
+        GROUP BY p
+        """
+    )
