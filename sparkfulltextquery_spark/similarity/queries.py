@@ -338,8 +338,17 @@ def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_pq_adc_topk",
     oracle=f"""
     WITH {_E_CTE},
+    en AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+      FROM e
+    ),
+    qn AS (
+      SELECT list_transform(qv, x -> x / sqrt(list_inner_product(qv, qv))) AS qv
+      FROM q
+    ),
     dims AS (
-      SELECT label, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM e
+      SELECT label, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM en
     ),
     cmean AS (SELECT label, dim, avg(x) AS mdim FROM dims GROUP BY label, dim),
     cb AS (
@@ -348,7 +357,7 @@ def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     esub AS (
       SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vsub
-      FROM e CROSS JOIN range(8) t(s)
+      FROM en CROSS JOIN range(8) t(s)
     ),
     codes AS (
       SELECT vec_id, s, label
@@ -363,20 +372,26 @@ def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s, label,
              round(list_inner_product(list_slice(qv, s * 8 + 1, s * 8 + 8), csub), 6)
                AS partial
-      FROM cb CROSS JOIN q
-    )
-    SELECT vec_id, round(sum(partial), 6) AS adc
-    FROM codes JOIN lut USING (s, label)
-    GROUP BY vec_id
-    ORDER BY adc DESC, vec_id LIMIT 10
+      FROM cb CROSS JOIN qn
+    ),
+    adc AS (
+      SELECT vec_id, round(sum(partial), 6) AS adc
+      FROM codes JOIN lut USING (s, label)
+      GROUP BY vec_id
+    ),
+    short AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 30)
+    SELECT vec_id, round(list_inner_product(en.v, qn.qv), 6) AS cosine
+    FROM en JOIN short USING (vec_id) CROSS JOIN qn
+    ORDER BY cosine DESC, vec_id LIMIT 10
     """,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: vectors compressed to 8 subspace codes
-    (codebook = label-centroid slices), query scored by asymmetric distance
-    (sum of 8 broadcast-LUT lookups) — the memory-side scale path (m bytes
-    per vector instead of 4·dim) that composes with IVF into IVF-PQ.
-    Exact-oracle checkable because the codebook is deterministic."""
+    """Product-quantization ANN: L2-normalized vectors compressed to 8
+    subspace codes (codebook = label-centroid slices), ADC-scored off a
+    broadcast LUT into a 30-candidate shortlist, exact-cosine re-ranked —
+    the memory-side scale path (m bytes per vector instead of 4·dim) that
+    composes with IVF into IVF-PQ. Exact-oracle checkable because the
+    codebook is deterministic."""
     from sparkfulltextquery_spark.similarity import pq_adc_topk
 
     e = load_table(spark, sf_dir, "embeddings")

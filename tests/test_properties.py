@@ -445,3 +445,61 @@ def test_incremental_store_planted_duplicates_full_recall(spark, tmp_path):
     texts = {r.doc_id: r.text for r in corpus.collect()}
     for new_id, old_id in got - planted:
         assert texts[new_id - 100000] == texts[old_id], (new_id, old_id)
+
+
+def test_bm25f_title_boost_contract(spark):
+    """Field-weighting contract: with identical term counts, a document
+    whose query term sits in the title (first 10 tokens) must outrank one
+    whose term sits only in the body — the point of BM25F's w_title=2."""
+    from sparkfulltextquery_spark.functions.fulltext import bm25f_search
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    body_fill = " ".join(["lorem"] * 30)
+    docs = spark.createDataFrame(
+        [
+            # doc 1: 'needle' inside the title window
+            (1, "needle " + filler + " " + body_fill),
+            # doc 2: same length, 'needle' only in the body
+            (2, filler + " pad " + body_fill + " needle"),
+            # noise docs so stats aren't degenerate
+            (3, filler + " " + body_fill),
+            (4, filler + " " + body_fill + " extra words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.score for r in bm25f_search(docs, "needle", k=4).collect()}
+    assert set(got) == {1, 2}, got
+    assert got[1] > got[2], got
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ-ADC quality contract on PLANTED clustered vectors (the synthetic
+    embeddings table is isotropic noise — its `label` is not a geometric
+    cluster, so it can exercise the plan but not the recall). 10 planted
+    centroids, 20 members each with small deterministic perturbation:
+    the ADC shortlist + exact re-rank must recover ≥8 of the exact
+    cosine top-10."""
+    import hashlib
+
+    from sparkfulltextquery_spark.similarity import cosine_topk, pq_adc_topk
+
+    def h(s_):
+        return int(hashlib.md5(s_.encode()).hexdigest()[:8], 16)
+
+    dim, n_clusters, per = 64, 10, 20
+    rows = []
+    for c in range(n_clusters):
+        cent = [1.0 if h(f"c{c}:{d}") % 2 else -1.0 for d in range(dim)]
+        for i in range(per):
+            vec = [
+                cent[d] + ((h(f"v{c}:{i}:{d}") % 1000) / 1000.0 - 0.5) * 0.4
+                for d in range(dim)
+            ]
+            rows.append((c * per + i, vec, c))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    qvec = rows[0][1]
+    exact = {r.vec_id for r in cosine_topk(e, qvec, k=10).collect()}
+    approx = {r.vec_id for r in pq_adc_topk(e, qvec, k=10).collect()}
+    assert len(exact & approx) >= 8, (exact, approx)
