@@ -405,3 +405,69 @@ def pq_adc_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame, centroids: DataFrame, vec_col: str = "v"
+) -> DataFrame:
+    """(vec_id, cluster): nearest-centroid assignment. Centroids (k rows)
+    broadcast into the scan; squared-L2 rounded to 6dp so the argmin
+    tie-break (cluster asc) is engine-portable; argmin is min(struct) —
+    partial-aggregable, no window sort."""
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(vec_col, "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select("vec_id", vec_col, "cluster", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+        .select("vec_id", F.col("best.cluster").alias("cluster"))
+    )
+
+
+def kmeans_iterate(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's K-means as pure DataFrame ops (reference analogue:
+    mllib org.apache.spark.ml.clustering.KMeans) — deterministic init
+    (centroids = the k lowest-id vectors), `iters` unrolled
+    assign→update rounds, returns final (vec_id, cluster).
+
+    Scale shape per round: assignment = broadcast(k centroids) × scan +
+    min(struct) hash-agg (no shuffle of the vectors beyond the agg);
+    update = posexplode → groupBy(cluster, dim) — shuffle volume O(k·dim),
+    not O(rows). The loop is driver-side plan construction only; no data
+    ever collects. Production k-means adds localCheckpoint every few
+    rounds (see dedup.components) — at iters≤3 lineage stays shallow."""
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cents = (
+        ev.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c"))
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = kmeans_assign(ev, cents)
+        member_dims = (
+            ev.join(assigned, "vec_id")
+            .select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            member_dims.groupBy("cluster")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+        )
+    return assigned

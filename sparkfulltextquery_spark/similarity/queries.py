@@ -397,3 +397,50 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return pq_adc_topk(e, [float(x) for x in qvec], k=10)
+
+
+def _kmeans_duck(k: int = 8, iters: int = 2) -> str:
+    """Unrolled Lloyd-iteration oracle mirroring similarity.kmeans_iterate:
+    same deterministic init (k lowest vec_ids), same 6dp-rounded squared-L2
+    argmin with cluster-asc tie-break, same per-dim mean update."""
+    sql = f"""
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id::INT AS cluster, v AS c FROM e WHERE vec_id < {k})"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, {prev}.cluster,
+               round(list_distance(e.v, {prev}.c) ^ 2, 6) AS d2
+        FROM e CROSS JOIN {prev}
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
+    )"""
+        if i < iters:
+            sql += f""",
+    m{i} AS (
+      SELECT cluster, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x
+      FROM e JOIN a{i} USING (vec_id)
+    ),
+    c{i} AS (
+      SELECT cluster, list(m ORDER BY dim) AS c
+      FROM (SELECT cluster, dim, avg(x) AS m FROM m{i} GROUP BY cluster, dim)
+      GROUP BY cluster
+    )"""
+            prev = f"c{i}"
+    return (
+        "WITH" + sql + f"\n    SELECT vec_id, cluster FROM a{iters}"
+    )
+
+
+@query("sim_kmeans_assign", oracle=_kmeans_duck(k=8, iters=2))
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means training as DataFrame ops (reference analogue
+    ml.clustering.KMeans) — 2 Lloyd rounds over the embedding table with
+    deterministic init, final (vec_id, cluster) assignments. The trained
+    form of the IVF coarse quantizer: at scale the output is written
+    partitioned by cluster and sim_ivf_topk probes it."""
+    from sparkfulltextquery_spark.similarity import kmeans_iterate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_iterate(e, k=8, iters=2)

@@ -503,3 +503,36 @@ def test_pq_adc_recall_vs_exact(spark):
     exact = {r.vec_id for r in cosine_topk(e, qvec, k=10).collect()}
     approx = {r.vec_id for r in pq_adc_topk(e, qvec, k=10).collect()}
     assert len(exact & approx) >= 8, (exact, approx)
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """K-means contract: with one seed per planted cluster (interleaved ids
+    put one member of each cluster in the init set), 2 Lloyd rounds must
+    reproduce the planted partition exactly."""
+    import hashlib
+
+    from sparkfulltextquery_spark.similarity import kmeans_iterate
+
+    def h(s_):
+        return int(hashlib.md5(s_.encode()).hexdigest()[:8], 16)
+
+    dim, n_clusters, per = 32, 8, 15
+    rows = []
+    for c in range(n_clusters):
+        cent = [1.0 if h(f"kc{c}:{d}") % 2 else -1.0 for d in range(dim)]
+        for i in range(per):
+            vec = [
+                cent[d] + ((h(f"kv{c}:{i}:{d}") % 1000) / 1000.0 - 0.5) * 0.5
+                for d in range(dim)
+            ]
+            rows.append((i * n_clusters + c, vec, c))  # interleaved ids
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.vec_id: r.cluster for r in kmeans_iterate(e, k=n_clusters, iters=2).collect()}
+    planted = {vid: lab for vid, _, lab in rows}
+    # the partition must match: same planted label ⇔ same learned cluster
+    by_label = {}
+    for vid, lab in planted.items():
+        by_label.setdefault(lab, set()).add(got[vid])
+    learned = [v for v in by_label.values()]
+    assert all(len(v) == 1 for v in learned), by_label
+    assert len({next(iter(v)) for v in learned}) == n_clusters
