@@ -47,6 +47,19 @@ HEADLINE = [
     "textstats_quality",
 ]
 
+# Round-3 additions, reported separately ("extra") so the headline total
+# stays comparable across rounds.
+EXTRA = [
+    "fulltext_bm25f_weighted",
+    "sim_pq_adc_topk",
+    "sim_kmeans_assign",
+    "merge_upsert_customer_stats",
+    "cdc_latest_wins",
+    "scd2_priority_history",
+    "curation_unigram_logprob",
+    "curation_bpe_pair_counts",
+]
+
 
 def _micro_benchmarks(spark) -> dict[str, dict[str, float]]:
     """BASELINE.md-twin throughput microbenchmarks — the same shapes (and N)
@@ -187,6 +200,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in qs:
+            continue
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        extra[name] = round(time.time() - t0, 3)
+
     micro = _micro_benchmarks(spark)
 
     total = round(sum(timings.values()), 3)
@@ -197,6 +219,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra": extra,
                 "micro": micro,
                 "sf": sf,
             }

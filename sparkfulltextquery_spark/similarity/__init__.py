@@ -333,64 +333,70 @@ def pq_adc_topk(
     are indistinguishable to ADC, so pure-ADC top-k degenerates to
     cluster-prefix order (measured: 2/10 recall vs 10/10 with re-rank).
 
-    Scale shape: encode is rows × m × L dot products, all JVM-side with the
-    codebook broadcast; the per-(vec,subspace) argmin is min(struct(dist,
-    label)) — a partial-aggregable hash aggregate, not a window sort; the
-    LUT (m·L rows) is computed once from the literal query and broadcast;
-    ADC scoring is one groupBy(vec_id) + a C-bounded heap; the re-rank
-    touches C rows. At 100 TB codes are precomputed and stored (m bytes per
-    vector instead of 4·dim) so the shortlist pass never reads the raw
-    vectors — the classic IVF-PQ memory win."""
+    Scale shape: the codebook is m·L entries BY CONSTRUCTION — independent
+    of corpus size — so it is collected once (bounded, like the query
+    vector) and folded into the plan as literals: encode+ADC become pure
+    whole-stage-codegen expressions over one scan (argmin via
+    array_position(arr, array_min(arr)) — first match = lowest label, the
+    engine-portable tie-break), with NO join and NO shuffle; the only
+    exchanges are the C-bounded shortlist heap and the broadcast of C ids
+    into the re-rank scan. At 100 TB codes are precomputed and stored (m
+    bytes per vector instead of 4·dim) so the shortlist pass never reads
+    the raw vectors — the classic IVF-PQ memory win."""
     dim = len(query_vec)
     sub = dim // m
-    cb = pq_codebook(embeddings, m, vec_col, label_col)
+
+    # bounded collect: m·L codebook entries (corpus-size independent)
+    cb_rows = pq_codebook(embeddings, m, vec_col, label_col).collect()
+    labels = sorted({r["label"] for r in cb_rows})
+    cent = {(r["s"], r["label"]): [float(x) for x in r["csub"]] for r in cb_rows}
+
+    qnorm = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qvec_n = [float(x) / qnorm for x in query_vec]
 
     ev = embeddings.select(
         F.col(id_col).alias("vec_id"),
         normalize_expr(F.col(vec_col).cast("array<double>")).alias("v"),
     )
-    vslices = F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
-    esub = ev.select("vec_id", F.posexplode(vslices).alias("s", "vsub"))
 
-    # encode: nearest codebook entry per (vector, subspace); squared-L2
-    # rounded to 6 so the argmin tie-break (label asc) is engine-portable
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with("vsub", "csub", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    codes = (
-        esub.join(F.broadcast(cb), "s")
-        .select("vec_id", "s", "label", d2.alias("d2"))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "label")).alias("best"))
-        .select("vec_id", "s", F.col("best.label").alias("label"))
-    )
+    # Build encode+ADC as ONE generated SQL expression (F.expr): the
+    # nested-lambda Column form costs thousands of py4j round trips at plan
+    # build (~3s); a generated string parses JVM-side in one call.
+    # d2 via the expansion ||v_s||² − 2·v_s·c + ||c||², rounded to 6dp
+    # before the argmin (engine-portable tie-break: array_position returns
+    # the FIRST minimal index = lowest label).
+    adc_terms = []
+    for sp in range(m):
+        idx = [sp * sub + j + 1 for j in range(sub)]
+        v2 = "(" + " + ".join(f"element_at(v,{i})*element_at(v,{i})" for i in idx) + ")"
+        d2s = []
+        for lab in labels:
+            c = cent[(sp, lab)]
+            dot = " + ".join(f"element_at(v,{i})*({cj!r})" for i, cj in zip(idx, c))
+            c2 = sum(x * x for x in c)
+            d2s.append(f"round({v2} - 2*({dot}) + ({c2!r}), 6)")
+        d2s_arr = "array(" + ", ".join(d2s) + ")"
+        lut = ", ".join(
+            repr(
+                round(
+                    sum(
+                        a * b
+                        for a, b in zip(qvec_n[sp * sub : (sp + 1) * sub], cent[(sp, lab)])
+                    ),
+                    6,
+                )
+            )
+            for lab in labels
+        )
+        adc_terms.append(
+            f"element_at(array({lut}), "
+            f"cast(array_position(_d2s{sp}, array_min(_d2s{sp})) as int))"
+        )
+        ev = ev.withColumn(f"_d2s{sp}", F.expr(d2s_arr))
+    adc = F.expr(" + ".join(adc_terms))
 
-    # ADC lookup table: partial score of the (un-quantized) query against
-    # every codebook entry
-    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
-    qvec_n = [float(x) / qn for x in query_vec]
-    qsubs = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in qvec_n[s * sub : (s + 1) * sub]])
-            for s in range(m)
-        ]
-    )
-    lut = cb.select(
-        "s",
-        "label",
-        F.round(dot_expr(F.element_at(qsubs, F.col("s") + 1), F.col("csub")), 6).alias(
-            "partial"
-        ),
-    )
     shortlist = (
-        codes.join(F.broadcast(lut), ["s", "label"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("partial"), 6).alias("adc"))
+        ev.select("vec_id", F.round(adc, 6).alias("adc"))
         .orderBy(F.col("adc").desc(), F.col("vec_id"))
         .limit(shortlist_k)
         .select("vec_id")
