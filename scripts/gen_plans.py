@@ -22,6 +22,10 @@ FLAGSHIPS = {
     "dedup_incremental_minhash": "delta probes persisted band-key store; corpus never re-hashed",
     "curation_quality_classifier": "model as plan literals: no UDF, no broadcast, 2 shuffles",
     "curation_boilerplate_ngrams": "gram shuffle + multi-distinct expand + bounded top-k heap",
+    "sim_pq_adc_topk": "PQ-ADC: literal codebook in codegen, zero encode joins, C-bounded heap + broadcast re-rank",
+    "cdc_latest_wins": "latest-wins compaction: partial+final hash agg, no window sort",
+    "merge_upsert_customer_stats": "MERGE rewrite: pre-aggregated sides, single key join",
+    "fulltext_bm25f_weighted": "BM25F: field explode stays map-side until the single tf shuffle",
 }
 
 
