@@ -11,6 +11,7 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     aggregates,
     funnels,
     generators,
+    graph,
     joins,
     mutation,
     pyfuncs,
