@@ -135,3 +135,51 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = trade_edges(spark, sf_dir)
     pr = pagerank(nodes, edges)
     return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT sn.n_name AS src, cn.n_name AS dst
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    ),
+    u AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM d WHERE src <> dst
+    )
+    SELECT count(*) AS n_triangles
+    FROM u e1 JOIN u e2 ON e1.b = e2.a JOIN u e3
+      ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (reference GraphX TriangleCount.scala:54) on the
+    undirected nation trade graph: canonical a<b edges, the two-hop join
+    closed by an (a,c) edge — each triangle counted once via the a<b<c
+    ordering the canonical edges induce.
+
+    Scale: |E|^(3/2)-bounded via the ordered-edge join (the standard
+    relational triangle algorithm); every join keys on a vertex, so the
+    shuffles partition by vertex id — no broadcast of the full edge set
+    required at scale (here the 25-node edge list broadcasts anyway)."""
+    d = trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    u = (
+        d.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    e1 = u.alias("e1")
+    e2 = u.alias("e2")
+    e3 = u.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
