@@ -305,3 +305,23 @@ def test_scd2_windows_share_one_partitioning(spark):
     df = _q(spark, "scd2_priority_history")
     plan = physical_plan(df)
     assert plan.count("hashpartitioning(o_custkey") <= 1, plan
+
+
+def test_kmeans_assign_is_broadcast_no_window(spark):
+    """Each Lloyd assignment must broadcast the k-row centroid table and
+    plan the argmin as a hash aggregate — no Window sort, no SMJ of the
+    vector table against centroids."""
+    df = _q(spark, "sim_kmeans_assign")
+    plan = physical_plan(df)
+    assert "Window" not in plan, plan
+    assert uses_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_graph_queries_have_no_cartesian(spark):
+    """PageRank iterations and the triangle join must stay equi-joins —
+    a stray CartesianProduct is O(V²)/O(E²) at scale."""
+    for name in ("graph_pagerank_nations", "graph_triangle_count"):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
