@@ -323,6 +323,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    probe_labels: list | None = None,
 ) -> DataFrame:
     """PQ-ADC shortlist + exact re-rank: vectors are L2-normalized and
     encoded as m small codes (argmin centroid per subspace); the query is
@@ -354,7 +355,12 @@ def pq_adc_topk(
     qnorm = sum(x * x for x in query_vec) ** 0.5 or 1.0
     qvec_n = [float(x) / qnorm for x in query_vec]
 
-    ev = embeddings.select(
+    src = embeddings
+    if probe_labels is not None:
+        # IVF-PQ: restrict the ADC scan to the probed coarse clusters —
+        # partition pruning when the table is stored partitioned by label
+        src = src.filter(F.col(label_col).isin(list(probe_labels)))
+    ev = src.select(
         F.col(id_col).alias("vec_id"),
         normalize_expr(F.col(vec_col).cast("array<double>")).alias("v"),
     )
@@ -477,3 +483,149 @@ def kmeans_iterate(
             .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
         )
     return assigned
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-PQ: the full ANN stack — coarse probe (top `n_probe` clusters by
+    centroid similarity, a bounded driver-side label list → partition
+    pruning at scale), PQ-ADC shortlist WITHIN the probed clusters only,
+    exact re-rank. The query touches n_probe/L of the codes and C raw
+    vectors; everything else is never read."""
+    emb_n = embeddings.withColumn(
+        vec_col, normalize_expr(F.col(vec_col).cast("array<double>"))
+    )
+    cents = label_centroids(emb_n, label_col, vec_col)
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qlit = F.array(*[F.lit(float(x) / qn) for x in query_vec])
+    probes = [
+        r["label"]
+        for r in cents.select(
+            "label", F.round(dot_expr(F.col("centroid"), qlit), 6).alias("d")
+        )
+        .orderBy(F.col("d").desc(), F.col("label"))
+        .limit(n_probe)
+        .collect()
+    ]
+    return pq_adc_topk(
+        embeddings,
+        query_vec,
+        k=k,
+        m=m,
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+        probe_labels=probes,
+    )
+
+
+def _pq_literals(embeddings, m, vec_col, label_col):
+    """Collected codebook as plan literals: (labels sorted, {(s,label): csub},
+    sub_dim). Bounded m·L rows by construction."""
+    cb_rows = pq_codebook(embeddings, m, vec_col, label_col).collect()
+    labels = sorted({r["label"] for r in cb_rows})
+    cent = {(r["s"], r["label"]): [float(x) for x in r["csub"]] for r in cb_rows}
+    sub = len(next(iter(cent.values())))
+    return labels, cent, sub
+
+
+def _pq_code_exprs(labels, cent, m, sub):
+    """Per-subspace 1-based code expressions (same argmin/round/tie-break
+    as pq_adc_topk) over a normalized vector column `v`."""
+    codes = []
+    for sp in range(m):
+        idx = [sp * sub + j + 1 for j in range(sub)]
+        v2 = "(" + " + ".join(f"element_at(v,{i})*element_at(v,{i})" for i in idx) + ")"
+        d2s = []
+        for lab in labels:
+            c = cent[(sp, lab)]
+            dot = " + ".join(f"element_at(v,{i})*({cj!r})" for i, cj in zip(idx, c))
+            c2 = sum(x * x for x in c)
+            d2s.append(f"round({v2} - 2*({dot}) + ({c2!r}), 6)")
+        arr = "array(" + ", ".join(d2s) + ")"
+        codes.append(f"cast(array_position({arr}, array_min({arr})) as int)")
+    return codes
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m: int = PQ_SUBSPACES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(vec_id, label, codes array<int>) — the persistable PQ code table
+    (m small ints per vector instead of 4·dim bytes). Stored partitioned
+    by the coarse label, IVF-PQ queries prune to probed partitions and
+    never read raw vectors until the re-rank."""
+    labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        normalize_expr(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    code_exprs = _pq_code_exprs(labels, cent, m, sub)
+    return ev.select(
+        "vec_id", "label", F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes")
+    )
+
+
+def pq_adc_topk_from_codes(
+    codes: DataFrame,
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = PQ_SUBSPACES,
+    shortlist_k: int = 30,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """ADC top-k from a PERSISTED code table: the shortlist pass reads only
+    (vec_id, codes) — m ints/row — plus the literal LUT; raw vectors are
+    touched only for the C-row re-rank. Mirrors pq_adc_topk exactly
+    (same codebook, rounding, tie-breaks)."""
+    labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qvec_n = [float(x) / qn for x in query_vec]
+
+    adc_terms = []
+    for sp in range(m):
+        lut = ", ".join(
+            repr(
+                round(
+                    sum(
+                        a * b
+                        for a, b in zip(qvec_n[sp * sub : (sp + 1) * sub], cent[(sp, lab)])
+                    ),
+                    6,
+                )
+            )
+            for lab in labels
+        )
+        adc_terms.append(f"element_at(array({lut}), element_at(codes, {sp + 1}))")
+    shortlist = (
+        codes.select("vec_id", F.round(F.expr(" + ".join(adc_terms)), 6).alias("adc"))
+        .orderBy(F.col("adc").desc(), F.col("vec_id"))
+        .limit(shortlist_k)
+        .select("vec_id")
+    )
+    ev = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        normalize_expr(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    qlit = F.array(*[F.lit(x) for x in qvec_n])
+    return (
+        ev.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", F.round(dot_expr(F.col("v"), qlit), 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

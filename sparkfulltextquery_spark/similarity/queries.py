@@ -444,3 +444,73 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kmeans_iterate(e, k=8, iters=2)
+
+
+@query(
+    "sim_ivfpq_topk",
+    oracle=f"""
+    WITH {_E_CTE},
+    en AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS v
+      FROM e
+    ),
+    qn AS (
+      SELECT list_transform(qv, x -> x / sqrt(list_inner_product(qv, qv))) AS qv
+      FROM q
+    ),
+    dims AS (
+      SELECT label, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x FROM en
+    ),
+    cmean AS (SELECT label, dim, avg(x) AS mdim FROM dims GROUP BY label, dim),
+    cfull AS (
+      SELECT label, list(mdim ORDER BY dim) AS c FROM cmean GROUP BY label
+    ),
+    probes AS (
+      SELECT label FROM cfull CROSS JOIN qn
+      ORDER BY round(list_inner_product(c, qv), 6) DESC, label LIMIT 2
+    ),
+    cb AS (
+      SELECT label, (dim - 1) // 8 AS s, list(mdim ORDER BY dim) AS csub
+      FROM cmean GROUP BY label, (dim - 1) // 8
+    ),
+    esub AS (
+      SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS vsub
+      FROM (SELECT en.* FROM en JOIN probes USING (label))
+      CROSS JOIN range(8) t(s)
+    ),
+    codes AS (
+      SELECT vec_id, s, label
+      FROM (
+        SELECT esub.vec_id, esub.s, cb.label,
+               round(list_distance(esub.vsub, cb.csub) ^ 2, 6) AS d2
+        FROM esub JOIN cb USING (s)
+      )
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) = 1
+    ),
+    lut AS (
+      SELECT s, label,
+             round(list_inner_product(list_slice(qv, s * 8 + 1, s * 8 + 8), csub), 6)
+               AS partial
+      FROM cb CROSS JOIN qn
+    ),
+    adc AS (
+      SELECT vec_id, round(sum(partial), 6) AS adc
+      FROM codes JOIN lut USING (s, label)
+      GROUP BY vec_id
+    ),
+    short AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 30)
+    SELECT vec_id, round(list_inner_product(en.v, qn.qv), 6) AS cosine
+    FROM en JOIN short USING (vec_id) CROSS JOIN qn
+    ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ capstone: coarse probe (2 clusters) → PQ-ADC shortlist within
+    the probed partitions → exact re-rank; at scale the probe is partition
+    pruning on the stored codes table and only C raw vectors are read."""
+    from sparkfulltextquery_spark.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_topk(e, [float(x) for x in qvec], k=10, n_probe=2)

@@ -258,3 +258,33 @@ def test_autocomplete_ranked_by_df(spark, index_tables):
     assert all(r.term.startswith("qu") for r in got)
     dfs = [r.df for r in got]
     assert dfs == sorted(dfs, reverse=True)
+
+
+def test_pq_codes_persisted_equals_inline(spark, tmp_path):
+    """The persisted PQ code table (m ints/vector, partitioned by coarse
+    label) must reproduce the inline PQ search exactly — and its scan must
+    prune to partitions when probed."""
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.similarity import (
+        pq_adc_topk,
+        pq_adc_topk_from_codes,
+        pq_encode,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    path = f"file://{tmp_path}/pq_codes"
+    pq_encode(e).write.mode("overwrite").partitionBy("label").parquet(path)
+    codes = spark.read.parquet(path)
+    assert codes.schema["codes"].dataType.simpleString() == "array<int>"
+
+    inline = [(r.vec_id, r.cosine) for r in pq_adc_topk(e, qvec, k=10).collect()]
+    stored = [
+        (r.vec_id, r.cosine)
+        for r in pq_adc_topk_from_codes(codes, e, qvec, k=10).collect()
+    ]
+    assert inline == stored and len(stored) == 10
