@@ -58,6 +58,10 @@ EXTRA = [
     "scd2_priority_history",
     "curation_unigram_logprob",
     "curation_bpe_pair_counts",
+    "sim_ivfpq_topk",
+    "graph_pagerank_nations",
+    "dedup_cluster_canonical",
+    "fulltext_collapse_by_source",
 ]
 
 

@@ -456,3 +456,76 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 10 == 7)
     corpus = docs.filter(F.col("doc_id") % 10 != 7)
     return incremental_near_dups(spark, delta, corpus, store, threshold=0.5)
+
+
+_CANONICAL_ORACLE = """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    toks AS (SELECT p_name, unnest(string_split(p_name, ' ')) AS tok FROM names),
+    pairs AS (
+      SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.p_name < b.p_name),
+    fuzzy AS (
+      SELECT name_a, name_b FROM pairs
+      WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 3),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM fuzzy
+      UNION ALL
+      SELECT name_b AS src, name_a AS dst FROM fuzzy),
+    reach(src, dst) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (SELECT src AS vertex, min(dst) AS component FROM reach GROUP BY src),
+    members AS (
+      SELECT comp.component, part.p_partkey, part.p_name, part.p_retailprice
+      FROM comp JOIN part ON part.p_name = comp.vertex
+    )
+    SELECT component,
+           p_partkey AS canonical_partkey,
+           p_name AS canonical_name,
+           round(p_retailprice, 2) AS canonical_price,
+           count(*) OVER (PARTITION BY component) AS n_members
+    FROM members
+    QUALIFY row_number() OVER (
+      PARTITION BY component ORDER BY p_retailprice DESC, p_partkey
+    ) = 1
+"""
+
+
+@query("dedup_cluster_canonical", oracle=_CANONICAL_ORACLE)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END DECISION: near-dup clusters (connected components over
+    the fuzzy-name graph) reduced to ONE canonical row each — highest
+    retail price wins, part-key ascending breaks ties. The canonical pick
+    is max(struct(price, -key)) — a partial-aggregable hash aggregate, not
+    a per-cluster window sort (the member relation can be huge; the
+    aggregate streams)."""
+    from sparkfulltextquery_spark.dedup.components import connected_components
+
+    pairs = dedup_fuzzy_name_pairs(spark, sf_dir).select("name_a", "name_b")
+    comp = connected_components(pairs, src="name_a", dst="name_b")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    members = comp.join(p, comp.vertex == p.p_name)
+    return (
+        members.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("p_retailprice").alias("price"),
+                    (-F.col("p_partkey")).alias("negkey"),
+                    F.col("p_partkey").alias("p_partkey"),
+                    F.col("p_name").alias("p_name"),
+                )
+            ).alias("best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component",
+            F.col("best.p_partkey").alias("canonical_partkey"),
+            F.col("best.p_name").alias("canonical_name"),
+            F.round(F.col("best.price"), 2).alias("canonical_price"),
+            "n_members",
+        )
+    )

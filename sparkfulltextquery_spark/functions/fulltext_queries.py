@@ -792,3 +792,57 @@ def fulltext_bm25f_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically (title = first 10 tokens) so the oracle agrees."""
     d = load_table(spark, sf_dir, "documents")
     return FT.bm25f_search(d, "data query spark window", k=10)
+
+
+@query(
+    "fulltext_collapse_by_source",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4)
+               AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    collapsed AS (
+      SELECT d.source, s.doc_id, s.score
+      FROM scored s JOIN documents d USING (doc_id)
+      QUALIFY row_number() OVER (
+        PARTITION BY d.source ORDER BY s.score DESC, s.doc_id
+      ) = 1
+    )
+    SELECT source, doc_id, score FROM collapsed
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def fulltext_collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-result collapsing (field collapse): BM25 ranking with at most
+    ONE hit per source — the best doc of each source competes in the final
+    top-10. The per-source best is max(struct(score, -doc_id)) — a hash
+    aggregate keyed on the collapse field, not a global window — then the
+    usual bounded top-k heap."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = FT.bm25_scores(d, " ".join(_BM25_QUERY_TERMS))
+    src = d.select("doc_id", "source")
+    best = (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("score"),
+                    (-F.col("doc_id")).alias("negid"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("b")
+        )
+        .select("source", F.col("b.doc_id").alias("doc_id"), F.col("b.score").alias("score"))
+    )
+    return best.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
