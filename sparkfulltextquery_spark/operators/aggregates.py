@@ -532,3 +532,37 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("h"), lambda s: F.round(s["y"], 1).cast("string")), ","
         ).alias("bin_weights"),
     )
+
+
+@query(
+    "agg_mode_median_regr",
+    oracle="""
+    SELECT l_returnflag,
+           mode(l_linenumber)                                  AS mode_line,
+           round(median(l_extendedprice), 4)                   AS median_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6)   AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)      AS r2,
+           regr_count(l_extendedprice, l_quantity)             AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_mode_median_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate tail: mode (most frequent — l_linenumber has a
+    strict winner so ties can't bite), exact interpolated median, and the
+    Hive-era linear-regression family regr_slope/intercept/r2/count
+    (reference delegates these to Hive UDAFs via HiveSessionCatalog
+    .scala:227-230; modern Spark has them native, SPARK-37623). All
+    partial-aggregable moment sums — one shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.mode("l_linenumber").alias("mode_line"),
+        F.round(F.median("l_extendedprice"), 4).alias("median_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )
