@@ -492,3 +492,49 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("shl"),
         F.shiftright(k, 1).alias("shr"),
     )
+
+
+@query(
+    "fn_lambda_hof_tail",
+    oracle="""
+    WITH t AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS toks
+               FROM documents WHERE doc_id < 300)
+    SELECT doc_id,
+           len(list_filter(toks, x -> x = 'spark')) > 0            AS has_spark,
+           len(list_filter(toks, x -> length(x) = 0)) = 0          AS all_nonempty,
+           cast(list_sum(list_transform(range(1, len(toks) + 1),
+                                        i -> length(toks[i]) * i)) AS bigint)
+             AS pos_weighted_len,
+           cast(2 * list_sum(list_transform(toks, x -> length(x))) AS bigint)
+             AS double_len
+    FROM t
+    """,
+)
+def fn_lambda_hof_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function tail beyond transform/filter/aggregate:
+    exists / forall (reference-era users reach these via lateral-view
+    explode; higherOrderFunctions.scala provides them natively), the
+    TWO-ARG (value, index) lambda form of transform, and aggregate's
+    4-arg `finish` projection — all whole-stage-codegen, no UDF."""
+    from sparkfulltextquery_spark.functions.text import tokenize
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda t: t == "spark").alias("has_spark"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.aggregate(
+            F.transform(toks, lambda t, i: F.length(t).cast("long") * (i + 1)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("pos_weighted_len"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t),
+            lambda acc: acc * 2,
+        ).alias("double_len"),
+    )
