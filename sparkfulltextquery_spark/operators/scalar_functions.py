@@ -538,3 +538,41 @@ def fn_lambda_hof_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc: acc * 2,
         ).alias("double_len"),
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+    SELECT doc_id,
+           2 * (n_chars % 7)                                    AS doubled_q,
+           (CASE WHEN n_chars % 7  > 3 THEN 1 ELSE 0 END)
+         + (CASE WHEN n_chars % 11 > 3 THEN 1 ELSE 0 END)       AS n_big,
+           n_chars % 7 + 1                                      AS zipped_q,
+           'Q,R'                                                AS keys_upper
+    FROM documents WHERE doc_id < 300
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-lambda HOFs (higherOrderFunctions.scala: TransformValues,
+    TransformKeys, MapFilter, MapZipWith): a per-row map is built,
+    transformed, filtered, and zipped, then projected to scalars so the
+    driver canonicalizer never sees a MapType. The oracle computes the
+    same values arithmetically — DuckDB's map lambdas don't mirror
+    Spark's, so the check is semantic, not structural."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    n = F.col("n_chars")
+    m = F.create_map(F.lit("q"), n % 7, F.lit("r"), n % 11)
+    m2 = F.create_map(F.lit("q"), F.lit(1), F.lit("r"), F.lit(2))
+    return d.select(
+        "doc_id",
+        F.element_at(F.transform_values(m, lambda k, v: v * 2), F.lit("q")).alias(
+            "doubled_q"
+        ),
+        F.size(F.map_filter(m, lambda k, v: v > 3)).alias("n_big"),
+        F.element_at(
+            F.map_zip_with(m, m2, lambda k, v1, v2: v1 + v2), F.lit("q")
+        ).alias("zipped_q"),
+        F.array_join(
+            F.sort_array(F.map_keys(F.transform_keys(m, lambda k, v: F.upper(k)))), ","
+        ).alias("keys_upper"),
+    )
