@@ -26,6 +26,8 @@ FLAGSHIPS = {
     "cdc_latest_wins": "latest-wins compaction: partial+final hash agg, no window sort",
     "merge_upsert_customer_stats": "MERGE rewrite: pre-aggregated sides, single key join",
     "fulltext_bm25f_weighted": "BM25F: field explode stays map-side until the single tf shuffle",
+    "sim_ivfpq_topk": "IVF-PQ: probe prune + literal-codebook ADC + broadcast re-rank",
+    "graph_pagerank_nations": "PageRank: per-iteration edge join + dst agg, no cartesian",
 }
 
 
