@@ -325,3 +325,56 @@ def test_graph_queries_have_no_cartesian(spark):
         df = _q(spark, name)
         plan = physical_plan(df)
         assert "CartesianProduct" not in plan, f"{name}: {plan}"
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime filtering (SPARK-32268): with a selective filter on the
+    creation side, Catalyst injects a bloom_filter_agg subquery that
+    pre-filters the probe side BEFORE the shuffle — the modern join-pruning
+    path at 100 TB (reads survive only if they might match). Asserted here
+    with thresholds opened up; results must equal the unfiltered plan's."""
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = load_table(spark, SF_DIR, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = physical_plan(j)
+        assert "bloom_filter_agg" in plan, plan
+        got = {(r.o_orderpriority, r.n) for r in j.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # equivalence vs the default plan (no runtime filter)
+    o = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    l = load_table(spark, SF_DIR, "lineitem")
+    want = {
+        (r.o_orderpriority, r.n)
+        for r in l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) == 1
