@@ -87,20 +87,27 @@ def cosine_topk(
 
 
 def label_centroids(
-    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """(label, centroid array<double>) — mean vector per cluster, computed
-    with posexplode + groupBy(label, dim): shuffle-parallel, never collects
-    vectors. The IVF coarse index."""
-    dims = embeddings.select(
-        F.col(label_col).alias("label"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
-    )
-    per_dim = dims.groupBy("label", "dim").agg(F.avg("x").alias("m"))
+    """(label, centroid array<double>) — mean vector per cluster as ONE wide
+    hash aggregate (dim avg columns reassembled into an array). The earlier
+    posexplode + groupBy(label, dim) form expanded rows×dim BEFORE the
+    shuffle; the wide form ships only k×dim map-side partials — at dim=1024
+    and 100 TB that is a ~dim× shuffle-volume cut. Never collects vectors.
+    The IVF coarse index."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).head()[0])
+    v = F.col(vec_col).cast("array<double>")
+    aggs = [F.avg(F.element_at(v, i + 1)).alias(f"_m{i}") for i in range(dim)]
     return (
-        per_dim.groupBy("label")
-        .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-        .select("label", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+        embeddings.groupBy(F.col(label_col).alias("label"))
+        .agg(*aggs)
+        .select(
+            "label", F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("centroid")
+        )
     )
 
 
@@ -469,18 +476,19 @@ def kmeans_iterate(
         .select(F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c"))
     )
     assigned = None
+    dim = len(embeddings.select(vec_col).head()[0])
     for _ in range(iters):
         assigned = kmeans_assign(ev, cents)
-        member_dims = (
-            ev.join(assigned, "vec_id")
-            .select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-        )
+        aggs = [
+            F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_m{i}") for i in range(dim)
+        ]
         cents = (
-            member_dims.groupBy("cluster")
-            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.transform("dm", lambda s: s["m"]).alias("c"))
+            ev.join(assigned, "vec_id")
+            .groupBy("cluster")
+            .agg(*aggs)
+            .select(
+                "cluster", F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("c")
+            )
         )
     return assigned
 
