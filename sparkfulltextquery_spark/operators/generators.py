@@ -138,20 +138,36 @@ def sentences_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.size(sents).alias("n_sentences"))
 
 
-@query("sentences_builtin", oracle=None)  # BreakIterator locale semantics are JVM-specific
+@query(
+    "sentences_builtin",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 AS BIGINT) AS n_sentences,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           text AS sentences_text
+    FROM documents WHERE doc_id < 100
+    """,
+)
 def sentences_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's locale-aware `sentences` SQL function itself
     (stringExpressions.scala:1393) — returns array<array<string>> of
-    sentence→words; rows-only check since BreakIterator behavior has no
-    DuckDB equivalent."""
+    sentence→words. BreakIterator locale semantics are JVM-specific in
+    general, but on this corpus they are fully determined: every document
+    is non-empty, single-space-separated, lowercase alphanumeric words with
+    no sentence terminators (verified at sf0.001/0.01/0.1), so en_US
+    BreakIterator yields exactly one sentence whose words are the
+    whitespace tokens and whose space-joined reconstruction is the original
+    text — all three statable in ANSI SQL for the oracle."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     sw = F.sentences(F.col("text"), F.lit("en"), F.lit("US"))
     # project flat scalars/strings (not array<array<string>>): the driver's
     # canonicalizer sorts columns through pandas, which cannot hash list cells
     return d.select(
         "doc_id",
-        F.size(sw).alias("n_sentences"),
-        F.aggregate(sw, F.lit(0), lambda acc, s: acc + F.size(s)).alias("n_words"),
+        F.size(sw).cast("long").alias("n_sentences"),
+        F.aggregate(sw, F.lit(0), lambda acc, s: acc + F.size(s))
+        .cast("long")
+        .alias("n_words"),
         F.array_join(
             F.transform(sw, lambda s: F.array_join(s, " ")), " | "
         ).alias("sentences_text"),
