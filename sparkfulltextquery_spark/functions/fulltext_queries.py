@@ -511,6 +511,37 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 @query(
+    "fulltext_bm25_search_indexed",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
+    SELECT doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+    FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def fulltext_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same BM25 top-10 as fulltext_bm25_search, answered from the PERSISTED
+    bucketed index: the query terms' postings come from bucket-pruned reads
+    (SelectedBucketsCount in the plan — tests/test_index.py), corpus stats
+    from the precomputed stats table; the corpus itself is never
+    re-tokenized. This is the benched headline path — the inline twin
+    remains the from-scratch oracle shape (reference bucketed reads,
+    DataFrameWriter.scala:170 + top-k limit.scala:114)."""
+    from sparkfulltextquery_spark.functions.index import bm25_search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return bm25_search_indexed(spark, " ".join(_BM25_QUERY_TERMS), k=10, table_prefix=prefix)
+
+
+@query(
     "fulltext_phrase_search_indexed",
     oracle=f"""
     WITH pos AS (

@@ -24,6 +24,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row — one bounded Spark job.
+    Raises (instead of TypeError on None) when the DataFrame is empty."""
+    row = embeddings.select(vec_col).head()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dimension: '{vec_col}' has no non-null rows"
+        )
+    return len(row[0])
+
+
 def dot_expr(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate — sequential left fold, same
     evaluation order as the DuckDB oracle's list_inner_product."""
@@ -99,7 +110,7 @@ def label_centroids(
     and 100 TB that is a ~dim× shuffle-volume cut. Never collects vectors.
     The IVF coarse index."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).head()[0])
+        dim = _infer_dim(embeddings, vec_col)
     v = F.col(vec_col).cast("array<double>")
     aggs = [F.avg(F.element_at(v, i + 1)).alias(f"_m{i}") for i in range(dim)]
     return (
@@ -311,11 +322,11 @@ def pq_codebook(
     (m·L rows) → always broadcast."""
     # L2-normalize before training: ADC then approximates COSINE (dot on
     # the unit sphere), not the norm-biased raw dot product
+    dim = _infer_dim(embeddings, vec_col)
     emb_n = embeddings.withColumn(
         vec_col, normalize_expr(F.col(vec_col).cast("array<double>"))
     )
-    cents = label_centroids(emb_n, label_col, vec_col)
-    dim = len(embeddings.select(vec_col).head()[0])
+    cents = label_centroids(emb_n, label_col, vec_col, dim=dim)
     sub = dim // m
     slices = F.array(*[F.slice("centroid", s * sub + 1, sub) for s in range(m)])
     return cents.select("label", F.posexplode(slices).alias("s", "csub"))
@@ -331,6 +342,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     label_col: str = "label",
     probe_labels: list | None = None,
+    literals: dict | None = None,
 ) -> DataFrame:
     """PQ-ADC shortlist + exact re-rank: vectors are L2-normalized and
     encoded as m small codes (argmin centroid per subspace); the query is
@@ -351,13 +363,8 @@ def pq_adc_topk(
     into the re-rank scan. At 100 TB codes are precomputed and stored (m
     bytes per vector instead of 4·dim) so the shortlist pass never reads
     the raw vectors — the classic IVF-PQ memory win."""
-    dim = len(query_vec)
-    sub = dim // m
-
-    # bounded collect: m·L codebook entries (corpus-size independent)
-    cb_rows = pq_codebook(embeddings, m, vec_col, label_col).collect()
-    labels = sorted({r["label"] for r in cb_rows})
-    cent = {(r["s"], r["label"]): [float(x) for x in r["csub"]] for r in cb_rows}
+    lit = literals if literals is not None else pq_train(embeddings, m, vec_col, label_col)
+    labels, cent, sub = lit["labels"], lit["cent"], lit["sub"]
 
     qnorm = sum(x * x for x in query_vec) ** 0.5 or 1.0
     qvec_n = [float(x) / qnorm for x in query_vec]
@@ -375,19 +382,23 @@ def pq_adc_topk(
     # Build encode+ADC as ONE generated SQL expression (F.expr): the
     # nested-lambda Column form costs thousands of py4j round trips at plan
     # build (~3s); a generated string parses JVM-side in one call.
-    # d2 via the expansion ||v_s||² − 2·v_s·c + ||c||², rounded to 6dp
-    # before the argmin (engine-portable tie-break: array_position returns
-    # the FIRST minimal index = lowest label).
+    # d2 as the direct sum of squared differences Σ(vᵢ−cᵢ)², summed in index
+    # order — the SAME arithmetic form (term values and addition order) as
+    # the DuckDB oracle, so the 6dp rounding before the argmin sees
+    # bit-identical inputs on both engines (a ||v||²−2vc+||c||² expansion
+    # can land on the other side of a rounding boundary). Tie-break:
+    # array_position returns the FIRST minimal index = lowest label.
     adc_terms = []
     for sp in range(m):
         idx = [sp * sub + j + 1 for j in range(sub)]
-        v2 = "(" + " + ".join(f"element_at(v,{i})*element_at(v,{i})" for i in idx) + ")"
         d2s = []
         for lab in labels:
             c = cent[(sp, lab)]
-            dot = " + ".join(f"element_at(v,{i})*({cj!r})" for i, cj in zip(idx, c))
-            c2 = sum(x * x for x in c)
-            d2s.append(f"round({v2} - 2*({dot}) + ({c2!r}), 6)")
+            ssd = " + ".join(
+                f"(element_at(v,{i})-({cj!r}))*(element_at(v,{i})-({cj!r}))"
+                for i, cj in zip(idx, c)
+            )
+            d2s.append(f"round({ssd}, 6)")
         d2s_arr = "array(" + ", ".join(d2s) + ")"
         lut = ", ".join(
             repr(
@@ -459,8 +470,10 @@ def kmeans_iterate(
 ) -> DataFrame:
     """Lloyd's K-means as pure DataFrame ops (reference analogue:
     mllib org.apache.spark.ml.clustering.KMeans) — deterministic init
-    (centroids = the k lowest-id vectors), `iters` unrolled
-    assign→update rounds, returns final (vec_id, cluster).
+    (centroids = the k lowest-id vectors via orderBy+limit, so any id
+    domain — non-contiguous, non-zero-based — seeds exactly k clusters,
+    labeled by seed vec_id), `iters` unrolled assign→update rounds,
+    returns final (vec_id, cluster).
 
     Scale shape per round: assignment = broadcast(k centroids) × scan +
     min(struct) hash-agg (no shuffle of the vectors beyond the agg);
@@ -472,11 +485,12 @@ def kmeans_iterate(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cents = (
-        ev.filter(F.col("vec_id") < k)
+        ev.orderBy("vec_id")
+        .limit(k)
         .select(F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c"))
     )
     assigned = None
-    dim = len(embeddings.select(vec_col).head()[0])
+    dim = _infer_dim(embeddings, vec_col)
     for _ in range(iters):
         assigned = kmeans_assign(ev, cents)
         aggs = [
@@ -493,6 +507,51 @@ def kmeans_iterate(
     return assigned
 
 
+def pq_train(
+    embeddings: DataFrame,
+    m: int = PQ_SUBSPACES,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> dict:
+    """Train the PQ/IVF structures in ONE Spark job: the normalized-space
+    label centroids (one wide hash aggregate, L-row bounded collect),
+    returned as plan literals. Everything the ANN stack needs derives from
+    this dict without touching the cluster again: full centroids (IVF probe
+    ranking — driver-side, k·dim floats), per-subspace codebook slices
+    (encode + ADC LUT), subspace width. The previous shape re-ran the
+    centroid aggregate once for the probe and once for the codebook (plus a
+    dim-inference head()) — 3 jobs per query — and is the reason the
+    registered PQ queries cost >6s at sf0.1."""
+    dim = _infer_dim(embeddings, vec_col)
+    emb_n = embeddings.withColumn(
+        vec_col, normalize_expr(F.col(vec_col).cast("array<double>"))
+    )
+    rows = label_centroids(emb_n, label_col, vec_col, dim=dim).collect()
+    labels = sorted(r["label"] for r in rows)
+    full = {r["label"]: [float(x) for x in r["centroid"]] for r in rows}
+    sub = dim // m
+    cent = {
+        (s, lab): full[lab][s * sub : (s + 1) * sub]
+        for lab in labels
+        for s in range(m)
+    }
+    return {"labels": labels, "full": full, "cent": cent, "sub": sub, "dim": dim, "m": m}
+
+
+def ivf_probe_labels(lit: dict, query_vec: list[float], n_probe: int) -> list:
+    """Top `n_probe` coarse clusters by rounded centroid·query dot — pure
+    driver-side arithmetic over the collected centroid literals (k·dim
+    floats), zero Spark jobs. Same 6dp-round + label-asc tie-break as the
+    DataFrame/oracle form; dots are left-to-right index-order sums, the
+    same IEEE sequence both engines evaluate."""
+    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
+    qv = [float(x) / qn for x in query_vec]
+    scored = sorted(
+        ((-round(sum(a * b for a, b in zip(lit["full"][lab], qv)), 6), lab) for lab in lit["labels"]),
+    )
+    return [lab for _, lab in scored[:n_probe]]
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -502,27 +561,33 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    literals: dict | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the full ANN stack — coarse probe (top `n_probe` clusters by
     centroid similarity, a bounded driver-side label list → partition
     pruning at scale), PQ-ADC shortlist WITHIN the probed clusters only,
     exact re-rank. The query touches n_probe/L of the codes and C raw
-    vectors; everything else is never read."""
-    emb_n = embeddings.withColumn(
-        vec_col, normalize_expr(F.col(vec_col).cast("array<double>"))
-    )
-    cents = label_centroids(emb_n, label_col, vec_col)
-    qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
-    qlit = F.array(*[F.lit(float(x) / qn) for x in query_vec])
-    probes = [
-        r["label"]
-        for r in cents.select(
-            "label", F.round(dot_expr(F.col("centroid"), qlit), 6).alias("d")
+    vectors; everything else is never read.
+
+    Pass `literals` (pq_train output) and `codes` (persisted pq_encode
+    table) to make the call plan-only: no training jobs, the shortlist
+    reads m ints/row from the pruned code partitions."""
+    lit = literals if literals is not None else pq_train(embeddings, m, vec_col, label_col)
+    probes = ivf_probe_labels(lit, query_vec, n_probe)
+    if codes is not None:
+        return pq_adc_topk_from_codes(
+            codes,
+            embeddings,
+            query_vec,
+            k=k,
+            m=m,
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col=label_col,
+            literals=lit,
+            probe_labels=probes,
         )
-        .orderBy(F.col("d").desc(), F.col("label"))
-        .limit(n_probe)
-        .collect()
-    ]
     return pq_adc_topk(
         embeddings,
         query_vec,
@@ -532,32 +597,32 @@ def ivfpq_topk(
         vec_col=vec_col,
         label_col=label_col,
         probe_labels=probes,
+        literals=lit,
     )
 
 
 def _pq_literals(embeddings, m, vec_col, label_col):
     """Collected codebook as plan literals: (labels sorted, {(s,label): csub},
-    sub_dim). Bounded m·L rows by construction."""
-    cb_rows = pq_codebook(embeddings, m, vec_col, label_col).collect()
-    labels = sorted({r["label"] for r in cb_rows})
-    cent = {(r["s"], r["label"]): [float(x) for x in r["csub"]] for r in cb_rows}
-    sub = len(next(iter(cent.values())))
-    return labels, cent, sub
+    sub_dim). Bounded m·L rows by construction. Thin view over pq_train."""
+    lit = pq_train(embeddings, m, vec_col, label_col)
+    return lit["labels"], lit["cent"], lit["sub"]
 
 
 def _pq_code_exprs(labels, cent, m, sub):
     """Per-subspace 1-based code expressions (same argmin/round/tie-break
-    as pq_adc_topk) over a normalized vector column `v`."""
+    and the same Σ(vᵢ−cᵢ)² arithmetic form as pq_adc_topk) over a
+    normalized vector column `v`."""
     codes = []
     for sp in range(m):
         idx = [sp * sub + j + 1 for j in range(sub)]
-        v2 = "(" + " + ".join(f"element_at(v,{i})*element_at(v,{i})" for i in idx) + ")"
         d2s = []
         for lab in labels:
             c = cent[(sp, lab)]
-            dot = " + ".join(f"element_at(v,{i})*({cj!r})" for i, cj in zip(idx, c))
-            c2 = sum(x * x for x in c)
-            d2s.append(f"round({v2} - 2*({dot}) + ({c2!r}), 6)")
+            ssd = " + ".join(
+                f"(element_at(v,{i})-({cj!r}))*(element_at(v,{i})-({cj!r}))"
+                for i, cj in zip(idx, c)
+            )
+            d2s.append(f"round({ssd}, 6)")
         arr = "array(" + ", ".join(d2s) + ")"
         codes.append(f"cast(array_position({arr}, array_min({arr})) as int)")
     return codes
@@ -569,12 +634,16 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    literals: dict | None = None,
 ) -> DataFrame:
     """(vec_id, label, codes array<int>) — the persistable PQ code table
     (m small ints per vector instead of 4·dim bytes). Stored partitioned
     by the coarse label, IVF-PQ queries prune to probed partitions and
     never read raw vectors until the re-rank."""
-    labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
+    if literals is None:
+        labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
+    else:
+        labels, cent, sub = literals["labels"], literals["cent"], literals["sub"]
     ev = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
@@ -596,14 +665,23 @@ def pq_adc_topk_from_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    literals: dict | None = None,
+    probe_labels: list | None = None,
 ) -> DataFrame:
     """ADC top-k from a PERSISTED code table: the shortlist pass reads only
     (vec_id, codes) — m ints/row — plus the literal LUT; raw vectors are
     touched only for the C-row re-rank. Mirrors pq_adc_topk exactly
-    (same codebook, rounding, tie-breaks)."""
-    labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
+    (same codebook, rounding, tie-breaks). With `probe_labels` the code
+    scan prunes to the probed label partitions (IVF-PQ)."""
+    if literals is None:
+        labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
+    else:
+        labels, cent, sub = literals["labels"], literals["cent"], literals["sub"]
     qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
     qvec_n = [float(x) / qn for x in query_vec]
+
+    if probe_labels is not None:
+        codes = codes.filter(F.col("label").isin(list(probe_labels)))
 
     adc_terms = []
     for sp in range(m):
@@ -626,7 +704,12 @@ def pq_adc_topk_from_codes(
         .limit(shortlist_k)
         .select("vec_id")
     )
-    ev = embeddings.select(
+    src = embeddings
+    if probe_labels is not None:
+        # prune the re-rank scan too — shortlist ids all come from probed
+        # clusters, so this only cuts bytes read, never results
+        src = src.filter(F.col(label_col).isin(list(probe_labels)))
+    ev = src.select(
         F.col(id_col).alias("vec_id"),
         normalize_expr(F.col(vec_col).cast("array<double>")).alias("v"),
     )

@@ -275,6 +275,32 @@ def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return _ANN_INDEX_CACHE[key]
 
 
+_PQ_INDEX_CACHE: dict = {}
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str):
+    """Train once per session+sf_dir: collect the codebook literals (ONE
+    centroid job) and persist the PQ code table partitioned by coarse label
+    (m ints/vector — the IVF-PQ storage layout). Registered PQ queries
+    consume this instead of re-training per call: a query is then pure
+    plan construction + one pruned code scan + the C-row re-rank."""
+    import tempfile
+
+    from sparkfulltextquery_spark.similarity import pq_encode, pq_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_INDEX_CACHE:
+        e = load_table(spark, sf_dir, "embeddings")
+        lit = pq_train(e)
+        out = tempfile.mkdtemp(prefix="sftq_pq_")
+        path = f"file://{out}/codes"
+        pq_encode(e, literals=lit).write.mode("overwrite").partitionBy(
+            "label"
+        ).parquet(path)
+        _PQ_INDEX_CACHE[key] = (lit, path)
+    return _PQ_INDEX_CACHE[key]
+
+
 @query(
     "sim_ivf_topk_indexed",
     oracle=f"""
@@ -363,7 +389,9 @@ def fulltext_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, s, label
       FROM (
         SELECT esub.vec_id, esub.s, cb.label,
-               round(list_distance(esub.vsub, cb.csub) ^ 2, 6) AS d2
+               round(list_sum(list_transform(range(1, 9),
+                     i -> (esub.vsub[i] - cb.csub[i]) * (esub.vsub[i] - cb.csub[i]))),
+                     6) AS d2
         FROM esub JOIN cb USING (s)
       )
       QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) = 1
@@ -391,28 +419,39 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast LUT into a 30-candidate shortlist, exact-cosine re-ranked —
     the memory-side scale path (m bytes per vector instead of 4·dim) that
     composes with IVF into IVF-PQ. Exact-oracle checkable because the
-    codebook is deterministic."""
-    from sparkfulltextquery_spark.similarity import pq_adc_topk
+    codebook is deterministic. Consumes the PERSISTED code table (built
+    once per session by ensure_pq_index): the query itself runs zero
+    training jobs — the shortlist scans m ints/row, raw vectors are read
+    only for the 30-row re-rank."""
+    from sparkfulltextquery_spark.similarity import pq_adc_topk_from_codes
 
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return pq_adc_topk(e, [float(x) for x in qvec], k=10)
+    lit, codes_path = ensure_pq_index(spark, sf_dir)
+    codes = spark.read.parquet(codes_path)
+    return pq_adc_topk_from_codes(
+        codes, e, [float(x) for x in qvec], k=10, literals=lit
+    )
 
 
 def _kmeans_duck(k: int = 8, iters: int = 2) -> str:
     """Unrolled Lloyd-iteration oracle mirroring similarity.kmeans_iterate:
-    same deterministic init (k lowest vec_ids), same 6dp-rounded squared-L2
-    argmin with cluster-asc tie-break, same per-dim mean update."""
+    same deterministic init (the k lowest-vec_id vectors via ORDER BY +
+    LIMIT, clusters labeled by seed vec_id), same 6dp-rounded squared-L2
+    argmin with cluster-asc tie-break — d2 as the index-order sum of
+    squared differences, the same IEEE addition sequence as the Spark
+    zip_with fold — same per-dim mean update."""
     sql = f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    c0 AS (SELECT vec_id::INT AS cluster, v AS c FROM e WHERE vec_id < {k})"""
+    c0 AS (SELECT vec_id::INT AS cluster, v AS c FROM e ORDER BY vec_id LIMIT {k})"""
     prev = "c0"
     for i in range(1, iters + 1):
         sql += f""",
     a{i} AS (
       SELECT vec_id, cluster FROM (
         SELECT e.vec_id, {prev}.cluster,
-               round(list_distance(e.v, {prev}.c) ^ 2, 6) AS d2
+               round(list_sum(list_transform(range(1, len(e.v) + 1),
+                     i -> (e.v[i] - {prev}.c[i]) * (e.v[i] - {prev}.c[i]))), 6) AS d2
         FROM e CROSS JOIN {prev}
       ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1
     )"""
@@ -483,7 +522,9 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, s, label
       FROM (
         SELECT esub.vec_id, esub.s, cb.label,
-               round(list_distance(esub.vsub, cb.csub) ^ 2, 6) AS d2
+               round(list_sum(list_transform(range(1, 9),
+                     i -> (esub.vsub[i] - cb.csub[i]) * (esub.vsub[i] - cb.csub[i]))),
+                     6) AS d2
         FROM esub JOIN cb USING (s)
       )
       QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, label) = 1
@@ -506,11 +547,17 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ capstone: coarse probe (2 clusters) → PQ-ADC shortlist within
-    the probed partitions → exact re-rank; at scale the probe is partition
-    pruning on the stored codes table and only C raw vectors are read."""
+    """IVF-PQ capstone: coarse probe (2 clusters, ranked driver-side from
+    the collected centroid literals — zero Spark jobs) → PQ-ADC shortlist
+    over the PROBED PARTITIONS of the persisted code table (directory-level
+    partition pruning) → exact re-rank of 30 raw vectors. The query reads
+    n_probe/L of the codes and C raw vectors; nothing is retrained."""
     from sparkfulltextquery_spark.similarity import ivfpq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return ivfpq_topk(e, [float(x) for x in qvec], k=10, n_probe=2)
+    lit, codes_path = ensure_pq_index(spark, sf_dir)
+    codes = spark.read.parquet(codes_path)
+    return ivfpq_topk(
+        e, [float(x) for x in qvec], k=10, n_probe=2, literals=lit, codes=codes
+    )
