@@ -196,25 +196,145 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
 
 
-def running_user_totals_tws(events: DataFrame) -> DataFrame:
-    """Per-user running totals via transformWithStateInPandas — the
-    next-generation arbitrary-stateful API (Spark 4.x) superseding
-    applyInPandasWithState above: named, typed state variables
-    (ValueState/ListState/MapState) on a StatefulProcessor with lifecycle
-    hooks and optional per-key timers/TTL, instead of one opaque state
-    tuple. Same reference lineage (DStream updateStateByKey/mapWithState,
-    PairDStreamFunctions.scala:397/380) — state is O(distinct users),
-    checkpoint-recoverable.
-    """
-    import pandas as pd
+class _CompatValueState:
+    """ValueState twin (get/exists/update/clear) for the portable
+    StatefulProcessor executor below."""
 
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
+    def __init__(self) -> None:
+        self._value = None
+
+    def exists(self) -> bool:
+        return self._value is not None
+
+    def get(self):
+        return self._value
+
+    def update(self, value) -> None:
+        self._value = tuple(value)
+
+    def clear(self) -> None:
+        self._value = None
+
+
+class _CompatHandle:
+    """StatefulProcessorHandle twin: registers named ValueState variables.
+    Field names are prefixed per state and packed into ONE flat GroupState
+    struct (plus a presence flag each, so clear() round-trips)."""
+
+    def __init__(self) -> None:
+        self.specs: list[tuple[str, str]] = []  # (name, schema) in reg. order
+        self.states: dict[str, _CompatValueState] = {}
+
+    def getValueState(self, name: str, schema: str, ttl_duration_ms=None):
+        if name not in self.states:
+            self.specs.append((name, schema))
+            self.states[name] = _CompatValueState()
+        return self.states[name]
+
+
+def transform_with_state(
+    events: DataFrame,
+    processor_factory,
+    group_keys: list[str],
+    output_struct: str,
+    output_mode: str = "update",
+    native: bool | None = None,
+) -> DataFrame:
+    """Run a transformWithStateInPandas-style StatefulProcessor (init with
+    named ValueState variables / handleInputRows / close — the Spark 4.x
+    successor of DStream updateStateByKey/mapWithState, reference
+    PairDStreamFunctions.scala:397/380) on WHICHEVER stateful engine the
+    cluster has:
+
+    - native=True  → ``transformWithStateInPandas`` (needs the protobuf
+      state-server runtime + RocksDB provider),
+    - native=False → a portable executor over ``applyInPandasWithState``:
+      the processor's named ValueStates are packed (with presence flags)
+      into the single flat GroupState struct, one fresh processor instance
+      per key-batch, identical per-key semantics and checkpoint recovery,
+    - native=None  → auto: native when protobuf is importable.
+
+    State stays O(distinct keys) either way; the executor adds no extra
+    shuffle — it IS applyInPandasWithState's plan."""
+    if native is None:
+        try:
+            import google.protobuf  # noqa: F401
+
+            native = True
+        except ImportError:
+            native = False
+
+    if native:
+        return events.groupBy(*group_keys).transformWithStateInPandas(
+            processor_factory(),
+            outputStructType=output_struct,
+            outputMode=output_mode.capitalize(),
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # dry init driver-side to learn the state layout (names + schemas)
+    probe = _CompatHandle()
+    processor_factory().init(probe)
+    specs = probe.specs
+    field_counts = []
+    state_fields = []
+    for name, schema in specs:
+        fields = [f.strip() for f in schema.split(",")]
+        field_counts.append(len(fields))
+        state_fields.append(f"{name}__set boolean")
+        state_fields.extend(f"{name}__{f}" for f in fields)
+    state_struct = ", ".join(state_fields)
+
+    def update(key, pdf_iter, state: GroupState):
+        proc = processor_factory()
+        handle = _CompatHandle()
+        proc.init(handle)
+        if state.exists:
+            flat = list(state.get)
+            pos = 0
+            for (name, _), n_fields in zip(specs, field_counts):
+                present, vals = flat[pos], flat[pos + 1 : pos + 1 + n_fields]
+                pos += 1 + n_fields
+                if present:
+                    handle.states[name].update(tuple(vals))
+        yield from proc.handleInputRows(key, pdf_iter, None)
+        flat_out: list = []
+        for (name, _), n_fields in zip(specs, field_counts):
+            st = handle.states[name]
+            if st.exists():
+                flat_out.append(True)
+                flat_out.extend(st.get())
+            else:
+                flat_out.append(False)
+                flat_out.extend([None] * n_fields)
+        state.update(tuple(flat_out))
+        getattr(proc, "close", lambda: None)()  # optional, as in the native API
+
+    return events.groupBy(*group_keys).applyInPandasWithState(
+        update,
+        outputStructType=output_struct,
+        stateStructType=state_struct,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
-    class RunningTotals(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
+
+def _running_totals_processor():
+    """StatefulProcessor computing per-user running (n_events, total) — the
+    processor passed to either transform_with_state engine."""
+    import pandas as pd
+
+    try:
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        base = StatefulProcessor
+    except ImportError:  # protobuf-less env: the API class itself imports it
+        base = object
+
+    class RunningTotals(base):  # type: ignore[misc, valid-type]
+        def init(self, handle) -> None:
             self._totals = handle.getValueState("totals", "n bigint, total double")
 
         def handleInputRows(self, key, rows, timerValues):
@@ -230,11 +350,23 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         def close(self) -> None:
             pass
 
-    return events.groupBy("user_id").transformWithStateInPandas(
-        RunningTotals(),
-        outputStructType="user_id bigint, n_events bigint, total double",
-        outputMode="Update",
-        timeMode="None",
+    return RunningTotals
+
+
+def running_user_totals_tws(events: DataFrame, native: bool | None = None) -> DataFrame:
+    """Per-user running totals through the StatefulProcessor API (named,
+    typed state variables with lifecycle hooks — the next-gen form of
+    running_user_totals above). Engine selected by `native` / auto-detect:
+    transformWithStateInPandas where the protobuf runtime exists, the
+    portable applyInPandasWithState executor otherwise — same semantics,
+    same checkpoint recovery, state O(distinct users) either way."""
+    return transform_with_state(
+        events,
+        _running_totals_processor(),
+        group_keys=["user_id"],
+        output_struct="user_id bigint, n_events bigint, total double",
+        output_mode="update",
+        native=native,
     )
 
 

@@ -136,6 +136,67 @@ def test_rate_source_liveness(spark, tmp_path):
         q.stop()
 
 
+def test_socket_source_wordcount(spark):
+    """Socket source end-to-end (reference execution/streaming/socket.scala:47
+    TextSocketSource): a local TCP server feeds lines, the stream tokenizes
+    and aggregates them, complete-mode memory sink converges to the full
+    word count. This is the network-ingest stand-in the sandbox allows —
+    the Kafka connector boundary is documented in README/SCALE.md."""
+    import socket
+    import threading
+    import time
+
+    lines = ["spark join batch", "batch window", "spark batch"]
+    want = {"spark": 2, "join": 1, "batch": 3, "window": 1}
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            done.wait(30)  # keep the connection open until the query stops
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    counts = (
+        stream.select(F.explode(F.split("value", " ")).alias("tok"))
+        .groupBy("tok")
+        .count()
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("sockq")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        got: dict = {}
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = {r.tok: r["count"] for r in spark.table("sockq").collect()}
+            if got == want:
+                break
+            time.sleep(0.5)
+        assert got == want, got
+    finally:
+        done.set()
+        q.stop()
+        server.close()
+
+
 def test_foreach_batch_sink(spark, tmp_path):
     """foreachBatch sink (reference ForeachSink, execution/streaming/
     ForeachSink.scala:32): arbitrary per-microbatch logic — here writing
@@ -341,22 +402,22 @@ def _has_protobuf() -> bool:
         return False
 
 
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithStateInPandas needs protobuf (PySpark's state-server "
-    "protocol) — not installed in this environment",
-)
 def test_transform_with_state_across_restarts(spark, tmp_path):
-    """transformWithStateInPandas (next-gen stateful API): same recovery
-    contract as applyInPandasWithState — per-user ValueState accumulates
-    across two checkpointed runs and matches the batch aggregate. Needs the
-    RocksDB state store provider (required by transformWithState) + protobuf."""
+    """StatefulProcessor API (named ValueState, init/handleInputRows/close —
+    the transformWithStateInPandas programming model): per-user state
+    accumulates across two checkpointed runs and matches the batch
+    aggregate. Engine auto-selects: native transformWithStateInPandas where
+    the protobuf runtime exists (it also needs the RocksDB provider), else
+    the portable applyInPandasWithState executor
+    (streaming.transform_with_state) — the recovery contract under test is
+    engine-independent."""
     from sparkfulltextquery_spark.streaming import running_user_totals_tws
 
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    if _has_protobuf():
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
     ev = _events(spark)
     src = f"file://{tmp_path}/twsrc"
     ckpt = f"file://{tmp_path}/twckpt"
@@ -388,6 +449,84 @@ def test_transform_with_state_across_restarts(spark, tmp_path):
     for u, (n, t) in got.items():
         assert (n, t) == want[u], (u, (n, t), want[u])
     assert len(got) > 0
+
+
+def test_transform_with_state_multi_state_and_clear(spark, tmp_path):
+    """The portable StatefulProcessor executor must round-trip MULTIPLE named
+    ValueStates through the packed GroupState struct, including a clear():
+    state `hi` records the running max value but is cleared every batch in
+    which the running count crosses a multiple of 100 — a cleared state
+    must read back as absent in the NEXT batch (presence flags persist)."""
+    import pandas as pd
+
+    from sparkfulltextquery_spark.streaming import transform_with_state
+
+    def processor_factory():
+        class TwoStates:
+            def init(self, handle):
+                self._n = handle.getValueState("n", "n bigint")
+                self._hi = handle.getValueState("hi", "hi double")
+
+            def handleInputRows(self, key, rows, timerValues):
+                n = self._n.get()[0] if self._n.exists() else 0
+                hi_seen = self._hi.exists()
+                hi = self._hi.get()[0] if hi_seen else float("-inf")
+                for pdf in rows:
+                    n += len(pdf)
+                    hi = max(hi, float(pdf["value"].max()))
+                self._n.update((n,))
+                if n % 100 == 0:
+                    self._hi.clear()
+                else:
+                    self._hi.update((hi,))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n": [n],
+                        "hi_was_present": [hi_seen],
+                        "hi": [hi],
+                    }
+                )
+
+        return TwoStates
+
+    ev = _events(spark).filter(F.col("user_id") == 1)
+    src = f"file://{tmp_path}/mssrc"
+    ckpt = f"file://{tmp_path}/msckpt"
+    outs = []
+
+    def run(tag):
+        out = f"file://{tmp_path}/msout{tag}"
+        outs.append(out)
+
+        def sink(bdf, bid):
+            bdf.write.mode("append").parquet(out)
+
+        s = transform_with_state(
+            spark.readStream.schema(ev.schema).parquet(src),
+            processor_factory(),
+            group_keys=["user_id"],
+            output_struct="user_id bigint, n bigint, hi_was_present boolean, hi double",
+            native=False,
+        )
+        q = (
+            s.writeStream.foreachBatch(sink).outputMode("update")
+            .option("checkpointLocation", ckpt).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    _write_chunk(ev, src, F.col("event_id") < 500)
+    r1 = run(1)
+    _write_chunk(ev, src, F.col("event_id") >= 500)
+    r2 = run(2)
+
+    assert len(r1) == 1 and len(r2) == 1
+    n1, n2 = r1[0].n, r2[0].n
+    # count state accumulated across the restart
+    assert n2 == ev.count() and n1 < n2
+    # `hi` presence in run 2 reflects whether run 1 cleared it (n1 % 100)
+    assert r2[0].hi_was_present == (n1 % 100 != 0)
 
 
 def test_incremental_rollup_dynamic_partition_overwrite(spark, tmp_path):
