@@ -59,6 +59,17 @@ def test_topk_plans_as_bounded_heap(spark):
         assert not has_operator(df, "GlobalLimit [0-9]*\n +Sort"), name
 
 
+def test_benched_bm25_indexed_prunes_buckets(spark):
+    """The benched headline BM25 row (the indexed path) must read the query
+    terms' postings via bucket pruning — SelectedBucketsCount in the scan —
+    and still top-k as a bounded heap. This is the plan the bench number
+    stands on; losing the pruning silently reverts to a full postings scan."""
+    df = _q(spark, "fulltext_bm25_search_indexed")
+    plan = physical_plan(df)
+    assert "SelectedBucketsCount" in plan, plan
+    assert uses_top_k(df)
+
+
 def test_no_cartesian_in_equijoins(spark):
     for name in ("join_inner_broadcast", "join_using_natural", "dedup_minhash_pairs"):
         df = _q(spark, name)
