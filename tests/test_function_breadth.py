@@ -1,7 +1,9 @@
 """Long-tail §2.8 function sweep: every expression here must parse, run, and
 return the expected literal — one projection, evaluated once. Complements
-the oracle-checked family queries by pinning ~50 more registry functions
-(reference FunctionRegistry.scala:160-395)."""
+the oracle-checked family queries with ~290 registry-function pins
+(reference FunctionRegistry.scala:160-395; built by diffing SHOW FUNCTIONS
+against the repo's coverage, the cheap increment toward the reference's
+HiveCompatibilitySuite golden breadth)."""
 
 from __future__ import annotations
 
@@ -192,6 +194,314 @@ CASES = [
 
 @pytest.mark.parametrize("expr,expected", CASES, ids=[c[0][:40] for c in CASES])
 def test_function_tail(spark, expr, expected):
+    v = spark.sql(f"SELECT {expr} AS v").head().v
+    if callable(expected):
+        assert expected(v), f"{expr} -> {v!r}"
+    elif isinstance(expected, float):
+        assert v == pytest.approx(expected), f"{expr} -> {v!r}"
+    else:
+        assert v == expected, f"{expr} -> {v!r}"
+
+
+# Round-3 session-2 sweep: the remaining FunctionRegistry tail surfaced by
+# diffing SHOW FUNCTIONS against the repo — operators, hyperbolic tail,
+# WITHIN GROUP ordered-set aggregates, the DataSketches KLL/theta families,
+# variant, TIME type and geospatial (both behind runtime feature flags),
+# try_* arithmetic, and the approx_top_k family. Aggregates and generators
+# pin through scalar subqueries so the harness stays one-projection.
+CASES_R3 = [
+    # operators / comparisons
+    ("1 != 2", True),
+    ("3 <> 4", True),
+    ("NULL <=> NULL", True),
+    ("1 <= 1", True),
+    ("2 >= 3", False),
+    ("1 << 3", 8),
+    ("16 >> 2", 4),
+    ("(-1) >>> 60", 15),
+    ("~0", -1),
+    # hyperbolic / trig tail
+    ("acosh(1.0)", 0.0),
+    ("asinh(0.0)", 0.0),
+    ("atanh(0.0)", 0.0),
+    ("sec(0.0)", 1.0),
+    ("round(csc(radians(90)), 6)", 1.0),
+    # aggregate tail via scalar subqueries
+    ("(SELECT any_value(x) FROM VALUES (7) t(x))", 7),
+    ("(SELECT array_agg(x) FROM VALUES (1) t(x))", [1]),
+    ("(SELECT bit_and(x) FROM VALUES (3), (5) t(x))", 1),
+    ("(SELECT bit_or(x) FROM VALUES (3), (5) t(x))", 7),
+    ("(SELECT bit_xor(x) FROM VALUES (3), (5) t(x))", 6),
+    (
+        "(SELECT bitmap_count(bitmap_and_agg(b)) FROM (SELECT "
+        "bitmap_construct_agg(bitmap_bit_position(x)) b FROM VALUES (1),(2) "
+        "t(x) GROUP BY x))",
+        0,
+    ),
+    (
+        "(SELECT approx_percentile(x, 0.5) FROM VALUES (double(1.0)),"
+        "(double(2.0)),(double(3.0)) t(x))",
+        2.0,
+    ),
+    (
+        "(SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM VALUES "
+        "('b'),('a') t(x))",
+        "a,b",
+    ),
+    (
+        "(SELECT percentile_cont(0.5) WITHIN GROUP (ORDER BY x) FROM VALUES "
+        "(double(1.0)),(double(2.0)) t(x))",
+        1.5,
+    ),
+    (
+        "(SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) FROM VALUES "
+        "(double(1.0)),(double(2.0)) t(x))",
+        1.0,
+    ),
+    ("(SELECT round(var_pop(x), 6) FROM VALUES (double(1.0)),(double(3.0)) t(x))", 1.0),
+    (
+        "(SELECT round(regr_avgx(y, x), 6) FROM VALUES (double(1.0), double(2.0)),"
+        "(double(3.0), double(4.0)) t(x, y))",
+        2.0,
+    ),
+    (
+        "(SELECT round(regr_avgy(y, x), 6) FROM VALUES (double(1.0), double(2.0)),"
+        "(double(3.0), double(4.0)) t(x, y))",
+        3.0,
+    ),
+    (
+        "(SELECT round(regr_sxx(y, x), 6) FROM VALUES (double(1.0), double(2.0)),"
+        "(double(3.0), double(4.0)) t(x, y))",
+        2.0,
+    ),
+    (
+        "(SELECT round(regr_syy(y, x), 6) FROM VALUES (double(1.0), double(2.0)),"
+        "(double(3.0), double(4.0)) t(x, y))",
+        2.0,
+    ),
+    (
+        "(SELECT round(regr_sxy(y, x), 6) FROM VALUES (double(1.0), double(2.0)),"
+        "(double(3.0), double(4.0)) t(x, y))",
+        2.0,
+    ),
+    ("(SELECT try_avg(x) FROM VALUES (double(1.0)),(double(3.0)) t(x))", 2.0),
+    ("(SELECT try_sum(x) FROM VALUES (1),(2) t(x))", 3),
+    # DataSketches: HLL union, theta set algebra, KLL quantiles
+    (
+        "cast(hll_sketch_estimate(hll_union((SELECT hll_sketch_agg(id) FROM "
+        "range(5)), (SELECT hll_sketch_agg(id) FROM range(3, 8)))) as bigint)",
+        8,
+    ),
+    (
+        "cast(theta_sketch_estimate(theta_union((SELECT theta_sketch_agg(id) "
+        "FROM range(5)), (SELECT theta_sketch_agg(id) FROM range(3, 8)))) as bigint)",
+        8,
+    ),
+    (
+        "cast(theta_sketch_estimate(theta_intersection((SELECT "
+        "theta_sketch_agg(id) FROM range(5)), (SELECT theta_sketch_agg(id) "
+        "FROM range(3, 8)))) as bigint)",
+        2,
+    ),
+    (
+        "cast(theta_sketch_estimate(theta_difference((SELECT "
+        "theta_sketch_agg(id) FROM range(5)), (SELECT theta_sketch_agg(id) "
+        "FROM range(3, 8)))) as bigint)",
+        3,
+    ),
+    (
+        "cast(theta_sketch_estimate((SELECT theta_union_agg(s) FROM (SELECT "
+        "theta_sketch_agg(id) s FROM range(5) UNION ALL SELECT "
+        "theta_sketch_agg(id) FROM range(3, 8)))) as bigint)",
+        8,
+    ),
+    (
+        "cast(theta_sketch_estimate((SELECT theta_intersection_agg(s) FROM "
+        "(SELECT theta_sketch_agg(id) s FROM range(5) UNION ALL SELECT "
+        "theta_sketch_agg(id) FROM range(3, 8)))) as bigint)",
+        2,
+    ),
+    ("(SELECT kll_sketch_get_n_bigint(kll_sketch_agg_bigint(id)) FROM range(100))", 100),
+    (
+        "(SELECT kll_sketch_get_quantile_bigint(kll_sketch_agg_bigint(id), 0.0) "
+        "FROM range(100))",
+        0,
+    ),
+    (
+        "(SELECT round(kll_sketch_get_rank_double(kll_sketch_agg_double("
+        "cast(id as double)), 99.0), 2) FROM range(100))",
+        1.0,  # inclusive rank of the max value
+    ),
+    (
+        "(SELECT kll_sketch_get_n_float(kll_sketch_agg_float(cast(id as float))) "
+        "FROM range(10))",
+        10,
+    ),
+    (
+        "kll_sketch_get_n_bigint(kll_sketch_merge_bigint((SELECT "
+        "kll_sketch_agg_bigint(id) FROM range(5)), (SELECT "
+        "kll_sketch_agg_bigint(id) FROM range(5))))",
+        10,
+    ),
+    (
+        "(SELECT kll_sketch_get_n_bigint(kll_merge_agg_bigint(s)) FROM (SELECT "
+        "kll_sketch_agg_bigint(id) s FROM range(5) UNION ALL SELECT "
+        "kll_sketch_agg_bigint(id) FROM range(7)))",
+        12,
+    ),
+    # string/char tail
+    ("character_length('abc')", 3),
+    ("rpad('ab', 4, 'x')", "abxx"),
+    ("quote('ab')", "'ab'"),
+    ("length(sha('x'))", 40),
+    ("regexp_like('abc', 'b')", True),
+    ("is_valid_utf8('a')", True),
+    ("make_valid_utf8('a')", "a"),
+    ("validate_utf8('a')", "a"),
+    ("try_validate_utf8('a')", "a"),
+    ("length(randstr(5, 0))", 5),
+    ("randn(0) IS NOT NULL", True),
+    ("typeof(smallint(7))", "smallint"),
+    ("typeof(tinyint(7))", "tinyint"),
+    ("nullifzero(0)", None),
+    ("zeroifnull(cast(NULL as int))", 0),
+    ("to_varchar(123.45, '999.99')", "123.45"),
+    ("to_xml(named_struct('a', 1))", lambda v: "<a>1</a>" in v),
+    # datetime tail
+    ("date_diff(date'2024-01-10', date'2024-01-03')", 7),
+    ("date_sub(date'2024-01-10', 9)", lambda v: str(v) == "2024-01-01"),
+    ("dayname(date'2024-01-07')", "Sun"),
+    ("monthname(date'2024-01-07')", "Jan"),
+    ("curdate() IS NOT NULL", True),
+    ("current_timestamp() IS NOT NULL", True),
+    ("localtimestamp() IS NOT NULL", True),
+    ("current_timezone()", "UTC"),
+    ("current_user() IS NOT NULL", True),
+    ("session_user() IS NOT NULL", True),
+    (
+        "cast(convert_timezone('UTC', 'UTC', timestamp_ntz'2024-01-02 03:04:05') "
+        "as string)",
+        "2024-01-02 03:04:05",
+    ),
+    (
+        "cast(make_timestamp_ltz(2024, 1, 2, 3, 4, 5.0) as string)",
+        "2024-01-02 03:04:05",
+    ),
+    (
+        "cast(make_timestamp_ntz(2024, 1, 2, 3, 4, 5.0) as string)",
+        "2024-01-02 03:04:05",
+    ),
+    ("cast(try_make_timestamp(2024, 2, 30, 0, 0, 0.0) as string)", None),
+    ("cast(try_make_timestamp_ltz(2024, 2, 30, 0, 0, 0.0) as string)", None),
+    ("cast(try_make_timestamp_ntz(2024, 2, 30, 0, 0, 0.0) as string)", None),
+    ("cast(make_interval(0, 0, 0, 1, 2, 3, 4.5) as string)", lambda v: "1 days" in v),
+    (
+        "cast(try_make_interval(2147483647, 2147483647, 0, 0, 0, 0, 0.0) as string)",
+        None,
+    ),
+    (
+        "cast(timestamp_millis(1000) as string)",
+        lambda v: v.startswith("1970-01-01 00:00:01"),
+    ),
+    ("unix_seconds(timestamp'1970-01-02 00:00:00Z')", 86400),
+    ("cast(to_timestamp('2024-01-02 03:04:05') as string)", "2024-01-02 03:04:05"),
+    ("cast(to_timestamp_ltz('2024-01-02 03:04:05') as string)", "2024-01-02 03:04:05"),
+    ("cast(to_timestamp_ntz('2024-01-02 03:04:05') as string)", "2024-01-02 03:04:05"),
+    ("cast(try_to_date('nope') as string)", None),
+    ("try_to_number('x', '999')", None),
+    # TIME type family (runtime feature flag, set in the test)
+    ("cast(make_time(12, 30, 45) as string)", "12:30:45"),
+    ("cast(to_time('12:30:45') as string)", "12:30:45"),
+    ("cast(try_to_time('bad') as string)", None),
+    ("cast(time_trunc('HOUR', time'12:30:45') as string)", "12:00:00"),
+    ("time_diff('HOUR', time'01:00:00', time'03:00:00')", 2),
+    ("current_time() IS NOT NULL", True),
+    # try_* arithmetic tail
+    ("try_mod(1, 0)", None),
+    ("try_multiply(9223372036854775807, 2)", None),
+    ("try_subtract(-9223372036854775808, 1)", None),
+    ("try_parse_url('https://h/p', 'HOST')", "h"),
+    ("try_url_decode('%zz')", None),
+    ("try_to_binary('zz', 'hex')", None),
+    # collections / variant / json
+    ("map_contains_key(map('a', 1), 'a')", True),
+    ("map_from_arrays(array('a'), array(1))['a']", 1),
+    ("(SELECT count(*) FROM (SELECT posexplode_outer(cast(NULL as array<int>))))", 1),
+    (
+        "(SELECT count(*) FROM (SELECT inline_outer(array(named_struct('a', 1), "
+        "named_struct('a', 2)))))",
+        2,
+    ),
+    ("(SELECT count(*) FROM (SELECT json_tuple('{\"a\": 1, \"b\": 2}', 'a', 'b')))", 1),
+    ("cast(try_parse_json('{nope') as string)", None),
+    ("is_variant_null(parse_json('null'))", True),
+    ("schema_of_variant(parse_json('1'))", "BIGINT"),
+    ("cast(try_variant_get(parse_json('{\"a\": 1}'), '$.a') as int)", 1),
+    ("cast(to_variant_object(named_struct('a', 1)) as string)", '{"a":1}'),
+    ("(SELECT count(*) FROM variant_explode(parse_json('[1, 2, 3]')))", 3),
+    ("(SELECT count(*) FROM variant_explode_outer(parse_json('1')))", 1),
+    ("(SELECT schema_of_variant_agg(v) FROM (SELECT parse_json('1') v))", "BIGINT"),
+    # xpath numeric family
+    ("xpath_double('<a><b>1</b><b>2</b></a>', 'sum(a/b)')", 3.0),
+    ("xpath_float('<a><b>1</b></a>', 'sum(a/b)')", 1.0),
+    ("xpath_long('<a><b>2</b></a>', 'sum(a/b)')", 2),
+    ("xpath_number('<a><b>4</b></a>', 'sum(a/b)')", 4.0),
+    ("xpath_short('<a><b>5</b></a>', 'sum(a/b)')", 5),
+    # metadata / misc
+    ("input_file_block_length()", -1),
+    ("input_file_block_start()", -1),
+    ("(SELECT count(*) > 100 FROM sql_keywords())", True),
+    # approx_top_k family (accumulate/combine/estimate = the mergeable form)
+    ("(SELECT approx_top_k(x)[0].item FROM VALUES ('a'),('a'),('b') t(x))", "a"),
+    (
+        "(SELECT approx_top_k_estimate(approx_top_k_accumulate(x))[0].item "
+        "FROM VALUES ('a'),('a'),('b') t(x))",
+        "a",
+    ),
+    (
+        "(SELECT approx_top_k_estimate(approx_top_k_combine(s))[0].item FROM "
+        "(SELECT approx_top_k_accumulate(x) s FROM VALUES ('a'),('a') t(x) "
+        "UNION ALL SELECT approx_top_k_accumulate(y) FROM VALUES ('b') t(y)))",
+        "a",
+    ),
+    # geospatial ST_ family (runtime feature flag, set in the test)
+    (
+        "st_srid(st_setsrid(st_geomfromwkb("
+        "X'010100000000000000000000000000000000000000'), 4326))",
+        4326,
+    ),
+    (
+        "st_asbinary(st_geomfromwkb("
+        "X'010100000000000000000000000000000000000000')) IS NOT NULL",
+        True,
+    ),
+    (
+        "st_geogfromwkb(X'010100000000000000000000000000000000000000') IS NOT NULL",
+        True,
+    ),
+    # streaming window metadata
+    (
+        "(SELECT cast(window_time(window) as string) FROM (SELECT window, "
+        "count(*) FROM VALUES (timestamp'2024-01-01 00:00:30') t(ts) GROUP BY "
+        "window(ts, '1 minute')))",
+        lambda v: v.startswith("2024-01-01 00:00:59"),
+    ),
+    # AES round trip
+    (
+        "cast(aes_decrypt(aes_encrypt('hi', '0000111122223333', 'ECB'), "
+        "'0000111122223333', 'ECB') as string)",
+        "hi",
+    ),
+    ("cast(try_aes_decrypt(X'00', '0000111122223333', 'ECB') as string)", None),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES_R3, ids=[c[0][:40] for c in CASES_R3])
+def test_function_tail_r3(spark, expr, expected):
+    # TIME type and geospatial ship feature-flagged in Spark 4.1; both flags
+    # are runtime-settable (verified) — flip them for this sweep
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    spark.conf.set("spark.sql.geospatial.enabled", "true")
     v = spark.sql(f"SELECT {expr} AS v").head().v
     if callable(expected):
         assert expected(v), f"{expr} -> {v!r}"
