@@ -15,18 +15,19 @@ FLAGSHIPS = {
     "q5_local_supplier_volume": "relational spine: pushdown + broadcast dims + partial/final agg",
     "q3_shipping_priority": "top-k: TakeOrderedAndProject bounded heap, no global sort",
     "q21_suppliers_kept_waiting": "EXISTS/NOT EXISTS as LeftSemi + LeftAnti self-joins",
-    "fulltext_bm25_search": "posting semi-join + broadcast stats + top-k heap",
+    "fulltext_bm25_search_indexed": "benched BM25: bucket-pruned persisted postings + top-k heap",
+    "fulltext_bm25_search": "inline twin: posting semi-join + broadcast stats + top-k heap",
     "dedup_minhash_pairs": "LSH banding: no cartesian anywhere; candidates-only verify join",
     "pipeline_training_data": "capstone: 3 shuffles total; everything else broadcast/row-local",
     "sim_ivf_topk_indexed": "persisted ANN index: PartitionFilters prune to probed clusters",
     "dedup_incremental_minhash": "delta probes persisted band-key store; corpus never re-hashed",
     "curation_quality_classifier": "model as plan literals: no UDF, no broadcast, 2 shuffles",
     "curation_boilerplate_ngrams": "gram shuffle + multi-distinct expand + bounded top-k heap",
-    "sim_pq_adc_topk": "PQ-ADC: literal codebook in codegen, zero encode joins, C-bounded heap + broadcast re-rank",
+    "sim_pq_adc_topk": "PQ-ADC from the persisted code table: literal LUT in codegen, C-bounded heap + broadcast re-rank",
     "cdc_latest_wins": "latest-wins compaction: partial+final hash agg, no window sort",
     "merge_upsert_customer_stats": "MERGE rewrite: pre-aggregated sides, single key join",
     "fulltext_bm25f_weighted": "BM25F: field explode stays map-side until the single tf shuffle",
-    "sim_ivfpq_topk": "IVF-PQ: probe prune + literal-codebook ADC + broadcast re-rank",
+    "sim_ivfpq_topk": "IVF-PQ: driver-side probe -> partition-pruned code scan -> ADC -> broadcast re-rank",
     "graph_pagerank_nations": "PageRank: per-iteration edge join + dst agg, no cartesian",
 }
 
