@@ -236,13 +236,27 @@ def local_scan_union_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sample_fraction",
-    oracle=None,  # Bernoulli sampling is engine-specific; rows-only check.
+    oracle="SELECT true AS sample_in_bounds, true AS keys_unique",
 )
 def sample_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SampleExec (reference basicPhysicalOperators.scala:229): Bernoulli
-    sample with a fixed seed — deterministic within Spark, not across engines."""
+    sample with a fixed seed — deterministic within Spark, not across
+    engines, so the driver-checked output is the sampling CONTRACT: the
+    sample size concentrates around fraction·N (bounds [0.04, 0.16]·N are
+    >7σ at the smallest SF) and sampled keys are source keys, unique. The
+    per-row sample remains exercised — the invariants aggregate it."""
     o = load_table(spark, sf_dir, "orders")
-    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+    s = o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+    stats = s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+    total = o.agg(F.count(F.lit(1)).alias("n_total"))
+    return stats.crossJoin(total).select(
+        ((F.col("n_sampled") >= 0.04 * F.col("n_total"))
+         & (F.col("n_sampled") <= 0.16 * F.col("n_total"))).alias("sample_in_bounds"),
+        (F.col("n_keys") == F.col("n_sampled")).alias("keys_unique"),
+    )
 
 
 @query(

@@ -92,14 +92,32 @@ def fn_string_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_string_spark_only", oracle=None)  # soundex/initcap/format semantics differ
+@query(
+    "fn_string_spark_only",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(
+             list_transform(string_split(p_type, ' '),
+                            w -> upper(w[1:1]) || lower(w[2:])), ' ') AS icap,
+           format('{:,}', cast(round(p_retailprice * 100) as bigint) // 100)
+             || '.' ||
+             lpad((cast(round(p_retailprice * 100) as bigint) % 100)::VARCHAR,
+                  2, '0')                                             AS fmt,
+           base64(encode(p_brand))                                    AS b64,
+           'example.com'                                              AS host
+    FROM part
+    """,
+)
 def fn_string_spark_only(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SoundEx:1104 (phonetic match), InitCap:930, FormatNumber:1270,
-    Base64:1157, ParseUrl:709 — no cross-engine oracle, rows-only."""
+    """InitCap:930, FormatNumber:1270, Base64:1157, ParseUrl:709 — DuckDB
+    lacks direct twins, so the oracle REBUILDS each semantics from
+    primitives (per-word capitalize, {:,.2f} grouping format, blob base64,
+    constant host) — exact value checks. SoundEx:1104 has no reasonable
+    SQL rebuild; it is literal-pinned in tests/test_function_breadth.py
+    instead."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
-        F.soundex("p_name").alias("sdx"),
         F.initcap("p_type").alias("icap"),
         F.format_number(F.col("p_retailprice"), 2).alias("fmt"),
         F.base64(F.encode(F.col("p_brand"), "utf-8")).alias("b64"),
@@ -261,20 +279,48 @@ def fn_hash_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_hash_partition", oracle=None)  # murmur3/xxhash/ids are engine-specific
+@query(
+    "fn_hash_partition",
+    oracle="""
+    SELECT CAST(100 AS BIGINT) AS n_rows,
+           true AS m3_injective,
+           true AS xx64_injective,
+           true AS crc_in_u32,
+           true AS mid_unique,
+           true AS pid_nonneg,
+           true AS fnames_from_source
+    FROM (SELECT 1)
+    """,
+)
 def fn_hash_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-internal hashes + id/metadata functions: Murmur3Hash
     (misc.scala:443 → F.hash), XxHash64 (:527), Crc32 (:164),
-    MonotonicallyIncreasingID, SparkPartitionID, InputFileName."""
+    MonotonicallyIncreasingID, SparkPartitionID, InputFileName. Hash values
+    are engine-specific, so the driver-checked output is their CONTRACTS on
+    this fixed corpus: both hashes are injective over the 100 distinct
+    texts (deterministic for fixed data; collisions would need ~2³² texts),
+    crc32 lands in unsigned-32 range, monotonic ids are globally unique,
+    partition ids are non-negative, and every input_file_name points at the
+    documents parquet."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return d.select(
+    h = d.select(
         "doc_id",
+        "text",
         F.hash("text").alias("murmur3"),
         F.xxhash64("text").alias("xx64"),
         F.crc32(F.encode(F.col("text"), "utf-8")).alias("crc"),
         F.monotonically_increasing_id().alias("mid"),
         F.spark_partition_id().alias("pid"),
         F.input_file_name().alias("fname"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct("murmur3") == F.countDistinct("text")).alias("m3_injective"),
+        (F.countDistinct("xx64") == F.countDistinct("text")).alias("xx64_injective"),
+        F.bool_and((F.col("crc") >= 0) & (F.col("crc") < 2**32)).alias("crc_in_u32"),
+        (F.countDistinct("mid") == F.count(F.lit(1))).alias("mid_unique"),
+        F.bool_and(F.col("pid") >= 0).alias("pid_nonneg"),
+        F.bool_and(F.col("fname").contains("documents")).alias("fnames_from_source"),
     )
 
 

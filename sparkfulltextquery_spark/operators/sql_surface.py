@@ -162,9 +162,14 @@ def sqlt_values_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_VALUES_ARITH_SQL)
 
 
-@query("sqlt_xpath", oracle=None)  # DuckDB has no xpath — rows-only
+@query(
+    "sqlt_xpath",
+    oracle="SELECT 'hello' AS s, 7 AS i, 'x,y' AS arr, true AS bool",
+)
 def sqlt_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xpath_* family (reference expressions/xml/, registry :305-314)."""
+    """xpath_* family (reference expressions/xml/, registry :305-314).
+    DuckDB has no xpath, but the inputs are constants, so the oracle states
+    the expected values as literals — a real value check, not rows-only."""
     return spark.sql(
         """
         SELECT xpath_string('<a><b>hello</b></a>', '/a/b')          AS s,
@@ -177,30 +182,62 @@ def sqlt_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stat_freq_sample", oracle=None)  # approximate/sampling — rows-only
+@query(
+    "stat_freq_sample",
+    oracle="""
+    SELECT true AS freq_has_all_heavy,
+           true AS sample_in_bounds,
+           true AS quantiles_within_eps
+    FROM (SELECT 1)
+    """,
+)
 def stat_freq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.stat surface: freqItems + sampleBy + approxQuantile (reference
-    DataFrameStatFunctions.scala:66,224,332 — Greenwald-Khanna sketch)."""
-    o = load_table(spark, sf_dir, "orders")
-    freq = o.stat.freqItems(["o_orderpriority"], support=0.2)
-    sampled = o.sampleBy(
-        "o_orderstatus", fractions={"O": 0.5, "F": 0.5, "P": 0.5}, seed=7
-    )
-    q = o.stat.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
+    DataFrameStatFunctions.scala:66,224,332 — Greenwald-Khanna sketch).
+    All three are approximate/seeded, so the driver-checked output is each
+    one's PUBLISHED guarantee: freqItems(support=0.2) must contain every
+    value whose true frequency exceeds the support; the 0.5-fraction
+    stratified sample lands in [0.35, 0.65]·N (>7σ); each approxQuantile
+    (eps=0.01) lies between the exact quantiles at q∓0.02."""
     from pyspark.sql import functions as F
 
-    # flat string/scalar projection — the driver's canonicalizer sorts
-    # through pandas, which cannot hash array cells
-    return (
-        freq.crossJoin(sampled.agg(F.count(F.lit(1)).alias("n_sampled")))
-        .withColumn(
-            "freq_items",
-            F.array_join(F.sort_array("o_orderpriority_freqItems"), ","),
-        )
-        .drop("o_orderpriority_freqItems")
-        .withColumn("q25", F.lit(q[0]))
-        .withColumn("q50", F.lit(q[1]))
-        .withColumn("q75", F.lit(q[2]))
+    o = load_table(spark, sf_dir, "orders")
+    freq_items = set(
+        o.stat.freqItems(["o_orderpriority"], support=0.2)
+        .head()["o_orderpriority_freqItems"]
+    )
+    n_total = o.count()
+    heavy = {
+        r.o_orderpriority
+        for r in o.groupBy("o_orderpriority")
+        .count()
+        .filter(F.col("count") > 0.2 * n_total)
+        .collect()
+    }
+    q25, q50, q75 = o.stat.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
+    lo25, lo50, lo75 = [
+        float(x) for x in o.agg(*[
+            F.percentile("o_totalprice", F.lit(p)) for p in (0.23, 0.48, 0.73)
+        ]).head()
+    ]
+    hi25, hi50, hi75 = [
+        float(x) for x in o.agg(*[
+            F.percentile("o_totalprice", F.lit(p)) for p in (0.27, 0.52, 0.77)
+        ]).head()
+    ]
+    sampled_n = o.sampleBy(
+        "o_orderstatus", fractions={"O": 0.5, "F": 0.5, "P": 0.5}, seed=7
+    ).count()
+    return o.sparkSession.createDataFrame(
+        [
+            (
+                heavy.issubset(freq_items),
+                0.35 * n_total <= sampled_n <= 0.65 * n_total,
+                lo25 <= q25 <= hi25 and lo50 <= q50 <= hi50 and lo75 <= q75 <= hi75,
+            )
+        ],
+        "freq_has_all_heavy boolean, sample_in_bounds boolean, "
+        "quantiles_within_eps boolean",
     )
 
 
@@ -244,38 +281,43 @@ def fn_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_datetime_misc", oracle=None)  # cross-dialect semantics differ — rows-only
+@query(
+    "fn_datetime_misc",
+    oracle="""
+    SELECT o_orderkey,
+           round((1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate))
+                 + (1 - day(o_orderdate)) / 31.0, 6)                 AS mb,
+           (o_orderdate::DATE + ((8 - isodow(o_orderdate)) % 7
+              + CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7 ELSE 0 END)
+            * INTERVAL 1 DAY)::TIMESTAMP                              AS next_mon,
+           weekofyear(o_orderdate)                                    AS woy,
+           timezone('UTC', timezone('America/New_York', o_orderdate)) AS utc_ts,
+           date_trunc('quarter', o_orderdate)::TIMESTAMP              AS q_start
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
 def fn_datetime_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datetime functions with engine-specific semantics: months_between
-    (fractional-month rules), next_day, weekofyear, to/from_utc_timestamp,
-    trunc, histogram_numeric (Hive-delegated in the reference,
-    HiveSessionCatalog.scala:227-230; native since Spark 3.3)."""
+    """Datetime functions with dialect-specific semantics, each REBUILT in
+    the oracle from primitives so the check is exact: months_between's
+    31-day fractional rule (stringExpressions-era Hive semantics — the
+    end day here is the 1st, so the whole/fractional branches collapse to
+    one closed form on midnight-aligned dates), next_day as an isodow
+    offset, ISO weekofyear, to_utc_timestamp as a double timezone()
+    rebase, and quarter trunc. histogram_numeric moved to its own
+    invariant-checked query (agg_histogram_numeric)."""
     from pyspark.sql import functions as F
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     ts = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
-        F.months_between(F.lit("1998-01-01").cast("timestamp"), ts).alias("mb"),
-        F.next_day(ts.cast("date"), "Mon").alias("next_mon"),
+        F.round(
+            F.months_between(F.lit("1998-01-01").cast("timestamp"), ts), 6
+        ).alias("mb"),
+        F.next_day(ts.cast("date"), "Mon").cast("timestamp").alias("next_mon"),
         F.weekofyear(ts).alias("woy"),
         F.to_utc_timestamp(ts, "America/New_York").alias("utc_ts"),
-        F.trunc(ts.cast("date"), "quarter").alias("q_start"),
-    ).join(
-        o.agg(
-            F.histogram_numeric("o_totalprice", F.lit(5)).alias("price_hist")
-        ).select(
-            # stringify the array<struct> histogram — pandas-canonicalizer safe
-            F.array_join(
-                F.transform(
-                    "price_hist",
-                    lambda b: F.concat_ws(
-                        ":", F.round(b.x, 2).cast("string"), b.y.cast("string")
-                    ),
-                ),
-                "|",
-            ).alias("price_hist")
-        )
+        F.trunc(ts.cast("date"), "quarter").cast("timestamp").alias("q_start"),
     )
 
 

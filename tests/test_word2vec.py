@@ -51,6 +51,12 @@ def test_registered_query_shape(spark):
 
     df = REGISTRY["word2vec_synonyms"].fn(spark, SF_DIR)
     rows = df.collect()
-    assert len(rows) == 5
-    assert [f.name for f in df.schema.fields] == ["word", "similarity"]
-    assert all(-1.0 <= r.similarity <= 1.0 for r in rows)
+    # invariant projection (driver-checkable): k results, query word
+    # excluded, cosines in unit range — all must hold
+    assert len(rows) == 1
+    assert [f.name for f in df.schema.fields] == [
+        "n_synonyms",
+        "excludes_query_word",
+        "sims_in_unit_range",
+    ]
+    assert tuple(rows[0]) == (5, True, True)
