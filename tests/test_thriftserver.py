@@ -105,6 +105,24 @@ def test_thrift_server_jdbc_round_trip(tmp_path):
         _, rows = jdbc_query(spark, "SELECT sum(sq) AS s FROM tv", port)
         assert rows[0][0] == 30, rows
 
+        # 6. the bundled beeline CLI (the reference's interactive client)
+        #    connects and queries an engine view over the wire
+        import os
+        import subprocess
+
+        import pyspark
+
+        bee = os.path.join(os.path.dirname(pyspark.__file__), "bin", "beeline")
+        r = subprocess.run(
+            [bee, "-u", f"jdbc:hive2://127.0.0.1:{{port}}/default", "-n", "anon",
+             "--outputformat=csv2", "--silent=true", "-e",
+             "SELECT count(*) AS n FROM global_temp.nation"],
+            capture_output=True, text=True, timeout=180,
+        )
+        n_nations = load_table(spark, sf, "nation").count()
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert str(n_nations) in r.stdout, r.stdout[-500:]
+
         stop_thrift_server(server)
         print("THRIFT_OK")
         """
