@@ -37,13 +37,11 @@ def test_no_query_degenerates_to_empty(spark):
         assert df.limit(1).count() == 1, f"{name} returned no rows at {SF_DIR}"
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_smoke(spark, name):
-    spec = REGISTRY[name]
-    df = spec.fn(spark, SF_DIR)
-    # runs, has a schema, and is collectable
-    assert len(df.schema) > 0
-    df.limit(5).collect()
+def test_every_query_has_an_oracle():
+    """The driver contract has no rows-only mode — an oracle-less query sits
+    red whenever sampled. Nondeterministic operators emit their published
+    CONTRACTS as deterministic invariant columns instead; keep it that way."""
+    assert _ROWS_ONLY == [], _ROWS_ONLY
 
 
 def test_all_query_schemas_deterministic(spark):
