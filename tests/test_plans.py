@@ -302,6 +302,21 @@ def test_pq_adc_broadcasts_codebook_and_lut(spark):
     assert uses_top_k(df)
 
 
+def test_ivfpq_codes_scan_partition_prunes(spark):
+    """IVF-PQ must read the persisted code table through directory-level
+    partition pruning on the coarse label (the probe IS the pruning —
+    n_probe/L of the codes are touched), and the probe itself must be
+    driver-side: no centroid-aggregate stage may appear in the query plan
+    (training happens once in ensure_pq_index, not per query)."""
+    df = _q(spark, "sim_ivfpq_topk")
+    plan = physical_plan(df)
+    assert "PartitionFilters: [label" in plan and " IN (" in plan, plan
+    # no training in the plan: the only aggregate is the top-k machinery —
+    # a centroid recompute would show up as a wide HashAggregate over avgs
+    assert "avg(" not in plan, plan
+    assert uses_top_k(df)
+
+
 def test_merge_upsert_joins_on_pregrouped_sides(spark):
     """The MERGE rewrite joins two already-aggregated per-key sides — the
     full-outer join must not plan a nested loop / cartesian."""
