@@ -496,6 +496,80 @@ def agg_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_top_k",
+    oracle="""
+    SELECT l_returnflag AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataSketches frequent-items (approx_top_k, Spark 4.x — the modern
+    heavy-hitters sketch; reference-era analogue is the Hive histogram /
+    count-based top-k). On a column whose cardinality is far below the
+    sketch capacity the counts are EXACT by the sketch's guarantee, so the
+    oracle is plain GROUP BY counts — a value check of the sketch path
+    end-to-end (build → serialize → merge → extract)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    tk = l.agg(F.expr("approx_top_k(l_returnflag, 10)").alias("tk"))
+    return tk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    )
+
+
+@query(
+    "agg_theta_set_ops",
+    oracle="""
+    WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+         r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM r)) AS BIGINT)
+             AS exact_union,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM r)) AS BIGINT)
+             AS exact_intersect,
+           true AS union_within_5pct,
+           true AS intersect_within_5pct
+    """,
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches, Spark 4.x): the MERGEABLE
+    distinct-count sketch that also supports SET ALGEBRA — union,
+    intersection, difference of sketches built on different partitions of
+    the data, the capability HLL lacks (reference's HyperLogLogPlusPlus
+    .scala:54 can only union). Driver-checked output: exact union/intersect
+    cardinalities (value-checked) plus the sketch estimates' 5% accuracy
+    contract (lgK=12 → rsd≈1.6%; set-op error compounds, 5% ≈ 3σ)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    flag = (
+        l.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.expr("theta_sketch_agg(l_partkey)").alias("s"))
+    )
+    est = flag.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(s))").alias("u_est"),
+        F.expr("theta_sketch_estimate(theta_intersection_agg(s))").alias("i_est"),
+    )
+    a = l.filter("l_returnflag = 'A'").select("l_partkey")
+    r = l.filter("l_returnflag = 'R'").select("l_partkey")
+    exact = (
+        a.union(r).agg(F.countDistinct("l_partkey").alias("exact_union"))
+        .crossJoin(
+            a.intersect(r).agg(F.count(F.lit(1)).alias("exact_intersect"))
+        )
+    )
+    return est.crossJoin(exact).select(
+        "exact_union",
+        "exact_intersect",
+        (
+            F.abs(F.col("u_est") - F.col("exact_union")) / F.col("exact_union") < 0.05
+        ).alias("union_within_5pct"),
+        (
+            F.abs(F.col("i_est") - F.col("exact_intersect"))
+            / F.col("exact_intersect")
+            < 0.05
+        ).alias("intersect_within_5pct"),
+    )
+
+
+@query(
     "agg_argmax_argmin",
     oracle="""
     SELECT o_custkey,
