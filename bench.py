@@ -41,9 +41,12 @@ HEADLINE = [
     "join_using_natural",
     "topk_orders",
     "fulltext_postings_topdf",
+    # r04: query-language + phrase rows are the INDEXED paths too (bucket-
+    # pruned persisted postings, mirroring the r03 BM25 swap); the inline
+    # from-scratch variants stay in "extra" so both numbers remain visible.
     "fulltext_bm25_search_indexed",
-    "fulltext_query_language",
-    "fulltext_phrase_search",
+    "fulltext_query_language_indexed",
+    "fulltext_phrase_search_indexed",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "sim_cosine_topk",
@@ -54,6 +57,9 @@ HEADLINE = [
 # stays comparable across rounds.
 EXTRA = [
     "fulltext_bm25_search",
+    "fulltext_query_language",
+    "fulltext_phrase_search",
+    "fulltext_proximity_search_indexed",
     "fulltext_bm25f_weighted",
     "sim_pq_adc_topk",
     "sim_kmeans_assign",

@@ -95,8 +95,8 @@ _PACK_ORACLE = f"""
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
           FROM t)
     SELECT source, doc_id, n_tokens,
-           cum_before // {_PACK_CAP} AS seq_id,
-           cum_before % {_PACK_CAP}  AS seq_offset
+           CAST(cum_before // {_PACK_CAP} AS BIGINT) AS seq_id,
+           CAST(cum_before % {_PACK_CAP} AS BIGINT)  AS seq_offset
     FROM c
 """
 

@@ -598,7 +598,7 @@ def agg_argmax_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_boolean_conditional",
     oracle="""
     SELECT l_returnflag,
-           count_if(l_quantity > 25.5)          AS n_bulk,
+           CAST(count_if(l_quantity > 25.5) AS BIGINT) AS n_bulk,
            bool_and(l_extendedprice > 0)        AS all_positive,
            bool_or(l_discount >= 0.085)         AS any_deep_discount,
            CAST(sum(CASE WHEN l_tax < 0.005 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxfree
@@ -704,7 +704,7 @@ def agg_histogram_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(regr_slope(l_extendedprice, l_quantity), 6)   AS slope,
            round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)      AS r2,
-           regr_count(l_extendedprice, l_quantity)             AS n_pairs
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -54,18 +54,31 @@ def pagerank(
     edges: DataFrame,
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
+    truncate_lineage: bool = False,
 ) -> DataFrame:
     """Weighted PageRank, `iters` unrolled power iterations:
 
         pr_{t+1}(j) = (1−d)/N + d · Σ_{i→j} pr_t(i) · w_ij / W_i
 
     nodes: (node); edges: (src, dst, w). Returns (node, pr) unrounded —
-    callers round at presentation."""
+    callers round at presentation.
+
+    ``truncate_lineage=True`` localCheckpoints the rank table (and the
+    normalized edge relation, reused every round) after each iteration, so
+    the final plan is O(1) nodes instead of O(iters·nodes) — the lineage
+    discipline of iterative algorithms in the reference's GraphX/mllib
+    (Pregel.scala materializes messages each superstep;
+    mllib/.../clustering/KMeans.scala). Off by default: the oracle-checked
+    query replays the exact unrolled plan, and at iters≤3 lineage is
+    shallow; at real graph scale (tens of rounds) turn it on — asserted
+    O(1)-per-iteration in tests/test_plans.py."""
     n_nodes = nodes.count()  # bounded: the vertex universe of a dimension
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     e = edges.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("w_out")).alias("p_edge")
     )
+    if truncate_lineage:
+        e = e.localCheckpoint(eager=True)
     pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(iters):
         contrib = (
@@ -80,6 +93,8 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
             ).alias("pr"),
         )
+        if truncate_lineage:
+            pr = pr.localCheckpoint(eager=True)
     return pr
 
 

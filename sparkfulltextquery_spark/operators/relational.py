@@ -208,7 +208,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "range_tvf_sum",
     oracle="""
-    SELECT count(*) AS n, sum(CASE WHEN i % 7 = 0 THEN i END) AS sum7
+    SELECT count(*) AS n, CAST(sum(CASE WHEN i % 7 = 0 THEN i END) AS BIGINT) AS sum7
     FROM (SELECT unnest(range(0, 100000)) AS i)
     """,
 )

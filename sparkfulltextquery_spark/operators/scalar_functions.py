@@ -218,7 +218,7 @@ def fn_datetime_window_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice), 6)                AS lg,
            round(log10(l_extendedprice), 6)             AS lg10,
            round(exp(l_discount), 6)                    AS ex,
-           sign(l_quantity - 25)                        AS sg,
+           CAST(sign(l_quantity - 25) AS DOUBLE)        AS sg,
            cast(l_quantity AS bigint) % 7               AS md,
            ((cast(l_quantity AS bigint) - 30) % 7 + 7) % 7 AS pmd,
            round(sin(l_discount), 8)                    AS sn,

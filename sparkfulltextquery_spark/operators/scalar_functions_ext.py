@@ -137,8 +137,8 @@ def fn_array_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_nationkey,
            map_extract(map_concat(map {'a': n_nationkey}, map {'b': n_regionkey}), 'b')[1]
              AS b_val,
-           cardinality(map_concat(map {'a': n_nationkey}, map {'b': n_regionkey}))
-             AS n_keys
+           CAST(cardinality(map_concat(map {'a': n_nationkey}, map {'b': n_regionkey}))
+                AS INT) AS n_keys
     FROM nation
     """,
 )

@@ -148,7 +148,7 @@ _VALUES_ARITH_SQL = """
     SELECT k,
            k + 7 AS plus,
            k * 3 AS times,
-           k / 4.0 AS div,
+           CAST(k AS DOUBLE) / 4.0 AS div,
            k % 5 AS mod,
            -k AS neg
     FROM (VALUES (1), (2), (12), (100)) AS t(k)

@@ -467,6 +467,7 @@ def kmeans_iterate(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    truncate_lineage: bool = False,
 ) -> DataFrame:
     """Lloyd's K-means as pure DataFrame ops (reference analogue:
     mllib org.apache.spark.ml.clustering.KMeans) — deterministic init
@@ -479,8 +480,12 @@ def kmeans_iterate(
     min(struct) hash-agg (no shuffle of the vectors beyond the agg);
     update = posexplode → groupBy(cluster, dim) — shuffle volume O(k·dim),
     not O(rows). The loop is driver-side plan construction only; no data
-    ever collects. Production k-means adds localCheckpoint every few
-    rounds (see dedup.components) — at iters≤3 lineage stays shallow."""
+    ever collects. ``truncate_lineage=True`` localCheckpoints the k-row
+    centroid table after each update round (the mllib KMeans lineage
+    discipline, mllib/.../clustering/KMeans.scala runAlgorithm), keeping
+    the final plan O(1) nodes per iteration — asserted in
+    tests/test_plans.py; off by default so the oracle-checked query
+    replays the exact unrolled plan (at iters≤3 lineage stays shallow)."""
     ev = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -504,6 +509,10 @@ def kmeans_iterate(
                 "cluster", F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("c")
             )
         )
+        if truncate_lineage:
+            # k rows × dim doubles — the materialization is tiny; what it
+            # buys is a fresh lineage root for the next round's crossJoin
+            cents = cents.localCheckpoint(eager=True)
     return assigned
 
 

