@@ -24,7 +24,7 @@ FLAGSHIPS = {
     "curation_quality_classifier": "model as plan literals: no UDF, no broadcast, 2 shuffles",
     "curation_boilerplate_ngrams": "gram shuffle + multi-distinct expand + bounded top-k heap",
     "sim_pq_adc_topk": "PQ-ADC from the persisted code table: literal LUT in codegen, C-bounded heap + broadcast re-rank",
-    "cdc_latest_wins": "latest-wins compaction: partial+final hash agg, no window sort",
+    "cdc_latest_wins": "latest-wins compaction: partial+final sort-agg (struct max_by buffer), no window sort",
     "merge_upsert_customer_stats": "MERGE rewrite: pre-aggregated sides, single key join",
     "fulltext_bm25f_weighted": "BM25F: field explode stays map-side until the single tf shuffle",
     "sim_ivfpq_topk": "IVF-PQ: driver-side probe -> partition-pruned code scan -> ADC -> broadcast re-rank",

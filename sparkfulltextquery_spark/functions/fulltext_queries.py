@@ -494,16 +494,19 @@ _INDEX_CACHE: dict[tuple[str, str], str] = {}
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session+sf_dir) the persisted bucketed positional
     index over `documents` and return its table prefix. External location
-    under a temp dir so the driver's cwd/warehouse is untouched."""
+    is a DETERMINISTIC per-sf_dir root (storage.index_store_root) that
+    overwrite-replaces across sessions — no leaked mkdtemp per app
+    (ADVICE r03) — and stays outside the driver's cwd/warehouse."""
     import hashlib
-    import tempfile
+
+    from sparkfulltextquery_spark.storage import index_store_root
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _INDEX_CACHE:
         from sparkfulltextquery_spark.functions.index import build_index
 
         prefix = "sftq_qidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        path = tempfile.mkdtemp(prefix="sftq_index_")
+        path = index_store_root("text", sf_dir)
         docs = load_table(spark, sf_dir, "documents")
         build_index(docs, table_prefix=prefix, num_buckets=8, path=f"file://{path}")
         _INDEX_CACHE[key] = prefix

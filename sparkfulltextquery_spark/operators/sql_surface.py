@@ -182,6 +182,9 @@ def sqlt_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAT_FREQ_CACHE: dict = {}
+
+
 @query(
     "stat_freq_sample",
     oracle="""
@@ -198,15 +201,41 @@ def stat_freq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     one's PUBLISHED guarantee: freqItems(support=0.2) must contain every
     value whose true frequency exceeds the support; the 0.5-fraction
     stratified sample lands in [0.35, 0.65]·N (>7σ); each approxQuantile
-    (eps=0.01) lies between the exact quantiles at q∓0.02."""
+    (eps=0.01) lies between the exact quantiles at q∓0.02.
+
+    Eager by nature — freqItems/approxQuantile/sampleBy RETURN driver
+    values, that's the API under test — so the cost is bounded two ways
+    (ADVICE r03): the exact twins collapse to two jobs (N + all six
+    percentile bounds in one combined aggregate, then the heavy-hitter
+    groupBy which needs N; was four separate actions), and the verdict
+    row is memoized per (session, sf_dir) so repeated plan-builds and
+    plan-dumps don't re-run any jobs."""
     from pyspark.sql import functions as F
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _STAT_FREQ_CACHE:
+        return _STAT_FREQ_CACHE[key]()
 
     o = load_table(spark, sf_dir, "orders")
     freq_items = set(
         o.stat.freqItems(["o_orderpriority"], support=0.2)
         .head()["o_orderpriority_freqItems"]
     )
-    n_total = o.count()
+    q25, q50, q75 = o.stat.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
+    sampled_n = o.sampleBy(
+        "o_orderstatus", fractions={"O": 0.5, "F": 0.5, "P": 0.5}, seed=7
+    ).count()
+    # combined exact-twin job: N plus all six exact percentile bounds in
+    # ONE aggregate (was three separate actions)
+    row = o.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[
+            F.percentile("o_totalprice", F.lit(p)).alias(f"q{i}")
+            for i, p in enumerate((0.23, 0.48, 0.73, 0.27, 0.52, 0.77))
+        ],
+    ).head()
+    n_total = row.n_total
+    lo25, lo50, lo75, hi25, hi50, hi75 = [float(row[f"q{i}"]) for i in range(6)]
     heavy = {
         r.o_orderpriority
         for r in o.groupBy("o_orderpriority")
@@ -214,31 +243,19 @@ def stat_freq_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("count") > 0.2 * n_total)
         .collect()
     }
-    q25, q50, q75 = o.stat.approxQuantile("o_totalprice", [0.25, 0.5, 0.75], 0.01)
-    lo25, lo50, lo75 = [
-        float(x) for x in o.agg(*[
-            F.percentile("o_totalprice", F.lit(p)) for p in (0.23, 0.48, 0.73)
-        ]).head()
-    ]
-    hi25, hi50, hi75 = [
-        float(x) for x in o.agg(*[
-            F.percentile("o_totalprice", F.lit(p)) for p in (0.27, 0.52, 0.77)
-        ]).head()
-    ]
-    sampled_n = o.sampleBy(
-        "o_orderstatus", fractions={"O": 0.5, "F": 0.5, "P": 0.5}, seed=7
-    ).count()
-    return o.sparkSession.createDataFrame(
-        [
-            (
-                heavy.issubset(freq_items),
-                0.35 * n_total <= sampled_n <= 0.65 * n_total,
-                lo25 <= q25 <= hi25 and lo50 <= q50 <= hi50 and lo75 <= q75 <= hi75,
-            )
-        ],
-        "freq_has_all_heavy boolean, sample_in_bounds boolean, "
-        "quantiles_within_eps boolean",
+    verdict = (
+        heavy.issubset(freq_items),
+        bool(0.35 * n_total <= sampled_n <= 0.65 * n_total),
+        bool(
+            lo25 <= q25 <= hi25 and lo50 <= q50 <= hi50 and lo75 <= q75 <= hi75
+        ),
     )
+    schema = (
+        "freq_has_all_heavy boolean, sample_in_bounds boolean, "
+        "quantiles_within_eps boolean"
+    )
+    _STAT_FREQ_CACHE[key] = lambda: spark.createDataFrame([verdict], schema)
+    return _STAT_FREQ_CACHE[key]()
 
 
 _RANGE_TVF_SPARK = "SELECT id, id * id AS sq FROM range(0, 50, 3)"

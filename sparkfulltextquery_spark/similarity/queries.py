@@ -278,15 +278,17 @@ _ANN_INDEX_CACHE: dict = {}
 
 
 def _ensure_ann_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per session+sf_dir) the persisted IVF index under a temp
-    dir — mirrors functions.fulltext_queries._ensure_index."""
-    import tempfile
+    """Build (once per session+sf_dir) the persisted IVF index under the
+    deterministic per-sf_dir root (storage.index_store_root; overwrite-
+    replaces across sessions, no mkdtemp leak) — mirrors
+    functions.fulltext_queries._ensure_index."""
+    from sparkfulltextquery_spark.storage import index_store_root
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ANN_INDEX_CACHE:
         from sparkfulltextquery_spark.similarity import build_ann_index
 
-        out = tempfile.mkdtemp(prefix="sftq_ann_")
+        out = index_store_root("ann", sf_dir)
         e = load_table(spark, sf_dir, "embeddings")
         _ANN_INDEX_CACHE[key] = build_ann_index(e, f"file://{out}")
     return _ANN_INDEX_CACHE[key]
@@ -300,16 +302,20 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str):
     centroid job) and persist the PQ code table partitioned by coarse label
     (m ints/vector — the IVF-PQ storage layout). Registered PQ queries
     consume this instead of re-training per call: a query is then pure
-    plan construction + one pruned code scan + the C-row re-rank."""
-    import tempfile
+    plan construction + one pruned code scan + the C-row re-rank.
 
+    Code table lives under the deterministic per-sf_dir root
+    (storage.index_store_root): the overwrite-mode write replaces any
+    prior generation, so sessions don't leak directories and a restart
+    refreshes codes from current embeddings (ADVICE r03)."""
     from sparkfulltextquery_spark.similarity import pq_encode, pq_train
+    from sparkfulltextquery_spark.storage import index_store_root
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_INDEX_CACHE:
         e = load_table(spark, sf_dir, "embeddings")
         lit = pq_train(e)
-        out = tempfile.mkdtemp(prefix="sftq_pq_")
+        out = index_store_root("pq", sf_dir)
         path = f"file://{out}/codes"
         pq_encode(e, literals=lit).write.mode("overwrite").partitionBy(
             "label"

@@ -1,0 +1,35 @@
+"""Deterministic on-disk locations for session-built index artifacts.
+
+The text, IVF/ANN, and PQ index builders all persist derived tables
+(bucketed postings, partition-pruned vector/code tables). Earlier rounds
+wrote each under a fresh ``tempfile.mkdtemp`` with no cleanup, so every
+session leaked a directory and a long-lived app could never refresh after
+source data changed (ADVICE r03). Instead: one deterministic root per
+(kind, sf_dir) under the system temp dir — a rebuild overwrite-replaces in
+place (every writer uses mode("overwrite")), successive sessions reuse the
+same path instead of accreting new ones, and the per-session in-memory
+caches still key on (applicationId, sf_dir) so a new session rebuilds from
+current source data.
+
+At 100 TB the analogous root is a warehouse/object-store prefix per
+(index kind, dataset version) with the same overwrite-replace discipline —
+the reference's saveAsTable-into-warehouse layout (DataFrameWriter.scala).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import tempfile
+from pathlib import Path
+
+
+def index_store_root(kind: str, sf_dir: str) -> str:
+    """Stable local path for a persisted index of `kind` over `sf_dir`.
+
+    Same (kind, sf_dir) → same path, created on first use; callers write
+    with mode("overwrite") so re-use across sessions replaces rather than
+    duplicates."""
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = Path(tempfile.gettempdir()) / "sftq_indexes" / f"{kind}_{digest}"
+    root.mkdir(parents=True, exist_ok=True)
+    return str(root)
