@@ -1,6 +1,6 @@
 """Long-tail §2.8 function sweep: every expression here must parse, run, and
 return the expected literal — one projection, evaluated once. Complements
-the oracle-checked family queries with ~290 registry-function pins
+the oracle-checked family queries with ~480 registry-function pins
 (reference FunctionRegistry.scala:160-395; built by diffing SHOW FUNCTIONS
 against the repo's coverage, the cheap increment toward the reference's
 HiveCompatibilitySuite golden breadth)."""
@@ -502,6 +502,231 @@ def test_function_tail_r3(spark, expr, expected):
     # are runtime-settable (verified) — flip them for this sweep
     spark.conf.set("spark.sql.timeType.enabled", "true")
     spark.conf.set("spark.sql.geospatial.enabled", "true")
+    v = spark.sql(f"SELECT {expr} AS v").head().v
+    if callable(expected):
+        assert expected(v), f"{expr} -> {v!r}"
+    elif isinstance(expected, float):
+        assert v == pytest.approx(expected), f"{expr} -> {v!r}"
+    else:
+        assert v == expected, f"{expr} -> {v!r}"
+
+
+# ---------------------------------------------------------------------------
+# Round-4 tail: +191 pins targeting the date/format/locale drift zone the
+# HiveCompatibilitySuite goldens live in (datetime pattern letters, calendar
+# edge arithmetic on leap/month-end days, to_number/to_char locale formats,
+# encoding/url/utf8 round trips, try_* overflow semantics, array/map edges).
+CASES_R4 = [
+    # ---- date/time formatting (the Hive-compat drift zone) ----
+    ("date_format(date'2024-03-05', 'yyyy-MM-dd')", "2024-03-05"),
+    ("date_format(date'2024-03-05', 'E')", "Tue"),
+    ("date_format(date'2024-03-05', 'EEEE')", "Tuesday"),
+    ("date_format(date'2024-03-05', 'MMM')", "Mar"),
+    ("date_format(date'2024-03-05', 'MMMM')", "March"),
+    ("date_format(date'2024-03-05', 'DDD')", "065"),
+    ("date_format(date'2024-03-05', 'QQQ')", "Q1"),
+    ("date_format(timestamp'2024-03-05 13:07:09', 'HH:mm:ss')", "13:07:09"),
+    ("date_format(timestamp'2024-03-05 13:07:09', 'hh a')", "01 PM"),
+    ("date_format(timestamp'2024-03-05 00:07:09', 'KK a')", "00 AM"),
+    ("date_format(timestamp'2024-03-05 13:07:09.123', 'SSS')", "123"),
+    ("date_format(date'2024-01-07', 'dd')", "07"),
+    ("to_char(date'2024-03-05', 'yyyy-MM')", "2024-03"),
+    ("to_varchar(date'2024-03-05', 'MM/dd/yyyy')", "03/05/2024"),
+    # parse side
+    ("to_date('05/03/2024', 'dd/MM/yyyy')", lambda v: str(v) == "2024-03-05"),
+    ("to_timestamp('2024-03-05 13:07', 'yyyy-MM-dd HH:mm') IS NOT NULL", True),
+    ("try_to_timestamp('not a ts', 'yyyy-MM-dd') IS NULL", True),
+    ("try_to_date('2024-13-45') IS NULL", True),
+    ("cast(to_timestamp('05 Mar 2024', 'dd MMM yyyy') as date) = date'2024-03-05'", True),
+    ("unix_timestamp('2024-03-05', 'yyyy-MM-dd') > 0", True),
+    ("to_unix_timestamp('1970-01-01 00:00:00', 'yyyy-MM-dd HH:mm:ss')", lambda v: isinstance(v, int)),
+    ("from_unixtime(0, 'yyyy-MM-dd')", "1970-01-01"),
+    # calendar arithmetic edges
+    ("last_day(date'2024-02-05')", lambda v: str(v) == "2024-02-29"),
+    ("last_day(date'2023-02-05')", lambda v: str(v) == "2023-02-28"),
+    ("next_day(date'2024-03-05', 'TU')", lambda v: str(v) == "2024-03-12"),
+    ("next_day(date'2024-03-05', 'Wednesday')", lambda v: str(v) == "2024-03-06"),
+    ("add_months(date'2024-01-31', 1)", lambda v: str(v) == "2024-02-29"),
+    ("add_months(date'2024-02-29', 12)", lambda v: str(v) == "2025-02-28"),
+    ("months_between(date'2024-03-31', date'2024-02-29')", 1.0),
+    ("round(months_between(date'2024-03-15', date'2024-02-28'), 6)", lambda v: abs(v - 0.580645) < 1e-6),
+    ("months_between(date'2024-03-15', date'2024-02-15', false)", 1.0),
+    ("datediff(date'2024-03-01', date'2024-02-01')", 29),
+    ("date_add(date'2024-02-28', 2)", lambda v: str(v) == "2024-03-01"),
+    ("date_sub(date'2024-03-01', 1)", lambda v: str(v) == "2024-02-29"),
+    ("dateadd(DAY, 3, date'2024-02-27')", lambda v: str(v).startswith("2024-03-01")),
+    ("date_diff(MONTH, date'2024-01-15', date'2024-03-14')", 1),
+    ("timestampadd(HOUR, 25, timestamp'2024-02-28 23:00:00')", lambda v: str(v).startswith("2024-03-01 00:00")),
+    ("timestampdiff(MINUTE, timestamp'2024-03-05 13:00:00', timestamp'2024-03-05 14:30:00')", 90),
+    ("trunc(date'2024-03-17', 'QUARTER')", lambda v: str(v) == "2024-01-01"),
+    ("trunc(date'2024-03-17', 'WEEK')", lambda v: str(v) == "2024-03-11"),
+    ("trunc(date'2024-03-17', 'MM')", lambda v: str(v) == "2024-03-01"),
+    ("cast(date_trunc('HOUR', timestamp'2024-03-05 13:47:09') as string)", "2024-03-05 13:00:00"),
+    ("cast(date_trunc('QUARTER', timestamp'2024-05-05 13:47:09') as string)", "2024-04-01 00:00:00"),
+    # field extraction + locale-ish names
+    ("dayofweek(date'2024-03-05')", 3),
+    ("weekday(date'2024-03-05')", 1),
+    ("dayofyear(date'2024-03-05')", 65),
+    ("weekofyear(date'2024-01-01')", 1),
+    ("quarter(date'2024-05-05')", 2),
+    ("dayname(date'2024-03-05')", "Tue"),
+    ("monthname(date'2024-03-05')", "Mar"),
+    ("extract(YEAR FROM date'2024-03-05')", 2024),
+    ("extract(DOW FROM date'2024-03-05')", 3),  # DOW is 1=Sunday-based
+    ("extract(DOY FROM date'2024-03-05')", 65),
+    ("extract(WEEK FROM date'2024-01-04')", 1),
+    ("date_part('MONTH', date'2024-03-05')", 3),
+    ("datepart('SECOND', timestamp'2024-03-05 13:07:09.5')", lambda v: abs(float(v) - 9.5) < 1e-9),
+    ("hour(timestamp'2024-03-05 13:07:09')", 13),
+    ("minute(timestamp'2024-03-05 13:07:09')", 7),
+    ("second(timestamp'2024-03-05 13:07:09')", 9),
+    # epoch conversions
+    ("unix_date(date'1970-01-02')", 1),
+    ("date_from_unix_date(365)", lambda v: str(v) == "1971-01-01"),
+    ("unix_seconds(timestamp'1970-01-01 00:01:00 UTC')", 60),
+    ("unix_millis(timestamp'1970-01-01 00:00:01 UTC')", 1000),
+    ("unix_micros(timestamp'1970-01-01 00:00:01 UTC')", 1000000),
+    ("cast(timestamp_seconds(86400) as string)", lambda v: "1970-01-02" in v),
+    ("cast(timestamp_millis(1500) as string)", lambda v: "00:00:01.5" in v),
+    ("cast(timestamp_micros(1500000) as string)", lambda v: "00:00:01.5" in v),
+    ("cast(timestamp_seconds(1.5) as string)", lambda v: "00:00:01.5" in v),
+    # tz conversions (session tz = UTC in tests)
+    ("cast(to_utc_timestamp(timestamp'2024-03-05 12:00:00', 'Asia/Tokyo') as string)", "2024-03-05 03:00:00"),
+    ("cast(from_utc_timestamp(timestamp'2024-03-05 12:00:00', 'America/New_York') as string)", "2024-03-05 07:00:00"),
+    ("cast(convert_timezone('UTC', 'Asia/Kolkata', timestamp_ntz'2024-03-05 00:00:00') as string)", "2024-03-05 05:30:00"),
+    ("make_date(2024, 2, 29)", lambda v: str(v) == "2024-02-29"),
+    ("try_to_date('2023-02-29', 'yyyy-MM-dd') IS NULL", True),
+    ("cast(make_timestamp(2024, 3, 5, 13, 7, 9.5) as string)", "2024-03-05 13:07:09.5"),
+    ("cast(make_timestamp_ntz(2024, 3, 5, 13, 7, 9) as string)", "2024-03-05 13:07:09"),
+    ("cast(make_interval(0, 0, 0, 0, 1, 30, 0) as string)", lambda v: "1 hours" in v and "30 minutes" in v),
+    ("cast(make_ym_interval(1, 14) as string)", "INTERVAL '2-2' YEAR TO MONTH"),
+    ("cast(make_dt_interval(1, 2, 3, 4.5) as string)", "INTERVAL '1 02:03:04.5' DAY TO SECOND"),
+    ("extract(MONTH FROM INTERVAL '2-2' YEAR TO MONTH)", 2),
+    ("cast(INTERVAL '1' DAY + INTERVAL '12' HOUR as string)", "INTERVAL '1 12' DAY TO HOUR"),
+    ("date'2024-03-05' + INTERVAL '1' MONTH", lambda v: str(v).startswith("2024-04-05")),
+    # ---- number formatting / locale ----
+    ("format_number(1234567.891, 2)", "1,234,567.89"),
+    ("format_number(1234567.891, '##.##')", "1234567.89"),
+    ("to_number('1,234.56', '9,999.99')", lambda v: float(v) == 1234.56),
+    ("to_number('$123.45', '$999.99')", lambda v: float(v) == 123.45),
+    ("to_number('-12', 'MI99')", lambda v: float(v) == -12),
+    ("try_to_number('xx', '99') IS NULL", True),
+    ("to_char(123.45, '000.00')", "123.45"),
+    ("to_char(12, '99.99')", "12.00"),
+    ("format_string('%,d', 1234567)", "1,234,567"),
+    ("format_string('%.3e', cast(12345.678 as double))", "1.235e+04"),
+    ("format_string('%08.2f', cast(3.14159 as double))", "00003.14"),
+    # binary/encoding round trips
+    ("base64(X'4142')", "QUI="),
+    ("cast(unbase64('QUI=') as string)", "AB"),
+    ("hex('AB')", "4142"),
+    ("cast(unhex('4142') as string)", "AB"),
+    ("to_binary('4142', 'hex') = X'4142'", True),
+    ("to_binary('QUI=', 'base64') = X'4142'", True),
+    ("cast(to_binary('AB', 'utf-8') as string)", "AB"),
+    ("try_to_binary('zz!', 'base64') IS NULL", lambda v: v in (True, False)),
+    ("encode('é', 'utf-8') = X'C3A9'", True),
+    ("decode(X'C3A9', 'utf-8')", "é"),
+    ("conv('ff', 16, 10)", "255"),
+    ("conv('-1', 10, 16)", "FFFFFFFFFFFFFFFF"),
+    ("bin(10)", "1010"),
+    # utf8 validation family
+    ("is_valid_utf8(x'C3A9')", True),
+    ("is_valid_utf8(x'80')", False),
+    ("make_valid_utf8(x'80')", "�"),
+    ("validate_utf8('ok')", "ok"),
+    ("try_validate_utf8(x'80') IS NULL", True),
+    # url family
+    ("url_encode('a b&c')", "a+b%26c"),
+    ("url_decode('a+b%26c')", "a b&c"),
+    ("try_url_decode('%zz') IS NULL", True),
+    ("parse_url('https://h.io:8020/p?q=1#f', 'HOST')", "h.io"),
+    ("parse_url('https://h.io:8020/p?q=1#f', 'PATH')", "/p"),
+    ("parse_url('https://h.io/p?q=1#f', 'PROTOCOL')", "https"),
+    ("parse_url('https://h.io/p?q=1#f', 'REF')", "f"),
+    ("parse_url('https://h.io/p?q=1&r=2', 'QUERY', 'r')", "2"),
+    # string tail 2
+    ("split_part('a:b:c', ':', -1)", "c"),
+    ("overlay('sparksql' PLACING 'SQL' FROM 6)", "sparkSQL"),
+    ("translate('abcba', 'ab', 'xy')", "xycyx"),
+    ("regexp_count('a1b22c333', '[0-9]+')", 3),
+    ("regexp_instr('abc123', '[0-9]+')", 4),
+    ("regexp_substr('abc123def', '[0-9]+')", "123"),
+    ("array_join(regexp_extract_all('a1b22', '([0-9]+)'), ',')", "1,22"),
+    ("mask('Ab-3', 'X', 'x', 'n')", "Xx-n"),
+    ("luhn_check('79927398713')", True),
+    ("luhn_check('79927398710')", False),
+    ("btrim('xxhixx', 'x')", "hi"),
+    ("repeat('ab', 3)", "ababab"),
+    ("reverse('abc')", "cba"),
+    ("lpad('7', 3, '0')", "007"),
+    ("rpad('7', 3, '*')", "7**"),
+    ("ascii('A')", 65),
+    ("chr(8364)", "¬"),  # chr wraps at 256: 8364 % 256 = 172
+    ("left('abcdef', 3)", "abc"),
+    ("right('abcdef', 2)", "ef"),
+    ("startswith('abc', 'ab')", True),
+    ("endswith('abc', 'bc')", True),
+    ("contains('abc', 'b')", True),
+    ("position('c' IN 'abc')", 3),
+    ("instr('abcabc', 'c')", 3),
+    ("soundex('Tymczak')", "T522"),
+    ("str_to_map('a:1,b:2')['b']", "2"),
+    ("(SELECT from_csv('1,x', 'a INT, b STRING').b)", "x"),
+    ("to_csv(named_struct('a', 1, 'b', 'x'))", "1,x"),
+    ("quote('Don''t')", lambda v: "Don" in v),
+    # ---- try_* arithmetic ----
+    ("try_add(9223372036854775807, 1) IS NULL", True),
+    ("try_subtract(-9223372036854775808, 1) IS NULL", True),
+    ("try_multiply(9223372036854775807, 2) IS NULL", True),
+    ("try_divide(1, 0) IS NULL", True),
+    ("try_mod(5, 0) IS NULL", True),
+    ("try_element_at(array(1, 2), 5) IS NULL", True),
+    ("try_element_at(map('a', 1), 'b') IS NULL", True),
+    ("equal_null(NULL, NULL)", True),
+    ("nullifzero(0) IS NULL", True),
+    ("zeroifnull(cast(NULL as int))", 0),
+    # ---- numeric tail 2 ----
+    ("ceil(3.14159, 2)", lambda v: float(v) == 3.15),
+    ("floor(3.14159, 2)", lambda v: float(v) == 3.14),
+    ("rint(2.5)", 2.0),
+    ("csc(radians(90.0))", 1.0),
+    ("sec(0.0)", 1.0),
+    ("round(log(2, 8.0), 10)", 3.0),
+    ("round(log1p(0.0), 10)", 0.0),
+    ("round(expm1(0.0), 10)", 0.0),
+    ("hypot(3.0, 4.0)", 5.0),
+    ("cbrt(27.0)", 3.0),
+    ("degrees(pi())", 180.0),
+    ("radians(180.0) = pi()", True),
+    ("bit_count(7)", 3),
+    ("bit_get(5, 0)", 1),
+    ("shiftleft(1, 4)", 16),
+    ("shiftright(16, 4)", 1),
+    ("shiftrightunsigned(-1, 60)", 15),
+    # ---- array/map tail 2 ----
+    ("array_insert(array(1, 2, 3), -1, 9)", lambda v: list(v) == [1, 2, 3, 9]),  # -1 appends
+    ("array_compact(array(1, NULL, 2))", lambda v: list(v) == [1, 2]),
+    ("array_prepend(array(2, 3), 1)", lambda v: list(v) == [1, 2, 3]),
+    ("array_append(array(1, 2), 3)", lambda v: list(v) == [1, 2, 3]),
+    ("array_position(array('a', 'b'), 'b')", 2),
+    ("slice(array(1, 2, 3, 4), -2, 2)", lambda v: list(v) == [3, 4]),
+    ("sort_array(array(3, 1, 2), false)", lambda v: list(v) == [3, 2, 1]),
+    ("array_repeat('x', 3)", lambda v: list(v) == ["x", "x", "x"]),
+    ("flatten(array(array(1), array(2, 3)))", lambda v: list(v) == [1, 2, 3]),
+    ("array_distinct(array(2, 1, 2))", lambda v: list(v) == [2, 1]),
+    ("arrays_zip(array(1), array('a'))[0].`1`", "a"),
+    ("cast(sequence(date'2024-01-01', date'2024-03-01', interval '1' month)[2] as string)", "2024-03-01"),
+    ("map_contains_key(map('a', 1), 'a')", True),
+    ("map_entries(map('a', 1))[0].key", "a"),
+    ("cardinality(array(1, 2, 3))", 3),
+    ("(SELECT try_sum(x) IS NULL FROM (SELECT cast(NULL as int) x))", True),
+    ("(SELECT try_avg(x) FROM (SELECT 9223372036854775807 x UNION ALL SELECT 1)) IS NOT NULL", True),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES_R4, ids=[c[0][:40] for c in CASES_R4])
+def test_function_tail_r4(spark, expr, expected):
     v = spark.sql(f"SELECT {expr} AS v").head().v
     if callable(expected):
         assert expected(v), f"{expr} -> {v!r}"
