@@ -185,6 +185,93 @@ def compile_matches(node, post: DataFrame, phrase_fn, universe: DataFrame) -> Da
     raise TypeError(f"unknown node {node!r}")
 
 
+def _collect_atoms(node) -> tuple[set, set]:
+    """(term texts, phrase texts) appearing anywhere in the AST."""
+    if isinstance(node, Term):
+        return {node.text}, set()
+    if isinstance(node, Phrase):
+        return set(), {node.text}
+    if isinstance(node, Not):
+        return _collect_atoms(node.child)
+    terms: set = set()
+    phrases: set = set()
+    for c in node.children:
+        t, p = _collect_atoms(c)
+        terms |= t
+        phrases |= p
+    return terms, phrases
+
+
+def _eval_empty(node) -> bool:
+    """Truth value of the AST for a document containing NO atom at all —
+    True means pure-negation semantics need the full doc universe."""
+    if isinstance(node, (Term, Phrase)):
+        return False
+    if isinstance(node, Not):
+        return not _eval_empty(node.child)
+    if isinstance(node, And):
+        return all(_eval_empty(c) for c in node.children)
+    return any(_eval_empty(c) for c in node.children)
+
+
+def compile_matches_flags(node, post: DataFrame, phrase_fn) -> DataFrame | None:
+    """Single-pass compilation: ONE scan of the posting relation pruned to
+    every atom term (one bucket-pruned read on the persisted index), a
+    per-doc flag aggregation, one join per phrase atom, then the whole
+    boolean tree evaluated as a Column expression over the flags — instead
+    of compile_matches' one scan + semi/anti/union join per atom. The same
+    collapse Catalyst can't do across separate relations but is trivial
+    when the compiler emits flags directly.
+
+    Returns None when the AST is satisfiable by a document containing no
+    atom at all (pure negation, e.g. ``NOT x``) — those need the doc
+    universe; callers fall back to compile_matches."""
+    if _eval_empty(node):
+        return None
+    terms, phrases = _collect_atoms(node)
+    terms_l = sorted(terms)
+    phrases_l = sorted(phrases)
+    flag = {t: f"_t{i}" for i, t in enumerate(terms_l)}
+    flag.update({p: f"_p{i}" for i, p in enumerate(phrases_l)})
+
+    if terms_l:
+        flags = (
+            post.filter(F.col("term").isin(terms_l))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(flag[t])
+                    for t in terms_l
+                ]
+            )
+        )
+    else:
+        flags = None
+    for p in phrases_l:
+        pdf = phrase_fn(p).select("doc_id").distinct().withColumn(flag[p], F.lit(1))
+        flags = pdf if flags is None else flags.join(pdf, "doc_id", "full_outer")
+    assert flags is not None  # no-atom ASTs were rejected by _eval_empty
+
+    def as_col(n):
+        if isinstance(n, Term):
+            return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
+        if isinstance(n, Phrase):
+            return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
+        if isinstance(n, Not):
+            return ~as_col(n.child)
+        if isinstance(n, And):
+            out = as_col(n.children[0])
+            for c in n.children[1:]:
+                out = out & as_col(c)
+            return out
+        out = as_col(n.children[0])
+        for c in n.children[1:]:
+            out = out | as_col(c)
+        return out
+
+    return flags.filter(as_col(node)).select("doc_id")
+
+
 def search(
     docs: DataFrame,
     query: str,
@@ -220,12 +307,14 @@ def search(
             docs, text, id_col, text_col
         ).select("doc_id")
 
-    matched = compile_matches(
-        ast,
-        post,
-        phrase_fn=phrase_fn,
-        universe=docs.select(F.col(id_col).alias("doc_id")),
-    )
+    matched = compile_matches_flags(ast, post, phrase_fn=phrase_fn)
+    if matched is None:  # pure negation needs the doc universe
+        matched = compile_matches(
+            ast,
+            post,
+            phrase_fn=phrase_fn,
+            universe=docs.select(F.col(id_col).alias("doc_id")),
+        )
     pos = sorted(set(positive_terms(ast)))
     if not pos:
         return (

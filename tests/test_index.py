@@ -96,6 +96,12 @@ def test_indexed_querylang_plan_never_scans_corpus(spark, index_tables):
     plan = physical_plan(search_indexed(spark, BOOL_QUERY, k=10, table_prefix="t_idx"))
     assert "documents" not in plan, plan
     assert "posexplode" not in plan.lower(), plan
+    # r04 one-pass shape: boolean matching + phrase positions + BM25 fold
+    # into ONE bucket-pruned scan and ONE aggregation — no joins at all,
+    # and the top-k is a heap, not a global sort
+    assert "SelectedBucketsCount" in plan, plan
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
 
 
 def test_streaming_index_updates_equal_batch_build(spark, tmp_path):
