@@ -71,6 +71,44 @@ def doc_shingle_sets(
     )
 
 
+def doc_shingle_profiles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc_id, sh, hs, n): per-doc DISTINCT shingle array, its h28 array,
+    and set size — computed ENTIRELY map-side (array_distinct + transform
+    over the tokenized row; no (doc_id, token) relation, no shuffle). The
+    relation form (doc_shingle_sets) shuffles the exploded token set for
+    distinct and again for the signature groupBy; per-doc set semantics
+    need neither — a document's shingle set fits in its own row (bounded
+    by doc length, the same bound the explode form carries per group)."""
+    from sparkfulltextquery_spark.functions.text import ngrams, tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+    )
+    sh = F.array_distinct(ngrams(F.col("_toks"), k))
+    return toks.select(
+        "doc_id",
+        sh.alias("sh"),
+        F.transform(sh, lambda s: h28(s)).alias("hs"),
+        F.size(sh).alias("n"),
+    )
+
+
+def signature_cols_from_hs(hs="hs") -> list:
+    """s0..s15 as per-row array_min(transform(...)) expressions over the
+    hashed shingle array — the groupBy(min) signatures without a groupBy."""
+    col = F.col(hs) if isinstance(hs, str) else hs
+    return [
+        F.array_min(
+            F.transform(
+                col, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+            )
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
 def minhash_signatures_wide(tok_sets: DataFrame) -> DataFrame:
     """(doc_id, s0..s15): all H signature minima as aggregate expressions in
     ONE groupBy pass — no row expansion, one shuffle, map-side partial mins.
@@ -114,9 +152,17 @@ def lsh_band_keys(sigs_wide: DataFrame) -> DataFrame:
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) sharing ≥1 band."""
-    toks = doc_shingle_sets(docs, id_col, text_col)
-    bands = lsh_band_keys(minhash_signatures_wide(toks))
+    """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) sharing ≥1 band.
+
+    r04: signatures + band keys derive map-side from doc_shingle_profiles —
+    the first shuffle in the whole pipeline is this band self-join. The
+    explicit repartition on the join keys makes both self-join branches
+    share ONE exchange (ReuseExchange), so the tokenize+hash map work runs
+    once, not twice."""
+    prof = doc_shingle_profiles(docs, id_col, text_col)
+    bands = lsh_band_keys(
+        prof.select("doc_id", *signature_cols_from_hs())
+    ).repartition("band", "band_key")
     a = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     return (
@@ -135,21 +181,31 @@ def verified_near_dups(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for candidate pairs with exact Jaccard ≥ threshold.
 
-    Jaccard is computed by joining each side's token set through the
-    candidate list — the join graph only touches candidate docs.
-    """
-    # the shingle-set relation feeds signatures, sizes AND both sides of the
-    # intersection join; building every consumer from the same subtree lets
-    # ReuseExchange serve them from one shuffle (persist() measured slower
-    # here — columnar-cache overhead exceeds the recompute at this scale;
-    # hashing shingles to h28 BEFORE the distinct also measured ~3.5× slower
-    # at sf0.1 — the md5 re-evaluates per consumer branch and costs more
-    # than the narrower bigint shuffle saves; joining the verification on
-    # h28 bigints instead of token strings measured a wash, 1.18s vs 1.15s,
-    # because AQE broadcasts both sides here and key width stops mattering)
-    toks = doc_shingle_sets(docs, id_col, text_col)
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    bands = lsh_band_keys(minhash_signatures_wide(toks))
+    r04 shape: doc_shingle_profiles computes shingle set + hashes + size
+    per doc MAP-SIDE; signatures and band keys are per-row array
+    expressions; the only shuffles left are the band self-join (+pair
+    distinct) and the two doc-keyed joins that fetch each side's shingle
+    array for exact verification — jaccard is then one
+    array_intersect/size expression per candidate pair, instead of
+    exploding both sides' token sets through a 3-way join + count agg
+    (the r03 form also shuffled the token relation once for distinct and
+    once for the signature groupBy; both are gone). Verification
+    intersects the shingle STRING arrays, so results are byte-identical
+    to the set-relation oracle — h28 only feeds signatures, where a
+    collision only perturbs banding recall, never a reported jaccard.
+
+    Exchange-reuse discipline (measured 2.37s → 1.22s at sf0.1): each
+    shared subtree gets ONE explicit repartition so its consumers reuse a
+    single exchange instead of recomputing the map-side scan — bands on
+    the self-join keys, the (doc_id, sh, n) projection on doc_id (column
+    pruning drops the md5 hash computation from this second pass; only
+    the banding pass hashes). At 100 TB the profile relation IS the
+    signature store incremental.py persists — a long-lived corpus
+    materializes it once and both shuffles here disappear."""
+    prof = doc_shingle_profiles(docs, id_col, text_col)
+    bands = lsh_band_keys(
+        prof.select("doc_id", *signature_cols_from_hs())
+    ).repartition("band", "band_key")
     a = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     cands = (
@@ -158,26 +214,21 @@ def verified_near_dups(
         .select("doc_a", "doc_b")
         .distinct()
     )
-
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("token"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("token"))
-    inter = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sets = prof.select("doc_id", "sh", "n").repartition("doc_id")
+    pa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    pb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cands.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ).alias("jaccard"),
+            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
