@@ -26,26 +26,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkfulltextquery_spark.dedup.minhash import (
-    doc_shingle_sets,
+    doc_shingle_profiles,
     lsh_band_keys,
-    minhash_signatures_wide,
+    signature_cols_from_hs,
 )
+
+
+def _profile_bands(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+    """(profiles, bands): the map-side shingle profile relation and its LSH
+    band keys — signatures as per-row array expressions, no shuffle
+    (values identical to the relation/groupBy form; see minhash.py)."""
+    prof = doc_shingle_profiles(docs, id_col, text_col)
+    bands = lsh_band_keys(prof.select("doc_id", *signature_cols_from_hs()))
+    return prof, bands
 
 
 def build_signature_store(docs: DataFrame, path: str) -> None:
     """Persist the corpus's LSH band keys (partitioned by band — probe joins
     prune to the band directory) and shingle-set sizes. segment = -1 marks
     the batch-built generation; streamed appends stamp their batch id."""
-    toks = doc_shingle_sets(docs)
-    bands = lsh_band_keys(minhash_signatures_wide(toks)).withColumn(
-        "segment", F.lit(-1)
-    )
-    bands.write.mode("overwrite").partitionBy("band").parquet(f"{path}/bands")
-    sizes = (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("segment", F.lit(-1))
-    )
+    prof, bands = _profile_bands(docs)
+    bands.withColumn("segment", F.lit(-1)).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    sizes = prof.select("doc_id", "n").withColumn("segment", F.lit(-1))
     sizes.write.mode("overwrite").parquet(f"{path}/sizes")
 
 
@@ -64,17 +68,15 @@ def stream_update_signature_store(
     Later incremental_near_dups probes see streamed docs immediately."""
 
     def update(batch_df: DataFrame, batch_id: int) -> None:
-        toks = doc_shingle_sets(batch_df, id_col, text_col)
+        prof, bands = _profile_bands(batch_df, id_col, text_col)
         (
-            lsh_band_keys(minhash_signatures_wide(toks))
-            .withColumn("segment", F.lit(batch_id))
+            bands.withColumn("segment", F.lit(batch_id))
             .write.mode("append")
             .partitionBy("band")
             .parquet(f"{store_path}/bands")
         )
         (
-            toks.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n"))
+            prof.select("doc_id", "n")
             .withColumn("segment", F.lit(batch_id))
             .write.mode("append")
             .parquet(f"{store_path}/sizes")
@@ -100,8 +102,7 @@ def incremental_near_dups(
     """(doc_new, doc_old, jaccard): new-batch docs whose exact Jaccard vs an
     existing corpus doc is ≥ threshold, found via the persisted store —
     no corpus re-hashing, candidate-only verification."""
-    delta_toks = doc_shingle_sets(new_docs, id_col, text_col)
-    delta_bands = lsh_band_keys(minhash_signatures_wide(delta_toks))
+    delta_prof, delta_bands = _profile_bands(new_docs, id_col, text_col)
 
     old_bands = spark.read.parquet(f"{store_path}/bands")
     cands = (
@@ -123,37 +124,38 @@ def incremental_near_dups(
         id_col,
         "left_semi",
     )
-    old_toks = doc_shingle_sets(old_cand_docs, id_col, text_col)
+    old_prof = doc_shingle_profiles(old_cand_docs, id_col, text_col)
 
-    delta_sizes = delta_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
     old_sizes = spark.read.parquet(f"{store_path}/sizes").select(
         F.col("doc_id").alias("doc_old"), F.col("n").alias("n_old")
     )
 
-    inter = (
+    # exact Jaccard as one array_intersect per candidate pair (see
+    # minhash.verified_near_dups) — shingle STRING arrays, byte-identical
+    # to the token-relation form
+    inter = F.size(F.array_intersect(F.col("sh_new"), F.col("sh_old")))
+    return (
         cands.join(
-            delta_toks.select(F.col("doc_id").alias("doc_new"), "token"), "doc_new"
+            delta_prof.select(
+                F.col("doc_id").alias("doc_new"),
+                F.col("sh").alias("sh_new"),
+                F.col("n").alias("n_new"),
+            ),
+            "doc_new",
         )
         .join(
-            old_toks.select(F.col("doc_id").alias("doc_old"), "token"),
-            ["doc_old", "token"],
-        )
-        .groupBy("doc_new", "doc_old")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(
-            delta_sizes.select(F.col("doc_id").alias("doc_new"), "n_new"), "doc_new"
+            old_prof.select(
+                F.col("doc_id").alias("doc_old"), F.col("sh").alias("sh_old")
+            ),
+            "doc_old",
         )
         .join(old_sizes, "doc_old")
         .select(
             "doc_new",
             "doc_old",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_new") + F.col("n_old") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
+            F.round(inter / (F.col("n_new") + F.col("n_old") - inter), 6).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
     )
