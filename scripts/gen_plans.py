@@ -15,9 +15,10 @@ FLAGSHIPS = {
     "q5_local_supplier_volume": "relational spine: pushdown + broadcast dims + partial/final agg",
     "q3_shipping_priority": "top-k: TakeOrderedAndProject bounded heap, no global sort",
     "q21_suppliers_kept_waiting": "EXISTS/NOT EXISTS as LeftSemi + LeftAnti self-joins",
-    "fulltext_bm25_search_indexed": "benched BM25: bucket-pruned persisted postings + top-k heap",
+    "fulltext_bm25_search_indexed": "benched BM25: one bucket-pruned scan, literal df/stats, zero joins, top-k heap",
+    "fulltext_query_language_indexed": "boolean search: one pruned scan, flag+phrase+BM25 in one agg, no joins",
     "fulltext_bm25_search": "inline twin: posting semi-join + broadcast stats + top-k heap",
-    "dedup_minhash_pairs": "LSH banding: no cartesian anywhere; candidates-only verify join",
+    "dedup_minhash_pairs": "LSH banding: map-side signatures, exchange-reuse, array-intersect verify, no cartesian",
     "pipeline_training_data": "capstone: 3 shuffles total; everything else broadcast/row-local",
     "sim_ivf_topk_indexed": "persisted ANN index: PartitionFilters prune to probed clusters",
     "dedup_incremental_minhash": "delta probes persisted band-key store; corpus never re-hashed",
