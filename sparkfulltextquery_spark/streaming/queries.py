@@ -94,3 +94,110 @@ def streaming_dedup_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_unique"),
         F.count(F.lit(1)).alias("n_raw"),
     )
+
+
+@query(
+    "streaming_kafka_roundtrip",
+    oracle="""
+    SELECT 'events' AS topic,
+           CAST(user_id % 4 AS INT) AS partition,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(event_id) AS BIGINT) AS max_offset,
+           round(sum(value), 2) AS total
+    FROM events
+    GROUP BY user_id % 4
+    """,
+)
+def streaming_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka record encode∘decode == identity, end to end: events → the
+    connector's sink shape (to_kafka_records: key bytes + JSON value
+    bytes) → the source's fixed record schema (topic/partition/offset/
+    timestamp) → parse_kafka_records (value → from_json → typed columns)
+    → per-partition aggregate. The oracle aggregates the RAW events
+    table, so any drift in the encode or decode path (field loss, type
+    coercion, offset mixups) breaks value equality — this is the
+    broker-free twin of a Kafka ingest job (streaming/kafka.py; reference
+    external/kafka-0-10/.../DirectKafkaInputDStream.scala:54)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sparkfulltextquery_spark.streaming.kafka import (
+        parse_kafka_records,
+        to_kafka_records,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    enc = to_kafka_records(
+        e, key_col="user_id", value_cols=["event_id", "event_type", "value"]
+    )
+    # partition/offset derive from the ENCODED record alone (key bytes and
+    # payload json), as a real consumer would see them
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    shaped = enc.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("key").cast("long") % 4).cast("int").alias("partition"),
+        F.get_json_object(F.col("value"), "$.event_id").cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    parsed = parse_kafka_records(shaped, payload)
+    return parsed.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("offset").alias("max_offset"),
+        F.round(F.sum("value"), 2).alias("total"),
+    )
+
+
+@query(
+    "streaming_kafka_offset_dedup",
+    oracle="""
+    SELECT CAST((SELECT count(*) FROM events)
+                + (SELECT count(*) FROM events WHERE event_id < 500)
+                AS BIGINT) AS n_delivered,
+           CAST((SELECT count(*) FROM events) AS BIGINT)       AS n_after,
+           CAST((SELECT count(*) FROM events WHERE event_id < 500) AS BIGINT)
+             AS n_replayed
+    FROM (SELECT 1)
+    """,
+)
+def streaming_kafka_offset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once consumption primitive: a replayed micro-batch
+    re-delivers the first 500 offsets; dedup_by_offset collapses the
+    double delivery back to one row per (topic, partition, offset) —
+    the offset-keyed idempotency a Kafka sink/source pair relies on
+    (streaming/kafka.py::dedup_by_offset)."""
+    from sparkfulltextquery_spark.streaming.kafka import dedup_by_offset
+
+    e = load_table(spark, sf_dir, "events")
+    records = e.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("props").cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    replay = records.filter(F.col("offset") < 500)
+    delivered = records.unionAll(replay)
+    deduped = dedup_by_offset(delivered)
+    # declarative: three count aggregates cross-joined into one row (no
+    # driver-side actions at plan-build time)
+    return (
+        delivered.agg(F.count(F.lit(1)).alias("n_delivered"))
+        .crossJoin(deduped.agg(F.count(F.lit(1)).alias("n_after")))
+        .crossJoin(replay.agg(F.count(F.lit(1)).alias("n_replayed")))
+    )
