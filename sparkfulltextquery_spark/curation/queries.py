@@ -701,3 +701,132 @@ def curation_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_nll").desc(), F.col("doc_id"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# Full BPE vocabulary learner: K merge rounds unrolled DECLARATIVELY — the
+# iterative tokenizer-training loop (count pairs → pick argmax → apply
+# merge → repeat) as pure relational algebra. Each round's top pair is a
+# one-row subquery cross-joined (broadcast) into the merge application; no
+# driver collect, no Python loop over data — only the plan unrolls.
+#
+# Portability trick: a word's symbol sequence is a string with symbols
+# joined by TWO spaces and single-space edges ('<w> a  b  c </w>'-style:
+# ' a  b  c '). Greedy left-to-right pair merging is then a plain
+# replace(' a  b ', ' ab '): adjacent matches never share consumed
+# characters (each boundary has two spaces, the pattern consumes one from
+# each side), so runs like 'a a a a' merge to 'aa aa' in one pass — the
+# exact greedy-BPE semantics — with no regex lookarounds (DuckDB's RE2 has
+# none; replace() behaves identically in both engines).
+#
+# Scale: vocab is a bounded relation (top-V words); each round is one
+# pair-count groupBy over O(V) rows + a 1-row broadcast — corpus touched
+# once to build the vocabulary. Reference anchor: the fork's tokenizer
+# seed (`sentences`, stringExpressions.scala:1393) and mllib's iterative
+# training discipline; the one-round pair count is curation_bpe_pair_counts.
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+_BPE_VOCAB = 500
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS, vocab: int = _BPE_VOCAB) -> str:
+    ctes = [
+        f"""words AS (
+      SELECT unnest({_TOK}) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w, count(*) AS freq FROM words WHERE len(w) >= 2
+      GROUP BY w ORDER BY freq DESC, w LIMIT {vocab}
+    ),
+    s0 AS (
+      SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' ' AS sym,
+             freq
+      FROM vocab
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(f"""p{r} AS (
+      SELECT p.a AS a, p.b AS b, freq
+      FROM (SELECT string_split(trim(sym, ' '), '  ') AS arr, freq FROM {prev}),
+           unnest(list_transform(range(1, len(arr)),
+                                 i -> struct_pack(a := arr[i], b := arr[i + 1]))) AS t(p)
+    ),
+    t{r} AS (
+      SELECT a, b, sum(freq) AS cnt FROM p{r}
+      GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    s{r} AS (
+      SELECT replace(sym, ' ' || t.a || '  ' || t.b || ' ',
+                          ' ' || t.a || t.b || ' ') AS sym, freq
+      FROM {prev} CROSS JOIN t{r} t
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}\n    ORDER BY round"
+
+
+@query("curation_bpe_learn", oracle=_bpe_oracle())
+def curation_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, {K} greedy merges over the top-{V} word
+    vocabulary: returns the learned merge table (round, a, b, merged, cnt)
+    — the artifact an LLM data pipeline ships to its tokenizer. See the
+    block comment above for the declarative-unroll and double-space
+    portability design."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokenize(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(_BPE_VOCAB)
+    )
+    sym0 = F.concat(
+        F.lit(" "), F.rtrim(F.regexp_replace("w", "(.)", "$1  ")), F.lit(" ")
+    )
+    state = vocab.select(sym0.alias("sym"), "freq")
+    merge_rows = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        arr = F.split(F.trim(F.col("sym")), "  ")
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        merge_rows.append(
+            top.select(
+                F.lit(r).alias("round"),
+                "a",
+                "b",
+                F.concat("a", "b").alias("merged"),
+                "cnt",
+            )
+        )
+        state = state.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            ).alias("sym"),
+            "freq",
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("round")
