@@ -40,20 +40,27 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_rounds):
+        # convergence detection rides INSIDE the propagation aggregate: own
+        # rows are tagged, so the same groupBy yields both min(all labels)
+        # and the vertex's previous label — `changed` is then a scan of the
+        # checkpointed result, not a second join job per round (r04; was a
+        # labels⋈new_labels join each iteration)
+        own = labels.select("lv", "lbl", F.lit(True).alias("own"))
         prop = sym.join(labels, sym.w == labels.lv).select(
-            F.col("v").alias("lv"), F.col("lbl")
+            F.col("v").alias("lv"), F.col("lbl"), F.lit(False).alias("own")
         )
         new_labels = (
-            labels.union(prop).groupBy("lv").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.select(F.col("lv").alias("nv"), F.col("lbl").alias("nlbl"))
-            .join(labels, F.col("nv") == labels.lv)
-            .filter(F.col("nlbl") != F.col("lbl"))
-            .limit(1)
-            .count()
+            own.union(prop)
+            .groupBy("lv")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("own"), F.col("lbl"))).alias("_old"),
+            )
+            .select("lv", "lbl", (F.col("lbl") != F.col("_old")).alias("changed"))
+            .localCheckpoint(eager=True)
         )
-        labels = new_labels
-        if changed == 0:
+        any_changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("lv", "lbl")
+        if any_changed == 0:
             break
     return labels.select(F.col("lv").alias("vertex"), F.col("lbl").alias("component"))
