@@ -80,3 +80,44 @@ def test_pure_negation_query(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_flag_compilation_equals_join_compilation(spark):
+    """compile_matches_flags (r04 one-pass boolean eval) must produce the
+    same doc set as the join-based compile_matches for every satisfiable
+    AST shape, and decline (None) exactly the pure-negation shapes."""
+    from sparkfulltextquery_spark.functions.fulltext import phrase_match, postings
+    from sparkfulltextquery_spark.functions.querylang import (
+        compile_matches,
+        compile_matches_flags,
+        parse_query,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    post = postings(docs)
+    phrase_fn = lambda text: phrase_match(docs, text).select("doc_id")  # noqa: E731
+    universe = docs.select("doc_id")
+
+    satisfiable = [
+        "spark",
+        "spark AND join",
+        "spark OR join",
+        "spark AND NOT join",
+        '(spark AND join) OR ("batch batch" AND NOT vector)',
+        "(spark OR join) AND (vector OR NOT batch)",
+        '"batch batch"',
+        'NOT vector AND "batch batch"',
+    ]
+    for q in satisfiable:
+        ast = parse_query(q)
+        flags = compile_matches_flags(ast, post, phrase_fn)
+        assert flags is not None, q
+        want = {
+            r.doc_id
+            for r in compile_matches(ast, post, phrase_fn, universe).collect()
+        }
+        got = {r.doc_id for r in flags.collect()}
+        assert got == want, q
+
+    for q in ["NOT spark", "NOT (spark AND join)", "NOT spark OR join"]:
+        assert compile_matches_flags(parse_query(q), post, phrase_fn) is None, q
