@@ -730,7 +730,8 @@ _BPE_ROUNDS = 6
 _BPE_VOCAB = 500
 
 
-def _bpe_oracle(rounds: int = _BPE_ROUNDS, vocab: int = _BPE_VOCAB) -> str:
+def _bpe_with_chain(rounds: int = _BPE_ROUNDS, vocab: int = _BPE_VOCAB) -> str:
+    """The shared WITH chain: vocab → s0 → (p_r, t_r, s_r) × rounds."""
     ctes = [
         f"""words AS (
       SELECT unnest({_TOK}) AS w FROM documents
@@ -762,11 +763,15 @@ def _bpe_oracle(rounds: int = _BPE_ROUNDS, vocab: int = _BPE_VOCAB) -> str:
                           ' ' || t.a || t.b || ' ') AS sym, freq
       FROM {prev} CROSS JOIN t{r} t
     )""")
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS, vocab: int = _BPE_VOCAB) -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT {r} AS round, a, b, a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM t{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}\n    ORDER BY round"
+    return _bpe_with_chain(rounds, vocab) + f"\n    {unions}\n    ORDER BY round"
 
 
 @query("curation_bpe_learn", oracle=_bpe_oracle())
@@ -830,3 +835,86 @@ def curation_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merge_rows[1:]:
         out = out.unionAll(m)
     return out.orderBy("round")
+
+
+def _bpe_apply_oracle(rounds: int = _BPE_ROUNDS, vocab: int = _BPE_VOCAB) -> str:
+    # reuse the learner's CTE chain, then score the FINAL state: weighted
+    # symbol counts before/after the merges
+    return (
+        _bpe_with_chain(rounds, vocab)
+        + f""",
+    stats AS (
+      SELECT (SELECT sum(freq * len(string_split(trim(sym, ' '), '  '))) FROM s0)
+               AS syms_before,
+             (SELECT sum(freq * len(string_split(trim(sym, ' '), '  ')))
+              FROM s{rounds}) AS syms_after
+    )
+    SELECT CAST(syms_before AS BIGINT) AS syms_before,
+           CAST(syms_after AS BIGINT) AS syms_after,
+           round(syms_after / syms_before, 6) AS compression
+    FROM stats"""
+    )
+
+
+@query("curation_bpe_apply", oracle=_bpe_apply_oracle())
+def curation_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table back to the vocabulary and report
+    the corpus-weighted symbol counts before/after and the compression
+    ratio — the train→apply round trip an LLM tokenizer pipeline ships.
+    Same declarative unroll as curation_bpe_learn; the 'apply' is the
+    K-fold replace chain over the weighted vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokenize(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(_BPE_VOCAB)
+    )
+    sym0 = F.concat(
+        F.lit(" "), F.rtrim(F.regexp_replace("w", "(.)", "$1  ")), F.lit(" ")
+    )
+    state = vocab.select(sym0.alias("sym"), "freq")
+    n_syms = lambda c: F.size(F.split(F.trim(F.col(c)), "  "))  # noqa: E731
+    before = state.agg(
+        F.sum(F.col("freq") * n_syms("sym")).alias("syms_before")
+    )
+    for _ in range(_BPE_ROUNDS):
+        arr = F.split(F.trim(F.col("sym")), "  ")
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, F.size(arr) - 1),
+                    F.slice(arr, 2, F.size(arr) - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        state = state.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" ")),
+            ).alias("sym"),
+            "freq",
+        )
+    after = state.agg(F.sum(F.col("freq") * n_syms("sym")).alias("syms_after"))
+    return (
+        before.crossJoin(after)
+        .select(
+            "syms_before",
+            "syms_after",
+            F.round(
+                F.col("syms_after").cast("double") / F.col("syms_before"), 6
+            ).alias("compression"),
+        )
+    )
