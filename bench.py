@@ -72,6 +72,11 @@ EXTRA = [
     "graph_pagerank_nations",
     "dedup_cluster_canonical",
     "fulltext_collapse_by_source",
+    # r04 additions
+    "curation_bpe_learn",
+    "curation_bpe_apply",
+    "streaming_kafka_roundtrip",
+    "streaming_kafka_offset_dedup",
 ]
 
 
