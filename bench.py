@@ -233,7 +233,12 @@ def main() -> None:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.time() - t0, 3)
 
-    micro = _micro_benchmarks(spark)
+    # SPARK_GRAFT_SKIP_MICRO=1 skips the BASELINE-twin microbenchmarks —
+    # used by the SCALE.md curve runs, which only need headline walls; the
+    # driver's per-round invocation sets nothing and runs everything
+    micro = (
+        {} if os.environ.get("SPARK_GRAFT_SKIP_MICRO") else _micro_benchmarks(spark)
+    )
 
     total = round(sum(timings.values()), 3)
     print(
