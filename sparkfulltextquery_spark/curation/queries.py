@@ -797,6 +797,11 @@ def curation_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = vocab.select(sym0.alias("sym"), "freq")
     merge_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
+        # each round consumes `state` twice (pair-count argmax + merge
+        # apply); the doubled subtree is collapsed by AQE stage reuse at
+        # runtime — an explicit per-round repartition was A/B-measured
+        # SLOWER here (3.3s vs 2.4s: six extra stage barriers on a
+        # 500-row relation), unlike minhash's corpus-sized subtrees
         arr = F.split(F.trim(F.col("sym")), "  ")
         pairs = state.select(
             "freq",
@@ -882,6 +887,7 @@ def curation_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("freq") * n_syms("sym")).alias("syms_before")
     )
     for _ in range(_BPE_ROUNDS):
+        # no per-round repartition — see curation_bpe_learn's A/B note
         arr = F.split(F.trim(F.col("sym")), "  ")
         pairs = state.select(
             "freq",
