@@ -465,3 +465,22 @@ def test_kmeans_lineage_truncation_keeps_plan_constant(spark):
         for r in kmeans_iterate(emb, k=4, iters=2, truncate_lineage=True).collect()
     }
     assert got == want
+
+
+def test_minhash_signature_stage_is_map_side(spark):
+    """r04 minhash shape: signatures + band keys must derive map-side from
+    the per-doc shingle profile — no exploded (doc_id, token) relation, so
+    the plan up to the band self-join carries NO aggregate-feeding
+    Generate→Exchange→HashAggregate chain over tokens, and the whole query
+    stays within a bounded exchange budget (band repartition, pair
+    distinct, sets repartition + AQE join exchanges)."""
+    from sparkfulltextquery_spark.plans import count_exchanges
+
+    df = _q(spark, "dedup_minhash_pairs")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the r03 form needed a distinct + groupBy over the token relation
+    # BEFORE banding — two extra corpus-sized exchanges; the map-side form
+    # bounds the total at 6 (2 explicit repartitions, the pair distinct's
+    # partial/final pair, and the verification join exchanges)
+    assert count_exchanges(df) <= 6, plan
