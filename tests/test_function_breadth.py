@@ -1,6 +1,6 @@
 """Long-tail §2.8 function sweep: every expression here must parse, run, and
 return the expected literal — one projection, evaluated once. Complements
-the oracle-checked family queries with ~480 registry-function pins
+the oracle-checked family queries with ~557 registry-function pins
 (reference FunctionRegistry.scala:160-395; built by diffing SHOW FUNCTIONS
 against the repo's coverage, the cheap increment toward the reference's
 HiveCompatibilitySuite golden breadth)."""
@@ -727,6 +727,111 @@ CASES_R4 = [
 
 @pytest.mark.parametrize("expr,expected", CASES_R4, ids=[c[0][:40] for c in CASES_R4])
 def test_function_tail_r4(spark, expr, expected):
+    v = spark.sql(f"SELECT {expr} AS v").head().v
+    if callable(expected):
+        assert expected(v), f"{expr} -> {v!r}"
+    elif isinstance(expected, float):
+        assert v == pytest.approx(expected), f"{expr} -> {v!r}"
+    else:
+        assert v == expected, f"{expr} -> {v!r}"
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: +73 pins for the remaining unswept families — bitmap
+# aggregation, HLL/count-min sketch scalars, collation (Spark 4), catalog
+# metadata, JVM reflection, generator edge cases (outer forms on NULL),
+# bitwise operators/aggregates, higher-order stragglers (index lambdas,
+# reduce finisher), and SQL-standard string syntax (FROM/FOR, BOTH/LEADING/
+# TRAILING trims).
+CASES_R4B = [
+    # bitmap family (SPARK-44166)
+    ("bitmap_bucket_number(123)", 1),
+    ("bitmap_bucket_number(32769)", 2),  # buckets are 1-based, 32768 bits each
+    ("bitmap_bit_position(123)", 122),
+    ("bitmap_count(X'0700')", 3),
+    ("(SELECT bitmap_count(bitmap_construct_agg(bitmap_bit_position(x))) FROM VALUES (1),(2),(3),(2) t(x))", 3),
+    ("(SELECT bitmap_count(bitmap_or_agg(b)) FROM (SELECT bitmap_construct_agg(bitmap_bit_position(x)) b FROM VALUES (1),(2) t(x) UNION ALL SELECT bitmap_construct_agg(bitmap_bit_position(y)) FROM VALUES (2),(3) t(y)))", 3),
+    # hll sketch scalar surface
+    ("(SELECT hll_sketch_estimate(hll_sketch_agg(x)) FROM VALUES ('a'),('b'),('a') t(x))", 2),
+    ("(SELECT hll_sketch_estimate(hll_union(s1, s2)) FROM (SELECT hll_sketch_agg(x) s1 FROM VALUES ('a'),('b') t(x)), (SELECT hll_sketch_agg(y) s2 FROM VALUES ('b'),('c') t(y)))", 3),
+    ("(SELECT hll_sketch_estimate(hll_union_agg(s)) FROM (SELECT hll_sketch_agg(x) s FROM VALUES ('a') t(x) UNION ALL SELECT hll_sketch_agg(y) FROM VALUES ('b') t(y)))", 2),
+    # count_min sketch
+    ("(SELECT count_min_sketch(x, 0.01d, 0.95d, 7) IS NOT NULL FROM VALUES (1),(2) t(x))", True),
+    # collation (Spark 4)
+    ("'a' = collate('A', 'UTF8_LCASE')", True),
+    ("collation('x' COLLATE UNICODE_CI)", lambda v: "UNICODE_CI" in v),
+    ("contains(collate('ABC', 'UTF8_LCASE'), 'b')", True),
+    ("startswith(collate('ABC', 'UTF8_LCASE'), 'ab')", True),
+    ("array_contains(array(collate('A', 'UTF8_LCASE')), 'a')", True),
+    # catalog / metadata / misc
+    ("current_catalog()", "spark_catalog"),
+    ("current_schema()", "default"),
+    ("current_database()", "default"),
+    ("typeof(1)", "int"),
+    ("typeof(1L)", "bigint"),
+    ("typeof(interval '1' day)", "interval day"),
+    ("typeof(parse_json('1'))", "variant"),
+    ("version() LIKE '4.%'", True),
+    # reflection / java interop
+    ("reflect('java.lang.Integer', 'toHexString', 255)", "ff"),
+    ("java_method('java.lang.Math', 'abs', -7)", "7"),
+    ("try_reflect('java.lang.Integer', 'parseInt', 'zz') IS NULL", True),
+    # misc expression surface
+    ("(SELECT count(*) FROM (SELECT stack(2, 1, 2, 3, 4)))", 2),
+    ("(SELECT count(*) FROM (SELECT posexplode_outer(cast(NULL as array<int>))))", 1),
+    ("(SELECT count(*) FROM (SELECT inline_outer(cast(NULL as array<struct<a:int>>))))", 1),
+    ("named_struct('a', 1).a", 1),
+    ("struct(1, 'x').col2", "x"),
+    ("map_from_arrays(array('k'), array(7))['k']", 7),
+    ("map_from_entries(array(struct('k', 7)))['k']", 7),
+    ("element_at(map('a', 1), 'a')", 1),
+    ("(SELECT a FROM (SELECT explode(map('a', 1)) AS (a, b)))", "a"),
+    ("assert_true(1 < 2) IS NULL", True),
+    ("nvl(NULL, 'd')", "d"),
+    ("char_length('ab')", 2),
+    # bitwise/misc numeric stragglers
+    ("12 & 10", 8),
+    ("12 | 10", 14),
+    ("12 ^ 10", 6),
+    ("~0", -1),
+    ("(SELECT bit_and(x) FROM VALUES (12),(10) t(x))", 8),
+    ("(SELECT bit_or(x) FROM VALUES (12),(10) t(x))", 14),
+    ("(SELECT bit_xor(x) FROM VALUES (12),(10) t(x))", 6),
+    ("(SELECT any_value(x) FROM VALUES (5),(5) t(x))", 5),
+    ("(SELECT count_if(x > 1) FROM VALUES (1),(2),(3) t(x))", 2),
+    ("(SELECT median(x) FROM VALUES (1),(2),(3) t(x))", 2.0),
+    ("(SELECT try_sum(x) FROM VALUES (9223372036854775807L),(1L) t(x)) IS NULL", True),
+    ("(SELECT histogram_numeric(x, 2) IS NOT NULL FROM VALUES (1.0),(2.0) t(x))", True),
+    # higher-order stragglers
+    ("reduce(array(1, 2, 3), 0, (a, x) -> a + x)", 6),
+    ("reduce(array(1, 2, 3), 0, (a, x) -> a + x, a -> a * 10)", 60),
+    ("exists(array(1, 2), x -> x = 2)", True),
+    ("forall(array(1, 2), x -> x > 0)", True),
+    ("filter(array(1, 2, 3), (x, i) -> i = 0)", lambda v: list(v) == [1]),
+    ("transform(array('a', 'b'), (x, i) -> concat(x, i))", lambda v: list(v) == ["a0", "b1"]),
+    ("zip_with(array(1, 2), array(10, 20), (x, y) -> x + y)", lambda v: list(v) == [11, 22]),
+    ("map_zip_with(map('k', 1), map('k', 2), (k, v1, v2) -> v1 + v2)['k']", 3),
+    ("transform_keys(map('a', 1), (k, v) -> upper(k))['A']", 1),
+    ("transform_values(map('a', 1), (k, v) -> v * 10)['a']", 10),
+    # string stragglers
+    ("substr('abcde', -3)", "cde"),
+    ("substring('abcde' FROM 2 FOR 3)", "bcd"),
+    ("trim(BOTH 'x' FROM 'xxaxx')", "a"),
+    ("trim(LEADING 'x' FROM 'xxa')", "a"),
+    ("trim(TRAILING 'x' FROM 'axx')", "a"),
+    ("'a' || 'b' || 'c'", "abc"),
+    ("len('abc')", 3),
+    ("hash(42) IS NOT NULL", True),
+    ("xxhash64(42) IS NOT NULL", True),
+    ("crc32('abc')", 891568578),
+    ("sha1('abc')", "a9993e364706816aba3e25717850c26c9cd0d89d"),
+    ("sha2('abc', 224)", lambda v: len(v) == 56),
+    ("md5('abc')", "900150983cd24fb0d6963f7d28e17f72"),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES_R4B, ids=[c[0][:40] for c in CASES_R4B])
+def test_function_tail_r4b(spark, expr, expected):
     v = spark.sql(f"SELECT {expr} AS v").head().v
     if callable(expected):
         assert expected(v), f"{expr} -> {v!r}"
