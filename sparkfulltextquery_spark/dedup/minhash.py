@@ -80,7 +80,15 @@ def doc_shingle_profiles(
     relation form (doc_shingle_sets) shuffles the exploded token set for
     distinct and again for the signature groupBy; per-doc set semantics
     need neither — a document's shingle set fits in its own row (bounded
-    by doc length, the same bound the explode form carries per group)."""
+    by doc length, the same bound the explode form carries per group).
+
+    Docs with fewer than k tokens have an EMPTY shingle set and are
+    dropped here (n > 0 filter) — matching the relation form, where
+    exploding an empty array yields no rows. Without the filter every
+    shingle-less doc signs to NULL and its bands all collapse to md5(''),
+    making all such docs mutual LSH candidates (quadratic in their count)
+    in every banding consumer, including the persisted store (ADVICE r04
+    medium)."""
     from sparkfulltextquery_spark.functions.text import ngrams, tokenize
 
     toks = docs.select(
@@ -92,7 +100,7 @@ def doc_shingle_profiles(
         sh.alias("sh"),
         F.transform(sh, lambda s: h28(s)).alias("hs"),
         F.size(sh).alias("n"),
-    )
+    ).filter(F.col("n") > 0)
 
 
 def signature_cols_from_hs(hs="hs") -> list:

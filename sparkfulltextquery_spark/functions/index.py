@@ -26,6 +26,10 @@ from sparkfulltextquery_spark.functions.fulltext import (
 )
 
 
+_AUTO_BUCKETED_CONF = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+_PRIOR_AUTO_BUCKETED: dict[str, str | None] = {}
+
+
 def _force_bucketed_scan(spark: SparkSession) -> None:
     """Pin bucketed reads on for index lookups. The planner's
     autoBucketedScan heuristic disables the bucketed scan when no operator
@@ -35,8 +39,32 @@ def _force_bucketed_scan(spark: SparkSession) -> None:
     table this engine writes exists precisely for pruned term lookups, so
     forcing the bucketed read is always the right trade here (each bucket
     is one task; pruning skips whole files). Runtime-settable, so it works
-    under the driver's vanilla session too."""
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    under the driver's vanilla session too.
+
+    SESSION-WIDE EFFECT (documented per ADVICE r04): the conf must still
+    be false when the returned lazy DataFrame is *executed*, so this
+    cannot restore-on-return. Instead the prior value is recorded once per
+    application; callers that interleave indexed queries with other
+    bucketed-table work can call restore_auto_bucketed_scan(spark) after
+    collecting their results."""
+    app = spark.sparkContext.applicationId
+    if app not in _PRIOR_AUTO_BUCKETED:
+        _PRIOR_AUTO_BUCKETED[app] = spark.conf.get(_AUTO_BUCKETED_CONF, None)
+    spark.conf.set(_AUTO_BUCKETED_CONF, "false")
+
+
+def restore_auto_bucketed_scan(spark: SparkSession) -> None:
+    """Undo _force_bucketed_scan: restore the conf value the session had
+    before the first indexed query (or unset it if it was unset). Safe to
+    call when no indexed query ever ran."""
+    app = spark.sparkContext.applicationId
+    if app not in _PRIOR_AUTO_BUCKETED:
+        return
+    prior = _PRIOR_AUTO_BUCKETED.pop(app)
+    if prior is None:
+        spark.conf.unset(_AUTO_BUCKETED_CONF)
+    else:
+        spark.conf.set(_AUTO_BUCKETED_CONF, prior)
 
 
 def build_index(
@@ -52,6 +80,12 @@ def build_index(
     at an explicit location (warehouse.dir is a static conf and cannot be
     changed per-session)."""
     spark = docs.sparkSession
+    # a rebuild over changed data must not serve the previous build's
+    # n_docs/avgdl/df literals into new scoring plans (ADVICE r04) — drop
+    # this prefix's cached stats before writing the new generation
+    skey = (spark.sparkContext.applicationId, table_prefix)
+    _INDEX_STATS_CACHE.pop(skey, None)
+    _INDEX_DF_CACHE.pop(skey, None)
     names = {
         "postings": f"{table_prefix}_postings",
         "doc_freq": f"{table_prefix}_df",

@@ -18,7 +18,9 @@ the reference's saveAsTable-into-warehouse layout (DataFrameWriter.scala).
 
 from __future__ import annotations
 
+import getpass
 import hashlib
+import os
 import tempfile
 from pathlib import Path
 
@@ -26,10 +28,19 @@ from pathlib import Path
 def index_store_root(kind: str, sf_dir: str) -> str:
     """Stable local path for a persisted index of `kind` over `sf_dir`.
 
-    Same (kind, sf_dir) → same path, created on first use; callers write
-    with mode("overwrite") so re-use across sessions replaces rather than
-    duplicates."""
+    Same (user, kind, sf_dir) → same path, created on first use; callers
+    write with mode("overwrite") so re-use across sessions replaces rather
+    than duplicates. The base dir is scoped per-user and created with mode
+    0700 (ADVICE r04: a world-predictable shared-/tmp path is a cross-user
+    race and a pre-creation/symlink hazard; per-user 0700 restores the
+    isolation the old per-session mkdtemp had while keeping determinism)."""
+    try:
+        user = getpass.getuser()
+    except Exception:  # no passwd entry (containers) — fall back to uid
+        user = str(os.getuid()) if hasattr(os, "getuid") else "nouser"
+    base = Path(tempfile.gettempdir()) / f"sftq_indexes_{user}"
+    base.mkdir(mode=0o700, parents=True, exist_ok=True)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = Path(tempfile.gettempdir()) / "sftq_indexes" / f"{kind}_{digest}"
+    root = base / f"{kind}_{digest}"
     root.mkdir(parents=True, exist_ok=True)
     return str(root)

@@ -189,9 +189,35 @@ def to_kafka_records(
     return out
 
 
-def dedup_by_offset(records: DataFrame) -> DataFrame:
+def dedup_by_offset(
+    records: DataFrame,
+    *,
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
     """Exactly-once consumption primitive: keep the first row per
     (topic, partition, offset) — idempotent re-reads after a replayed
-    micro-batch collapse to one. On streams pair with a watermark on the
-    record timestamp so state stays bounded."""
+    micro-batch collapse to one.
+
+    `watermark=(ts_col, delay)` (e.g. ``("timestamp", "10 minutes")``)
+    applies an event-time watermark and uses
+    ``dropDuplicatesWithinWatermark`` so streaming dedup state is evicted
+    once an offset's timestamp falls behind the watermark — bounded state
+    on unbounded streams. A STREAMING frame without a watermark raises
+    (ADVICE r04: unbounded (topic, partition, offset) state otherwise
+    accumulates silently); batch frames dedup exactly with no watermark
+    needed."""
+    if records.isStreaming:
+        if watermark is None:
+            raise ValueError(
+                "dedup_by_offset on a streaming frame requires "
+                "watermark=(ts_col, delay) so dedup state stays bounded; "
+                "e.g. watermark=('timestamp', '10 minutes')"
+            )
+        ts_col, delay = watermark
+        return records.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            ["topic", "partition", "offset"]
+        )
+    if watermark is not None:
+        ts_col, delay = watermark  # no-op marker on batch frames, kept for parity
+        records = records.withWatermark(ts_col, delay)
     return records.dropDuplicates(["topic", "partition", "offset"])

@@ -294,3 +294,45 @@ def test_pq_codes_persisted_equals_inline(spark, tmp_path):
         for r in pq_adc_topk_from_codes(codes, e, qvec, k=10).collect()
     ]
     assert inline == stored and len(stored) == 10
+
+
+def test_rebuild_invalidates_stats_cache(spark, tmp_path):
+    """ADVICE r04: rebuilding an index under the same prefix over changed
+    data must not serve the previous build's n_docs/avgdl/df literals."""
+    from sparkfulltextquery_spark.functions import index as IX
+
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id int, text string"
+    )
+    IX.build_index(docs1, table_prefix="t_rebuild", num_buckets=2,
+                   path=f"file://{tmp_path}/g1")
+    n1, _, df1 = IX._df_stats_literals(spark, "t_rebuild", ["alpha"])
+    assert (n1, df1["alpha"]) == (2, 2)
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta epsilon")],
+        "doc_id int, text string",
+    )
+    IX.build_index(docs2, table_prefix="t_rebuild", num_buckets=2,
+                   path=f"file://{tmp_path}/g2")
+    n2, _, df2 = IX._df_stats_literals(spark, "t_rebuild", ["alpha", "delta"])
+    assert (n2, df2["alpha"], df2["delta"]) == (3, 2, 1)
+
+
+def test_force_bucketed_scan_restores(spark):
+    """ADVICE r04: the autoBucketedScan override is session-wide by design
+    (the lazy plans must execute under it) but must be restorable."""
+    from sparkfulltextquery_spark.functions.index import (
+        _AUTO_BUCKETED_CONF,
+        _force_bucketed_scan,
+        restore_auto_bucketed_scan,
+    )
+
+    # settle any force from earlier tests in this session first
+    restore_auto_bucketed_scan(spark)
+    prior = spark.conf.get(_AUTO_BUCKETED_CONF, None)
+    _force_bucketed_scan(spark)
+    assert spark.conf.get(_AUTO_BUCKETED_CONF) == "false"
+    restore_auto_bucketed_scan(spark)
+    assert spark.conf.get(_AUTO_BUCKETED_CONF, None) == prior
+    # idempotent when never forced
+    restore_auto_bucketed_scan(spark)

@@ -163,3 +163,25 @@ def test_dedup_by_offset_idempotent_replay(spark):
     # a replayed micro-batch re-delivers the same offsets
     df = _kafka_shaped(spark, batch + batch)
     assert dedup_by_offset(df).count() == 2
+
+
+def test_dedup_by_offset_streaming_requires_watermark(spark):
+    """ADVICE r04: a streaming frame without a watermark would accumulate
+    unbounded (topic, partition, offset) dedup state — the API must refuse
+    it, and accept the watermark form (dropDuplicatesWithinWatermark)."""
+    import pytest
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            F.lit("t").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.col("value").alias("offset"),
+            F.col("timestamp"),
+        )
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        dedup_by_offset(rate)
+    # watermark form builds a bounded-state streaming plan
+    deduped = dedup_by_offset(rate, watermark=("timestamp", "10 minutes"))
+    assert deduped.isStreaming

@@ -536,3 +536,51 @@ def test_kmeans_recovers_planted_clusters(spark):
     learned = [v for v in by_label.values()]
     assert all(len(v) == 1 for v in learned), by_label
     assert len({next(iter(v)) for v in learned}) == n_clusters
+
+
+def test_minhash_shingleless_docs_never_candidates(spark):
+    """ADVICE r04 (medium): docs with fewer than SHINGLE_K tokens have an
+    empty shingle set; they must be dropped before banding — otherwise all
+    their bands collapse to md5('') and every such doc pairs with every
+    other (quadratic). The profile relation must exclude them and the
+    candidate stage must produce no pair involving them."""
+    from sparkfulltextquery_spark.dedup.minhash import (
+        doc_shingle_profiles,
+        lsh_candidate_pairs,
+        verified_near_dups,
+    )
+
+    rows = [
+        (1, "one two"),          # 2 tokens < k=3 → no shingles
+        (2, "tiny"),             # 1 token
+        (3, ""),                 # empty
+        (4, "alpha beta gamma delta epsilon"),
+        (5, "alpha beta gamma delta epsilon"),  # exact dup of 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    prof_ids = {r.doc_id for r in doc_shingle_profiles(docs).select("doc_id").collect()}
+    assert prof_ids == {4, 5}
+    cands = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert cands == {(4, 5)}
+    ver = verified_near_dups(docs, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in ver} == {(4, 5)}
+
+
+def test_incremental_store_excludes_shingleless_docs(spark, tmp_path):
+    """The persisted band store must not accumulate md5('') buckets for
+    shingle-less docs (same ADVICE item, store path)."""
+    from sparkfulltextquery_spark.dedup.incremental import (
+        build_signature_store,
+        incremental_near_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "x"), (2, "alpha beta gamma delta")], "doc_id int, text string"
+    )
+    store = f"file://{tmp_path}/sigstore"
+    build_signature_store(corpus, store)
+    stored = {r.doc_id for r in spark.read.parquet(f"{store}/bands").select("doc_id").distinct().collect()}
+    assert stored == {2}
+    # a shingle-less probe batch yields no candidates (not a crash, not a flood)
+    delta = spark.createDataFrame([(10, "y z")], "doc_id int, text string")
+    assert incremental_near_dups(spark, delta, corpus, store).count() == 0
