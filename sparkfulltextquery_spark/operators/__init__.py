@@ -23,5 +23,6 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     sql_surface,
     tpch,
     tpch2,
+    tpcds,
     windows,
 )

@@ -484,3 +484,48 @@ def test_minhash_signature_stage_is_map_side(spark):
     # bounds the total at 6 (2 explicit repartitions, the pair distinct's
     # partial/final pair, and the verification join exchanges)
     assert count_exchanges(df) <= 6, plan
+
+
+def test_tpcds_star_joins_broadcast_dims(spark):
+    """TPC-DS slice guardrail: every star-join port must broadcast its
+    dimension side(s) (part/supplier/nation) — at 100 TB the fact side
+    shuffling against a shuffled dim would dominate the query."""
+    for name in (
+        "tpcds_q3_brand_by_year",
+        "tpcds_q19_brand_revenue",
+        "tpcds_q42_category_revenue",
+        "tpcds_q47_monthly_deviation",
+        "tpcds_q67_rollup_rank",
+        "tpcds_q89_monthly_outliers",
+        "tpcds_q98_revenue_ratio",
+    ):
+        df = _q(spark, name)
+        assert uses_broadcast_join(df), f"{name} should broadcast its dims"
+
+
+def test_tpcds_no_cartesian_outside_scalar_joins(spark):
+    """q88/q90 combine single-row aggregates — their cross joins must plan
+    as broadcast nested-loop over one-row sides, never CartesianProduct."""
+    for name in ("tpcds_q88_hour_buckets", "tpcds_q90_am_pm_ratio"):
+        df = _q(spark, name)
+        assert not has_operator(df, "CartesianProduct"), name
+
+
+def test_tpcds_q16_plans_semi_and_anti(spark):
+    """The EXISTS/NOT EXISTS pair must plan as one semi + one anti join
+    (subquery decorrelation shape), not nested-loop re-scans."""
+    plan = physical_plan(_q(spark, "tpcds_q16_multi_supplier_orders"))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_tpcds_topk_plans_as_bounded_heap(spark):
+    """ORDER BY + LIMIT ports must plan TakeOrderedAndProject, not a global
+    sort of the full aggregate output."""
+    for name in (
+        "tpcds_q3_brand_by_year",
+        "tpcds_q22_rollup_qoh",
+        "tpcds_q42_category_revenue",
+    ):
+        df = _q(spark, name)
+        assert uses_top_k(df), f"{name} should plan TakeOrderedAndProject"
