@@ -525,3 +525,178 @@ def sqlt_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Golden-file closure (VERDICT r04 #2): the remaining
+# sql-tests/inputs/*.sql families not yet mapped to an oracle query —
+# outer-join.sql, order-by-ordinal.sql, null-propagation.sql,
+# inline-table.sql, literals.sql.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sqlt_outer_join_coalesce_having",
+    oracle="""
+    WITH t1(int_col1) AS (VALUES (-234), (145), (367), (975), (298)),
+         t2(int_col0, int_col1) AS
+           (VALUES (-769, -244), (-800, -409), (940, 86), (-507, 304),
+                   (-367, 158))
+    SELECT CAST(SUM(COALESCE(t1.int_col1, t2.int_col0)) AS BIGINT) AS s,
+           CAST(COALESCE(t1.int_col1, t2.int_col0) * 2 AS BIGINT) AS d
+    FROM t1 RIGHT JOIN t2 ON t2.int_col0 = t1.int_col1
+    GROUP BY GREATEST(COALESCE(t2.int_col1, 109), COALESCE(t1.int_col1, -449)),
+             COALESCE(t1.int_col1, t2.int_col0)
+    HAVING SUM(COALESCE(t1.int_col1, t2.int_col0))
+             > COALESCE(t1.int_col1, t2.int_col0) * 2
+    """,
+)
+def sqlt_outer_join_coalesce_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """outer-join.sql's SPARK-17099 regression shape: RIGHT JOIN whose
+    GROUP BY keys and HAVING predicate are COALESCE expressions over both
+    join sides — the aggregate must resolve the coalesce against the
+    join output, not either input."""
+    return spark.sql(
+        """
+        WITH t1 AS (SELECT * FROM VALUES (-234), (145), (367), (975), (298)
+                    AS t1(int_col1)),
+             t2 AS (SELECT * FROM VALUES (-769, -244), (-800, -409),
+                    (940, 86), (-507, 304), (-367, 158)
+                    AS t2(int_col0, int_col1))
+        SELECT CAST(SUM(COALESCE(t1.int_col1, t2.int_col0)) AS BIGINT) AS s,
+               CAST(COALESCE(t1.int_col1, t2.int_col0) * 2 AS BIGINT) AS d
+        FROM t1 RIGHT JOIN t2 ON t2.int_col0 = t1.int_col1
+        GROUP BY GREATEST(COALESCE(t2.int_col1, 109),
+                          COALESCE(t1.int_col1, -449)),
+                 COALESCE(t1.int_col1, t2.int_col0)
+        HAVING SUM(COALESCE(t1.int_col1, t2.int_col0))
+                 > COALESCE(t1.int_col1, t2.int_col0) * 2
+        """
+    )
+
+
+@query(
+    "sqlt_outer_join_on_false",
+    oracle="""
+    WITH t1(int_col1) AS (VALUES (97)), t2(int_col1) AS (VALUES (0))
+    SELECT * FROM (
+      SELECT COALESCE(t2.int_col1, t1.int_col1) AS int_col
+      FROM t1 LEFT JOIN t2 ON false
+    ) t WHERE t.int_col IS NOT NULL
+    """,
+)
+def sqlt_outer_join_on_false(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """outer-join.sql's SPARK-17120 regression shape: LEFT JOIN ON false —
+    the optimizer must keep the null-padded left rows (not collapse the
+    join to an empty LocalRelation)."""
+    return spark.sql(
+        """
+        WITH t1 AS (SELECT * FROM VALUES (97) AS t1(int_col1)),
+             t2 AS (SELECT * FROM VALUES (0) AS t2(int_col1))
+        SELECT * FROM (
+          SELECT COALESCE(t2.int_col1, t1.int_col1) AS int_col
+          FROM t1 LEFT JOIN t2 ON false
+        ) t WHERE t.int_col IS NOT NULL
+        """
+    )
+
+
+@query(
+    "sqlt_orderby_ordinal",
+    oracle="""
+    WITH data(a, b) AS (VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2))
+    SELECT * FROM data ORDER BY 1 DESC, b DESC LIMIT 3
+    """,
+)
+def sqlt_orderby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order-by-ordinal.sql: ORDER BY ordinal-position mixed with a column
+    name (rule ResolveOrdinalInOrderByAndGroupBy). The LIMIT makes ordinal
+    resolution observable through the order-insensitive compare: resolving
+    1 to the wrong column selects a different top-3 set."""
+    return spark.sql(
+        """
+        SELECT * FROM VALUES (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2)
+        AS data(a, b) ORDER BY 1 DESC, b DESC LIMIT 3
+        """
+    )
+
+
+@query(
+    "sqlt_null_propagation",
+    oracle="""
+    SELECT CAST(count(NULL) AS BIGINT)                        AS cnt_null,
+           CAST(count(1 + NULL) AS BIGINT)                    AS cnt_expr_null,
+           CAST(count(*) AS BIGINT)                           AS cnt_star,
+           CAST(NULL AS BIGINT)                               AS sum_null,
+           CAST(max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS INT) AS any_null
+    FROM (VALUES (1), (2), (3)) t(v)
+    """,
+)
+def sqlt_null_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """null-propagation.sql: COUNT(NULL) and COUNT(expr-that-folds-to-NULL)
+    are 0, never null; SUM over no non-null input is NULL; constant-folding
+    must preserve these (NullPropagation optimizer rule)."""
+    return spark.sql(
+        """
+        SELECT CAST(count(NULL) AS BIGINT)     AS cnt_null,
+               CAST(count(1 + NULL) AS BIGINT) AS cnt_expr_null,
+               CAST(count(*) AS BIGINT)        AS cnt_star,
+               CAST(sum(CAST(NULL AS BIGINT)) AS BIGINT) AS sum_null,
+               CAST(max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS INT) AS any_null
+        FROM VALUES (1), (2), (3) AS t(v)
+        """
+    )
+
+
+@query(
+    "sqlt_inline_table",
+    oracle="""
+    SELECT a, CAST(b AS BIGINT) AS b, arr, CAST(d AS DOUBLE) AS d
+    FROM (VALUES ('one', 1 + 0, [0, 1], 2.0),
+                 ('two', CAST(4 AS BIGINT), [2, 3], 3.0),
+                 ('three', NULL, [4, 5], NULL)) data(a, b, arr, d)
+    """,
+)
+def sqlt_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline-table.sql: VALUES with column aliases, NULL cells, int→long
+    coercion across rows, foldable expressions, array-typed cells, and
+    decimal/double coercion (rule ResolveInlineTables)."""
+    return spark.sql(
+        """
+        SELECT a, b, arr, CAST(d AS DOUBLE) AS d
+        FROM VALUES ('one', 1 + 0, array(0, 1), 2.0),
+                    ('two', 4L, array(2, 3), 3.0D),
+                    ('three', NULL, array(4, 5), NULL)
+        AS data(a, b, arr, d)
+        """
+    )
+
+
+@query(
+    "sqlt_literals",
+    oracle="""
+    SELECT CAST(42 AS INT) AS i, CAST(9223372036854775807 AS BIGINT) AS big,
+           3.14 AS dec_lit, CAST(2.5 AS DOUBLE) AS dbl,
+           'sp''ark' AS s, true AS t, false AS f,
+           CAST(NULL AS INT) AS n,
+           TIMESTAMP '2016-03-11 20:54:00' AS ts,
+           CAST(DATE '2016-03-11' AS TIMESTAMP) AS d,
+           CAST('ab' AS BLOB) AS bin
+    """,
+)
+def sqlt_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """literals.sql: typed literal syntax across int/bigint/decimal/double/
+    string (with escaped quote)/boolean/null/timestamp/date/binary. DATE is
+    cast to timestamp on both sides (pandas renders date vs
+    midnight-timestamp differently — conftest discipline)."""
+    return spark.sql(
+        """
+        SELECT 42 AS i, 9223372036854775807L AS big,
+               3.14 AS dec_lit, CAST(2.5D AS DOUBLE) AS dbl,
+               'sp\\'ark' AS s, true AS t, false AS f,
+               CAST(NULL AS INT) AS n,
+               TIMESTAMP '2016-03-11 20:54:00' AS ts,
+               CAST(DATE '2016-03-11' AS TIMESTAMP) AS d,
+               CAST('ab' AS BINARY) AS bin
+        """
+    )
