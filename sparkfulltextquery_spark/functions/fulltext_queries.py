@@ -508,7 +508,12 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
         prefix = "sftq_qidx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         path = index_store_root("text", sf_dir)
         docs = load_table(spark, sf_dir, "documents")
-        build_index(docs, table_prefix=prefix, num_buckets=8, path=f"file://{path}")
+        # 32 buckets (was 8): a query's pruned scan reads |terms|/num_buckets
+        # of the posting table, so finer bucketing is directly finer pruning
+        # — a 3-term query reads ~3/32 instead of ~3/8 of the postings
+        # (measured ~2x exec-time cut at sf0.1). At 100 TB the analogous
+        # setting is O(thousands) of buckets.
+        build_index(docs, table_prefix=prefix, num_buckets=32, path=f"file://{path}")
         _INDEX_CACHE[key] = prefix
     return _INDEX_CACHE[key]
 
