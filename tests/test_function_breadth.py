@@ -839,3 +839,163 @@ def test_function_tail_r4b(spark, expr, expected):
         assert v == pytest.approx(expected), f"{expr} -> {v!r}"
     else:
         assert v == expected, f"{expr} -> {v!r}"
+
+
+# ---------------------------------------------------------------------------
+# r5 batch: the Hive window-function query suite surface
+# (reference HiveWindowFunctionQuerySuite.scala / windowing*.q — zero window
+# pins existed before this batch) + udaf_ngrams.q-style n-gram aggregates +
+# straggler scalar tails. Window pins collapse a deterministic windowed
+# relation over VALUES to one scalar via an outer aggregate.
+# ---------------------------------------------------------------------------
+
+_W4 = "FROM VALUES (10),(20),(20),(30) t(x)"   # the 4-row tie set
+_WP = "FROM VALUES ('a',1),('a',2),('a',3),('b',10),('b',20) t(g, x)"
+
+CASES_R5 = [
+    # ranking family (windowing_rank.q)
+    (f"(SELECT sum(v) FROM (SELECT rank() OVER (ORDER BY x) v {_W4}))", 9),
+    (f"(SELECT sum(v) FROM (SELECT dense_rank() OVER (ORDER BY x) v {_W4}))", 8),
+    (f"(SELECT sum(v) FROM (SELECT row_number() OVER (ORDER BY x, 1) v {_W4}))", 10),
+    (f"(SELECT round(sum(v), 4) FROM (SELECT percent_rank() OVER (ORDER BY x) v {_W4}))", 1.6667),
+    (f"(SELECT round(sum(v), 2) FROM (SELECT cume_dist() OVER (ORDER BY x) v {_W4}))", 2.75),
+    (f"(SELECT sum(v) FROM (SELECT ntile(2) OVER (ORDER BY x, 1) v {_W4}))", 6),
+    (f"(SELECT sum(v) FROM (SELECT ntile(3) OVER (ORDER BY x, 1) v {_W4}))", 7),  # tile sizes 2,1,1 -> 1,1,2,3
+    (f"(SELECT max(v) FROM (SELECT rank() OVER (ORDER BY x DESC) v {_W4}))", 4),
+    (f"(SELECT sum(v) FROM (SELECT dense_rank() OVER (ORDER BY x DESC) v {_W4}))", 8),
+    # value functions (windowing_navfn.q)
+    ("(SELECT sum(v) FROM (SELECT lead(x, 1, -1) OVER (ORDER BY x) v FROM VALUES (1),(2),(3) t(x)))", 4),
+    ("(SELECT sum(v) FROM (SELECT lag(x, 1, 0) OVER (ORDER BY x) v FROM VALUES (1),(2),(3) t(x)))", 3),
+    ("(SELECT sum(v) FROM (SELECT lead(x, 2, 100) OVER (ORDER BY x) v FROM VALUES (1),(2),(3) t(x)))", 203),
+    ("(SELECT sum(v) FROM (SELECT lag(x) OVER (ORDER BY x) v FROM VALUES (1),(2),(3) t(x)))", 3),
+    (f"(SELECT sum(v) FROM (SELECT first_value(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v {_W4}))", 40),
+    (f"(SELECT sum(v) FROM (SELECT last_value(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v {_W4}))", 80),
+    (f"(SELECT sum(v) FROM (SELECT last_value(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v {_W4}))", 120),
+    (f"(SELECT sum(v) FROM (SELECT nth_value(x, 2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v {_W4}))", 80),
+    ("(SELECT sum(v) FROM (SELECT first_value(x) IGNORE NULLS OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES (1, NULL),(2, 7),(3, 8) t(i, x)))", lambda v: v == 14),  # NULL,7,7
+    ("(SELECT sum(v) FROM (SELECT last_value(x) IGNORE NULLS OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES (1, 5),(2, NULL),(3, 8) t(i, x)))", 18),  # 5,5,8
+    ("(SELECT v FROM (SELECT nth_value(x, 2) IGNORE NULLS OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v FROM VALUES (1, 5),(2, NULL),(3, 8) t(i, x)) LIMIT 1)", 8),
+    # frames (windowing_windowspec.q)
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) v {_W4}))", 10 + 30 + 40 + 50),
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v {_W4}))", 10 + 30 + 50 + 80),
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x) v {_W4}))", 10 + 50 + 50 + 80),  # default RANGE frame: peers included
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) v {_W4}))", 10 + 50 + 50 + 70),
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING) v {_W4}))", 50 + 70 + 70 + 30),  # RANGE includes peers
+    (f"(SELECT sum(v) FROM (SELECT max(x) OVER (ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) v {_W4}))", 120),
+    (f"(SELECT sum(v) FROM (SELECT min(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) v {_W4}))", 10 + 10 + 20 + 20),
+    (f"(SELECT sum(v) FROM (SELECT count(*) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) v {_W4}))", 2 + 3 + 3 + 2),
+    (f"(SELECT max(v) FROM (SELECT count(*) OVER () v {_W4}))", 4),
+    ("(SELECT max(v) FROM (SELECT count(x) OVER () v FROM VALUES (1),(NULL),(3) t(x)))", 2),
+    ("(SELECT max(v) FROM (SELECT count(NULL) OVER () v FROM VALUES (1),(2) t(x)))", 0),
+    (f"(SELECT round(max(v), 2) FROM (SELECT avg(x) OVER () v {_W4}))", 20.0),
+    # partitioned windows (windowing_multipartitioning.q)
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (PARTITION BY g) v {_WP}))", 6 * 3 + 30 * 2),
+    (f"(SELECT sum(v) FROM (SELECT rank() OVER (PARTITION BY g ORDER BY x) v {_WP}))", (1 + 2 + 3) + (1 + 2)),
+    (f"(SELECT sum(v) FROM (SELECT row_number() OVER (PARTITION BY g ORDER BY x DESC) v {_WP}))", 6 + 3),
+    (f"(SELECT sum(v) FROM (SELECT lead(x, 1, 0) OVER (PARTITION BY g ORDER BY x) v {_WP}))", (2 + 3 + 0) + (20 + 0)),
+    (f"(SELECT sum(v) FROM (SELECT first_value(x) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v {_WP}))", 1 * 3 + 10 * 2),
+    (f"(SELECT sum(v) FROM (SELECT max(x) OVER (PARTITION BY g) v {_WP}))", 3 * 3 + 20 * 2),
+    (f"(SELECT sum(v) FROM (SELECT min(x) OVER (PARTITION BY g) v {_WP}))", 1 * 3 + 10 * 2),
+    # two window specs in one projection (windowing.q multi-spec)
+    (f"(SELECT sum(a + b) FROM (SELECT rank() OVER (ORDER BY x) a, sum(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) b {_W4}))", 9 + 170),
+    # window over aggregate (sum of sums — windowing.q over GROUP BY)
+    (f"(SELECT sum(v) FROM (SELECT sum(sum(x)) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v {_WP} GROUP BY g))", 6 + 36),
+    (f"(SELECT max(v) FROM (SELECT round(avg(sum(x)) OVER (), 1) v {_WP} GROUP BY g))", 18.0),
+    # statistical window aggregates (windowing.q stddev/variance)
+    ("(SELECT round(max(v), 4) FROM (SELECT stddev_pop(x) OVER () v FROM VALUES (2.0),(4.0),(4.0),(4.0),(5.0),(5.0),(7.0),(9.0) t(x)))", 2.0),
+    ("(SELECT round(max(v), 4) FROM (SELECT var_pop(x) OVER () v FROM VALUES (2.0),(4.0),(4.0),(4.0),(5.0),(5.0),(7.0),(9.0) t(x)))", 4.0),
+    ("(SELECT round(max(v), 4) FROM (SELECT stddev_samp(x) OVER () v FROM VALUES (1.0),(2.0),(3.0) t(x)))", 1.0),
+    ("(SELECT round(max(v), 4) FROM (SELECT variance(x) OVER () v FROM VALUES (1.0),(2.0),(3.0) t(x)))", 1.0),
+    (f"(SELECT max(size(v)) FROM (SELECT collect_list(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v {_W4}))", 4),
+    (f"(SELECT max(size(v)) FROM (SELECT collect_set(x) OVER () v {_W4}))", 3),
+    # named window clause
+    (f"(SELECT sum(v) FROM (SELECT rank() OVER w v {_W4} WINDOW w AS (ORDER BY x)))", 9),
+    # min_by / max_by over window
+    (f"(SELECT max(v) FROM (SELECT max_by(x, x) OVER () v {_W4}))", 30),
+    (f"(SELECT max(v) FROM (SELECT min_by(x, x) OVER () v {_W4}))", 10),
+    # udaf_ngrams.q: n-gram frequency aggregates, expressed as the
+    # declarative bigram pipeline (sequence → transform → explode → count)
+    ("(SELECT count(*) FROM (SELECT explode(transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))) g FROM (SELECT split('a b a b c', ' ') w)))", 4),
+    ("(SELECT max(c) FROM (SELECT g, count(*) c FROM (SELECT explode(transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))) g FROM (SELECT split('a b a b a', ' ') w)) GROUP BY g))", 2),
+    ("(SELECT max_by(g, c) FROM (SELECT g, count(*) c FROM (SELECT explode(transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))) g FROM (SELECT split('x y x y z', ' ') w)) GROUP BY g))", "x y"),
+    # context_ngrams-style: bigrams that FOLLOW a context token
+    ("(SELECT count(*) FROM (SELECT explode(filter(transform(sequence(1, size(w) - 1), i -> named_struct('a', w[i-1], 'b', w[i])), s -> s.a = 'the')) g FROM (SELECT split('the cat the dog ran', ' ') w)))", 2),
+    ("(SELECT sort_array(collect_list(g.b))[0] FROM (SELECT explode(filter(transform(sequence(1, size(w) - 1), i -> named_struct('a', w[i-1], 'b', w[i])), s -> s.a = 'the')) g FROM (SELECT split('the cat the dog', ' ') w)))", "cat"),
+    # trigram count
+    ("(SELECT count(*) FROM (SELECT explode(transform(sequence(2, size(w) - 1), i -> concat_ws(' ', w[i-2], w[i-1], w[i]))) g FROM (SELECT split('a b c d', ' ') w)))", 2),
+    # histogram_numeric shape over window partition (udaf_histogram)
+    ("(SELECT size(max(v)) FROM (SELECT histogram_numeric(x, 2) OVER () v FROM VALUES (1.0),(2.0),(9.0) t(x)))", 2),
+    # straggler scalar tails (unpinned before r5)
+    ("map_keys(map('a', 1, 'b', 2))", lambda v: sorted(v) == ["a", "b"]),
+    ("map_concat(map('a', 1), map('b', 2))['b']", 2),
+    ("get_json_object('{\"k\": {\"n\": 5}}', '$.k.n')", "5"),
+    ("greatest(3, 1, 4, 1, 5)", 5),
+    ("least(3, 1, 4, 1, 5)", 1),
+    ("greatest('b', 'a', 'c')", "c"),
+    ("least(NULL, 2, 3)", 2),
+    ("(SELECT count(*) FROM (SELECT inline(array(struct(1, 'a'), struct(2, 'b')))))", 2),
+    ("(SELECT sum(p) FROM (SELECT posexplode(array('x', 'y', 'z')) AS (p, v)))", 3),
+    ("(SELECT max(p) FROM (SELECT posexplode(map('a', 1, 'b', 2)) AS (p, k, v)))", lambda v: v == 1),
+
+    # aggregate tails as scalar subqueries (Hive udaf_* compat surface)
+    ("(SELECT bool_and(x) FROM VALUES (true),(true) t(x))", True),
+    ("(SELECT bool_and(x) FROM VALUES (true),(false) t(x))", False),
+    ("(SELECT bool_or(x) FROM VALUES (false),(true) t(x))", True),
+    ("(SELECT every(x) FROM VALUES (true),(false) t(x))", False),
+    ("(SELECT some(x) FROM VALUES (false),(false) t(x))", False),
+    ("(SELECT any(x) FROM VALUES (false),(true) t(x))", True),
+    ("(SELECT mode(x) FROM VALUES (1),(2),(2) t(x))", 2),
+    ("(SELECT approx_count_distinct(x) FROM VALUES (1),(2),(2),(3) t(x))", 3),
+    ("(SELECT round(corr(x, y), 4) FROM VALUES (1.0, 2.0),(2.0, 4.0),(3.0, 6.0) t(x, y))", 1.0),
+    ("(SELECT round(covar_pop(x, y), 4) FROM VALUES (1.0, 1.0),(2.0, 2.0),(3.0, 3.0) t(x, y))", lambda v: abs(v - 2.0 / 3) < 1e-3),
+    ("(SELECT round(covar_samp(x, y), 4) FROM VALUES (1.0, 1.0),(2.0, 2.0),(3.0, 3.0) t(x, y))", 1.0),
+    ("(SELECT round(skewness(x), 4) FROM VALUES (1.0),(2.0),(3.0) t(x))", 0.0),
+    ("(SELECT round(kurtosis(x), 4) FROM VALUES (1.0),(2.0),(1.0),(2.0) t(x))", -2.0),
+    ("(SELECT round(regr_slope(y, x), 4) FROM VALUES (1.0, 3.0),(2.0, 5.0),(3.0, 7.0) t(x, y))", 2.0),
+    ("(SELECT round(regr_intercept(y, x), 4) FROM VALUES (1.0, 3.0),(2.0, 5.0),(3.0, 7.0) t(x, y))", 1.0),
+    ("(SELECT round(regr_r2(y, x), 4) FROM VALUES (1.0, 3.0),(2.0, 5.0),(3.0, 7.0) t(x, y))", 1.0),
+    ("(SELECT regr_count(y, x) FROM VALUES (1.0, 3.0),(2.0, NULL),(3.0, 7.0) t(x, y))", 2),
+    ("(SELECT round(regr_avgx(y, x), 4) FROM VALUES (1.0, 3.0),(3.0, 7.0) t(x, y))", 2.0),
+    ("(SELECT round(regr_avgy(y, x), 4) FROM VALUES (1.0, 3.0),(3.0, 7.0) t(x, y))", 5.0),
+    ("(SELECT sum(DISTINCT x) FROM VALUES (1),(1),(2) t(x))", 3),
+    ("(SELECT count(DISTINCT x) FROM VALUES (1),(1),(2) t(x))", 2),
+    ("(SELECT round(avg(DISTINCT x), 2) FROM VALUES (1.0),(1.0),(3.0) t(x))", 2.0),
+    ("(SELECT round(percentile(x, 0.5), 4) FROM VALUES (1),(2),(3) t(x))", 2.0),
+    ("(SELECT round(percentile_cont(0.5) WITHIN GROUP (ORDER BY x), 4) FROM VALUES (1.0),(2.0),(4.0) t(x))", 2.0),
+    ("(SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY x) FROM VALUES (1.0),(2.0),(4.0) t(x))", 2.0),
+    ("(SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM VALUES ('b'),('a') t(x))", "a,b"),
+    # grouping() / grouping_id() under rollup (groupby_grouping_sets.q)
+    ("(SELECT sum(gg) FROM (SELECT grouping(g) gg FROM VALUES ('a', 1),('b', 2) t(g, x) GROUP BY ROLLUP(g)))", 1),
+    ("(SELECT max(gg) FROM (SELECT grouping_id(g, h) gg FROM VALUES ('a', 'x', 1) t(g, h, v) GROUP BY ROLLUP(g, h)))", 3),
+    ("(SELECT count(*) FROM (SELECT g, sum(x) FROM VALUES ('a', 1),('b', 2) t(g, x) GROUP BY CUBE(g)))", 3),
+    # more window-suite shapes: expressions over window results, mixed specs
+    (f"(SELECT sum(v) FROM (SELECT rank() OVER (ORDER BY x) + 1 v {_W4}))", 13),
+    (f"(SELECT sum(v) FROM (SELECT CASE WHEN rank() OVER (ORDER BY x) = 1 THEN 100 ELSE 0 END v {_W4}))", 100),
+    (f"(SELECT sum(v) FROM (SELECT x * rank() OVER (ORDER BY x) v {_W4}))", 10 + 40 + 40 + 120),
+    ("(SELECT sum(v) FROM (SELECT lag(x) IGNORE NULLS OVER (ORDER BY i) v FROM VALUES (1, 5),(2, NULL),(3, 8) t(i, x)))", 10),  # NULL,5,5
+    ("(SELECT sum(v) FROM (SELECT lead(x) IGNORE NULLS OVER (ORDER BY i) v FROM VALUES (1, 5),(2, NULL),(3, 8) t(i, x)))", 16),  # 8,8,NULL
+    (f"(SELECT sum(v) FROM (SELECT rank() OVER (ORDER BY x DESC, 1 ASC) v {_W4}))", 9),
+    (f"(SELECT max(v) FROM (SELECT ntile(4) OVER (ORDER BY x, 1) v {_W4}))", 4),
+    (f"(SELECT round(max(v), 4) FROM (SELECT percent_rank() OVER (PARTITION BY 1 ORDER BY x) v {_W4}))", 1.0),
+    (f"(SELECT round(sum(v), 4) FROM (SELECT cume_dist() OVER (PARTITION BY 1 ORDER BY x) v {_W4}))", 2.75),
+    ("(SELECT max(v) FROM (SELECT approx_count_distinct(x) OVER () v FROM VALUES (1),(2),(2) t(x)))", 2),
+    ("(SELECT round(max(v), 4) FROM (SELECT corr(x, y) OVER () v FROM VALUES (1.0, 2.0),(2.0, 4.0),(3.0, 6.0) t(x, y)))", 1.0),
+    ("(SELECT round(max(v), 4) FROM (SELECT skewness(x) OVER () v FROM VALUES (1.0),(2.0),(3.0) t(x)))", 0.0),
+    ("(SELECT max(v) FROM (SELECT count_if(x > 1) OVER () v FROM VALUES (1),(2),(3) t(x)))", 2),
+    ("(SELECT max(v) FROM (SELECT any_value(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES (7) t(x)))", 7),
+    # windowed string/date navigation (windowing_navfn.q string/date rows)
+    ("(SELECT max(v) FROM (SELECT lead(s) OVER (ORDER BY s) v FROM VALUES ('a'),('b') t(s)))", "b"),
+    ("(SELECT max(v) FROM (SELECT lag(d) OVER (ORDER BY d) v FROM VALUES (DATE '2020-01-01'),(DATE '2020-06-01') t(d)))", lambda v: str(v) == "2020-01-01"),
+    ("(SELECT max(v) FROM (SELECT first_value(d) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES (DATE '2020-01-01'),(DATE '2020-06-01') t(d)))", lambda v: str(v) == "2020-01-01"),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES_R5, ids=[c[0][:60] for c in CASES_R5])
+def test_function_tail_r5(spark, expr, expected):
+    v = spark.sql(f"SELECT {expr} AS v").head().v
+    if callable(expected):
+        assert expected(v), f"{expr} -> {v!r}"
+    elif isinstance(expected, float):
+        assert v == pytest.approx(expected), f"{expr} -> {v!r}"
+    else:
+        assert v == expected, f"{expr} -> {v!r}"
