@@ -24,6 +24,15 @@ external/. This module therefore splits the connector into:
 The contract test (tests/test_kafka_contract.py) asserts the wiring
 resolves the provider when the jar is present, and that absence fails at
 the provider-lookup boundary (not an option bug) when it is not.
+
+Live-broker attempt (2026-08-14, r5): a KRaft single-node broker cannot
+run in this sandbox — no Kafka distribution or broker binaries on disk,
+no spark-sql-kafka / kafka-clients jars in the Spark 4.1.2 install
+(checked /opt/spark-4.1.2-bin-hadoop3/jars), no kafka Python client,
+and package installation is out of scope. The `.load()`-through-broker
+path therefore remains exercised only up to the provider-resolution
+boundary; everything below the source swap (record transforms, offset
+dedup, exactly-once bookkeeping) is tested on kafka-shaped frames.
 """
 
 from __future__ import annotations
