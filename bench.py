@@ -77,6 +77,11 @@ EXTRA = [
     "curation_bpe_apply",
     "streaming_kafka_roundtrip",
     "streaming_kafka_offset_dedup",
+    # r05 additions: the TPC-DS slice's heaviest shapes
+    "tpcds_q19_brand_revenue",
+    "tpcds_q51_cumulative_channels",
+    "tpcds_q67_rollup_rank",
+    "pipeline_corpus_curation",
 ]
 
 

@@ -906,3 +906,277 @@ def tpcds_q16_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFra
         F.countDistinct("l_orderkey").alias("order_count"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_shipping_cost"),
     )
+
+
+# ==========================================================================
+# Batch 2 (r5): CTE-heavy shapes — week-over-week pivots, year-over-year
+# self-joins, grouping()-partitioned ranks, channel INTERSECTs, best/worst
+# rank joins. SQL-first (spark.sql over temp views): these queries ARE the
+# reference's SQL-surface tests, and the CTE reuse (one CTE referenced 4-6
+# times) is the optimizer behavior under test.
+# ==========================================================================
+
+_TPCDS_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+)
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TPCDS_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+_DAYS = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+
+
+def _q2_pivot_cols(dow_expr: str) -> str:
+    # the 7-way day-name CASE pivot (q2/q59 signature); dow 0=Sunday
+    return ",\n".join(
+        f"round(sum(CASE WHEN {dow_expr} = {i} THEN l_extendedprice END), 2)"
+        f" AS {d}_sales"
+        for i, d in enumerate(_DAYS)
+    )
+
+
+_Q2_RATIOS = ",\n".join(
+    f"round(a.{d}_sales / b.{d}_sales, 4) AS {d}_ratio" for d in _DAYS
+)
+
+# Spark dayofweek(): 1=Sunday..7; DuckDB dayofweek(): 0=Sunday..6
+_Q2_SPARK = f"""
+    WITH wk AS (
+      SELECT year(l_shipdate) AS y, weekofyear(l_shipdate) AS w,
+             {_q2_pivot_cols('dayofweek(l_shipdate) - 1')}
+      FROM lineitem
+      GROUP BY year(l_shipdate), weekofyear(l_shipdate)
+    )
+    SELECT a.w AS week_seq, {_Q2_RATIOS}
+    FROM wk a JOIN wk b ON a.w = b.w AND a.y = 1997 AND b.y = 1998
+    ORDER BY week_seq
+"""
+
+_Q2_DUCK = f"""
+    WITH wk AS (
+      SELECT year(l_shipdate) AS y, weekofyear(l_shipdate) AS w,
+             {_q2_pivot_cols('dayofweek(l_shipdate)')}
+      FROM lineitem
+      GROUP BY year(l_shipdate), weekofyear(l_shipdate)
+    )
+    SELECT CAST(a.w AS INT) AS week_seq, {_Q2_RATIOS}
+    FROM wk a JOIN wk b ON a.w = b.w AND a.y = 1997 AND b.y = 1998
+    ORDER BY week_seq
+"""
+
+
+@query("tpcds_q2_weekday_ratio", oracle=_Q2_DUCK)
+def tpcds_q2_weekday_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2/q59 shape (tpcds/q2.sql, q59.sql): the 7-way day-of-week
+    CASE pivot per week, self-joined year vs year+1 on the week sequence,
+    outputting the weekday sales ratios. Day-sums are rounded at 2dp
+    (exact, see module float discipline) so the ratios are identical
+    IEEE divisions in both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q2_SPARK)
+
+
+_Q11_TMPL = """
+    WITH year_total AS (
+      SELECT o_custkey AS customer_id, c_name,
+             year(l_shipdate) AS dyear, l_linestatus AS sale_type,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS year_total
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      GROUP BY o_custkey, c_name, year(l_shipdate), l_linestatus
+    )
+    SELECT t_s_secyear.c_name AS customer_name
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.sale_type = 'F' AND t_w_firstyear.sale_type = 'O'
+      AND t_s_secyear.sale_type = 'F'  AND t_w_secyear.sale_type = 'O'
+      AND t_s_firstyear.dyear = 1997 AND t_s_secyear.dyear = 1998
+      AND t_w_firstyear.dyear = 1997 AND t_w_secyear.dyear = 1998
+      AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+      AND CASE WHEN t_w_firstyear.year_total > 0
+               THEN t_w_secyear.year_total / t_w_firstyear.year_total
+               ELSE NULL END
+        > CASE WHEN t_s_firstyear.year_total > 0
+               THEN t_s_secyear.year_total / t_s_firstyear.year_total
+               ELSE NULL END
+    ORDER BY customer_name
+    LIMIT 100
+"""
+
+
+@query("tpcds_q11_yoy_growth", oracle=_Q11_TMPL)
+def tpcds_q11_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11/q74 shape (tpcds/q11.sql): one per-customer-per-year CTE
+    referenced FOUR times (store/web × first/second year — channels =
+    l_linestatus), keeping customers whose web growth outpaced store
+    growth. The optimizer test is CTE reuse + the 4-way self-join on the
+    customer key."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q11_TMPL)
+
+
+_Q31_TMPL = """
+    WITH ss AS (
+      SELECT n_name AS county, quarter(l_shipdate) AS qoy,
+             round(sum(l_extendedprice), 2) AS store_sales
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE year(l_shipdate) = 1998 AND l_linestatus = 'F'
+      GROUP BY n_name, quarter(l_shipdate)),
+    ws AS (
+      SELECT n_name AS county, quarter(l_shipdate) AS qoy,
+             round(sum(l_extendedprice), 2) AS web_sales
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE year(l_shipdate) = 1998 AND l_linestatus = 'O'
+      GROUP BY n_name, quarter(l_shipdate))
+    SELECT ss1.county,
+           round(ws2.web_sales / ws1.web_sales, 4)     AS web_q1_q2_increase,
+           round(ss2.store_sales / ss1.store_sales, 4) AS store_q1_q2_increase,
+           round(ws3.web_sales / ws2.web_sales, 4)     AS web_q2_q3_increase,
+           round(ss3.store_sales / ss2.store_sales, 4) AS store_q2_q3_increase
+    FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+    WHERE ss1.qoy = 1 AND ss2.qoy = 2 AND ss3.qoy = 3
+      AND ss1.county = ss2.county AND ss2.county = ss3.county
+      AND ws1.qoy = 1 AND ws2.qoy = 2 AND ws3.qoy = 3
+      AND ss1.county = ws1.county AND ws1.county = ws2.county
+      AND ws1.county = ws3.county
+      AND CASE WHEN ws1.web_sales > 0
+               THEN ws2.web_sales / ws1.web_sales ELSE NULL END
+        > CASE WHEN ss1.store_sales > 0
+               THEN ss2.store_sales / ss1.store_sales ELSE NULL END
+      AND CASE WHEN ws2.web_sales > 0
+               THEN ws3.web_sales / ws2.web_sales ELSE NULL END
+        > CASE WHEN ss2.store_sales > 0
+               THEN ss3.store_sales / ss2.store_sales ELSE NULL END
+    ORDER BY ss1.county
+"""
+
+
+@query("tpcds_q31_quarter_growth", oracle=_Q31_TMPL)
+def tpcds_q31_quarter_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape (tpcds/q31.sql): two per-(county, quarter) CTEs
+    each referenced THREE times (quarters 1-3), a 6-way self-join on the
+    county (nation), keeping counties where web growth beat store growth
+    in both quarter transitions."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q31_TMPL)
+
+
+_Q36_TMPL = """
+    SELECT
+      round(sum(l_extendedprice * l_discount) / sum(l_extendedprice), 6)
+        AS gross_margin,
+      p_type  AS i_category,
+      p_brand AS i_class,
+      CAST(grouping(p_type) + grouping(p_brand) AS BIGINT) AS lochierarchy,
+      rank() OVER (
+        PARTITION BY grouping(p_type) + grouping(p_brand),
+                     CASE WHEN grouping(p_brand) = 0 THEN p_type END
+        ORDER BY sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+                 / sum(CAST(round(l_extendedprice * 10000) AS BIGINT))
+      ) AS rank_within_parent
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1998
+    GROUP BY ROLLUP (p_type, p_brand)
+    ORDER BY lochierarchy DESC,
+             CASE WHEN lochierarchy = 0 THEN i_category END NULLS LAST,
+             rank_within_parent,
+             i_category NULLS LAST, i_class NULLS LAST
+    LIMIT 100
+"""
+
+
+@query("tpcds_q36_grouping_rank", oracle=_Q36_TMPL)
+def tpcds_q36_grouping_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape (tpcds/q36.sql): gross margin over a ROLLUP with
+    grouping() DIRECTLY in the rank's PARTITION BY — each hierarchy level
+    ranks within its parent. The rank's ORDER BY uses exact integer-scaled
+    sums (×10000: extendedprice×discount is a 4-decimal value) so the
+    margin ordering is the same int-ratio in both engines; the displayed
+    margin rounds the float form at 6dp."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q36_TMPL)
+
+
+_Q38_TMPL = """
+    SELECT count(*) AS hot_cust_count FROM (
+      SELECT DISTINCT c_name, year(l_shipdate) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT DISTINCT c_name, year(l_shipdate) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'N'
+      INTERSECT
+      SELECT DISTINCT c_name, year(l_shipdate) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+    ) hot_cust
+"""
+
+
+@query("tpcds_q38_triple_intersect", oracle=_Q38_TMPL)
+def tpcds_q38_triple_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38/q87 shape (tpcds/q38.sql): INTERSECT of three channels'
+    distinct customer-activity sets (channels = return-flag classes,
+    activity = customer-year), counted — the set-operation chain the
+    planner turns into successive left-semi joins over aggregated
+    distinct sets."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q38_TMPL)
+
+
+_Q44_TMPL = """
+    WITH profits AS (
+      SELECT l_partkey AS item_sk,
+             avg(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rank_col
+      FROM lineitem WHERE l_suppkey = 4
+      GROUP BY l_partkey
+      HAVING avg(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT))
+           > 0.9 * (SELECT avg(CAST(round(l_extendedprice * (1 - l_discount)
+                                          * 10000) AS BIGINT))
+                    FROM lineitem WHERE l_suppkey = 4)
+    ),
+    asceding  AS (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC,
+                                               item_sk ASC)  AS rnk
+                  FROM profits),
+    descending AS (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC,
+                                                item_sk DESC) AS rnk
+                   FROM profits)
+    SELECT CAST(a.rnk AS BIGINT) AS rnk,
+           i1.p_name AS best_performing,
+           i2.p_name AS worst_performing
+    FROM asceding a JOIN descending d ON a.rnk = d.rnk
+    JOIN part i1 ON i1.p_partkey = a.item_sk
+    JOIN part i2 ON i2.p_partkey = d.item_sk
+    WHERE a.rnk < 11
+    ORDER BY a.rnk
+"""
+
+
+@query("tpcds_q44_best_worst", oracle=_Q44_TMPL)
+def tpcds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape (tpcds/q44.sql): per-item average profit for one
+    store, HAVING above 0.9× the store's overall average (scalar
+    subquery), ranked ascending AND descending, the two top-10 rank lists
+    joined on rank position with the item dimension joined twice for
+    best/worst names. Averages use exact ×10000 integer scaling (profit
+    is a 4-decimal value) so rank order is engine-identical; item_sk
+    tiebreakers make equal-profit ranks deterministic."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q44_TMPL)

@@ -529,3 +529,28 @@ def test_tpcds_topk_plans_as_bounded_heap(spark):
     ):
         df = _q(spark, name)
         assert uses_top_k(df), f"{name} should plan TakeOrderedAndProject"
+
+
+def test_tpcds_batch2_cte_reuse_and_shapes(spark):
+    """Batch-2 guardrails: q11/q31's multiply-referenced CTEs must reuse
+    one aggregated subtree per CTE (ReusedExchange/InMemoryRelation or at
+    minimum no re-scan explosion), q38 plans INTERSECT as aggregated
+    semi joins, q44 broadcasts the scalar threshold."""
+    # q38: INTERSECT chain → no CartesianProduct, has LeftSemi
+    plan = physical_plan(_q(spark, "tpcds_q38_triple_intersect"))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # q44: the 0.9x-threshold scalar subquery must broadcast, and the two
+    # rank lists join the part dim broadcast
+    plan = physical_plan(_q(spark, "tpcds_q44_best_worst"))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # q36: grouping()-partitioned rank — expand + window present, single
+    # rollup aggregate feeding it
+    plan = physical_plan(_q(spark, "tpcds_q36_grouping_rank"))
+    assert "Expand" in plan, plan
+    assert "Window" in plan, plan
+    # q2/q31/q11 must not plan a cartesian anywhere in the self-joins
+    for name in ("tpcds_q2_weekday_ratio", "tpcds_q31_quarter_growth",
+                 "tpcds_q11_yoy_growth"):
+        assert "CartesianProduct" not in physical_plan(_q(spark, name)), name
