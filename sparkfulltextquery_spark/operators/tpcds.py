@@ -1180,3 +1180,127 @@ def tpcds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreakers make equal-profit ranks deterministic."""
     _views(spark, sf_dir)
     return spark.sql(_Q44_TMPL)
+
+
+# ==========================================================================
+# Batch 3 (r5): subquery-decorrelation signatures — disjunctive EXISTS,
+# IN-OR-subquery (existence join), null-rejecting filter over a LEFT JOIN
+# (EliminateOuterJoin), and a twice-referenced CTE inside nested INs.
+# ==========================================================================
+
+_Q10_TMPL = """
+    SELECT c_mktsegment, count(*) AS cnt
+    FROM customer c JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('CHINA', 'FRANCE', 'BRAZIL', 'KENYA', 'PERU')
+      AND EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                  WHERE o_custkey = c.c_custkey AND l_returnflag = 'N'
+                    AND year(l_shipdate) = 1998)
+      AND (EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   WHERE o_custkey = c.c_custkey AND l_returnflag = 'A'
+                     AND year(l_shipdate) = 1998)
+           OR EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      WHERE o_custkey = c.c_custkey AND l_returnflag = 'R'
+                        AND year(l_shipdate) = 1998))
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query("tpcds_q10_disjunctive_exists", oracle=_Q10_TMPL)
+def tpcds_q10_disjunctive_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10/q35 shape (tpcds/q10.sql): a conjunctive EXISTS (store
+    activity) AND a DISJUNCTION of two EXISTS (web OR catalog activity —
+    channels = return-flag classes). The OR-of-EXISTS cannot become plain
+    semi joins; Spark plans ExistenceJoin marker columns
+    (catalyst/optimizer/subquery.scala RewritePredicateSubquery)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q10_TMPL)
+
+
+_Q45_TMPL = """
+    SELECT c_mktsegment, count(*) AS cnt
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5)
+       OR c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@query("tpcds_q45_in_or_subquery", oracle=_Q45_TMPL)
+def tpcds_q45_in_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape (tpcds/q45.sql): a local IN-list predicate ORed
+    with an IN-subquery — the disjunction forces an existence join (the
+    subquery becomes a boolean marker column, not a semi join), the
+    §2.3 existence-join row exercised from the SQL surface."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q45_TMPL)
+
+
+_Q93_TMPL = """
+    SELECT cust AS ss_customer_sk, round(sum(act_sales), 2) AS sumsales
+    FROM (
+      SELECT o_custkey AS cust,
+             CASE WHEN r.ret_qty IS NOT NULL
+                  THEN (s.l_quantity - r.ret_qty) * s.l_extendedprice
+                  ELSE s.l_quantity * s.l_extendedprice END AS act_sales,
+             r.reason
+      FROM lineitem s
+      JOIN orders ON s.l_orderkey = o_orderkey
+      LEFT OUTER JOIN (
+        SELECT l_orderkey, l_partkey, sum(l_quantity) AS ret_qty,
+               min(l_linenumber) % 5 AS reason
+        FROM lineitem WHERE l_returnflag = 'R'
+        GROUP BY l_orderkey, l_partkey
+      ) r ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+      WHERE s.l_returnflag <> 'R'
+    ) t
+    WHERE reason = 2
+    GROUP BY cust
+    ORDER BY sumsales, cust
+    LIMIT 100
+"""
+
+
+@query("tpcds_q93_returns_arith", oracle=_Q93_TMPL)
+def tpcds_q93_returns_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape (tpcds/q93.sql): sales LEFT JOIN the returns
+    relation with net-sales CASE arithmetic over the nullable return
+    quantity — then an outer WHERE on a right-side column (the reason
+    filter), which is null-rejecting and lets the optimizer collapse the
+    LEFT join to inner (EliminateOuterJoin) exactly as in the original,
+    where the reason predicate makes the CASE's ELSE branch dead."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q93_TMPL)
+
+
+_Q95_TMPL = """
+    WITH ws_wh AS (
+      SELECT DISTINCT l1.l_orderkey
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+    )
+    SELECT count(DISTINCT s.l_orderkey)            AS order_count,
+           round(sum(s.l_extendedprice), 2)        AS total_shipping_cost,
+           round(sum(s.l_extendedprice * s.l_tax), 4) AS total_net_profit
+    FROM lineitem s JOIN orders ON s.l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1998-02-01'
+      AND o_orderdate <  TIMESTAMP '1998-04-02'
+      AND s.l_orderkey IN (SELECT l_orderkey FROM ws_wh)
+      AND s.l_orderkey IN (SELECT l_orderkey FROM lineitem
+                           WHERE l_returnflag = 'R'
+                             AND l_orderkey IN (SELECT l_orderkey FROM ws_wh))
+    """
+
+
+@query("tpcds_q95_two_level_in", oracle=_Q95_TMPL)
+def tpcds_q95_two_level_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape (tpcds/q95.sql): a self-join CTE (orders served
+    from 2+ warehouses ≈ suppliers) referenced from TWO IN-subqueries —
+    the second nested inside a returns filter — plus a 60-day ship window
+    and a distinct order count. Net profit sums a 4-decimal per-row
+    product, so it rounds at 4dp (a 2dp round of a 4dp sum lands on exact
+    half-cent boundaries)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q95_TMPL)

@@ -554,3 +554,20 @@ def test_tpcds_batch2_cte_reuse_and_shapes(spark):
     for name in ("tpcds_q2_weekday_ratio", "tpcds_q31_quarter_growth",
                  "tpcds_q11_yoy_growth"):
         assert "CartesianProduct" not in physical_plan(_q(spark, name)), name
+
+
+def test_tpcds_batch3_subquery_shapes(spark):
+    """Batch-3 guardrails: OR-of-EXISTS and IN-OR-subquery plan as
+    existence joins (marker column, not cartesian); q93's null-rejecting
+    filter over the LEFT JOIN lets the optimizer drop the outer side
+    (EliminateOuterJoin → no LeftOuter in the physical plan)."""
+    plan = physical_plan(_q(spark, "tpcds_q10_disjunctive_exists"))
+    assert "ExistenceJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q45_in_or_subquery"))
+    assert "ExistenceJoin" in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q93_returns_arith"))
+    assert "LeftOuter" not in plan, plan  # EliminateOuterJoin fired
+    plan = physical_plan(_q(spark, "tpcds_q95_two_level_in"))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
