@@ -1304,3 +1304,162 @@ def tpcds_q95_two_level_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-cent boundaries)."""
     _views(spark, sf_dir)
     return spark.sql(_Q95_TMPL)
+
+
+# ==========================================================================
+# Batch 4 (r5): reporting shapes — date-lag CASE buckets, three-channel
+# equal-share with nested scalar subqueries, anti-join-via-null-filter
+# channel ratios, before/after pivot with a ratio band.
+# ==========================================================================
+
+_Q62_TMPL_SPARK = """
+    SELECT substr(s_name, 1, 15) AS warehouse, o_orderpriority AS sm_type,
+           CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) <= 30
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) > 30
+                     AND datediff(l_shipdate, o_orderdate) <= 60
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+           CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) > 60
+                     AND datediff(l_shipdate, o_orderdate) <= 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+           CAST(sum(CASE WHEN datediff(l_shipdate, o_orderdate) > 90
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d90_plus
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    WHERE year(l_shipdate) = 1998
+    GROUP BY substr(s_name, 1, 15), o_orderpriority
+    ORDER BY warehouse, sm_type
+    LIMIT 100
+"""
+
+_Q62_TMPL_DUCK = _Q62_TMPL_SPARK.replace(
+    "datediff(l_shipdate, o_orderdate)", "date_diff('day', o_orderdate, l_shipdate)"
+)
+
+
+@query("tpcds_q62_ship_lag_buckets", oracle=_Q62_TMPL_DUCK)
+def tpcds_q62_ship_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62/q99 shape (tpcds/q62.sql): order-to-ship day lags bucketed
+    by CASE bands and counted per (warehouse ≈ supplier, ship mode ≈ order
+    priority) — the classic shipping-SLA report."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q62_TMPL_SPARK)
+
+
+def _q58_channel_cte(flag: str, alias: str) -> str:
+    return f"""
+    {alias} AS (
+      SELECT p_brand AS item_id, round(sum(l_extendedprice), 2) AS {alias}_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = '{flag}' AND year(l_shipdate) = 1998
+        AND month(l_shipdate) IN
+            (SELECT month(TIMESTAMP '1998-03-11'))
+      GROUP BY p_brand)"""
+
+
+_Q58_TMPL = f"""
+    WITH {_q58_channel_cte('A', 'ss_items')},
+    {_q58_channel_cte('N', 'cs_items')},
+    {_q58_channel_cte('R', 'ws_items')}
+    SELECT ss_items.item_id,
+           ss_items_rev, cs_items_rev, ws_items_rev,
+           round((ss_items_rev + cs_items_rev + ws_items_rev) / 3, 4) AS average
+    FROM ss_items
+    JOIN cs_items ON ss_items.item_id = cs_items.item_id
+    JOIN ws_items ON ss_items.item_id = ws_items.item_id
+    WHERE ss_items_rev BETWEEN 0.5 * cs_items_rev AND 1.5 * cs_items_rev
+      AND ss_items_rev BETWEEN 0.5 * ws_items_rev AND 1.5 * ws_items_rev
+    ORDER BY ss_items.item_id
+    LIMIT 100
+"""
+
+
+@query("tpcds_q58_equal_share_channels", oracle=_Q58_TMPL)
+def tpcds_q58_equal_share_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape (tpcds/q58.sql): three per-channel revenue CTEs
+    (channels = return-flag classes) each filtered to one period via a
+    scalar date subquery, three-way joined on the item, keeping items
+    whose channel revenues are within a band of each other."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q58_TMPL)
+
+
+_Q78_TMPL = """
+    WITH rets AS (
+      SELECT l_orderkey AS r_ok, l_partkey AS r_pk
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_orderkey, l_partkey),
+    ss AS (
+      SELECT year(l_shipdate) AS sold_year, l_partkey AS item_sk,
+             o_custkey AS customer_sk,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS ss_qty,
+             round(sum(l_extendedprice), 2) AS ss_sp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN rets ON l_orderkey = r_ok AND l_partkey = r_pk
+      WHERE r_ok IS NULL AND l_linestatus = 'F'
+      GROUP BY year(l_shipdate), l_partkey, o_custkey),
+    ws AS (
+      SELECT year(l_shipdate) AS sold_year, l_partkey AS item_sk,
+             o_custkey AS customer_sk,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS ws_qty,
+             round(sum(l_extendedprice), 2) AS ws_sp
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      LEFT JOIN rets ON l_orderkey = r_ok AND l_partkey = r_pk
+      WHERE r_ok IS NULL AND l_linestatus = 'O'
+      GROUP BY year(l_shipdate), l_partkey, o_custkey)
+    SELECT ss.sold_year, ss.item_sk, ss.customer_sk,
+           round(ss_qty / (ws_qty + 0.0), 4) AS store_web_qty_ratio,
+           ss_qty, ss_sp, ws_qty, ws_sp
+    FROM ss JOIN ws ON ss.sold_year = ws.sold_year
+                   AND ss.item_sk = ws.item_sk
+                   AND ss.customer_sk = ws.customer_sk
+    WHERE ss.sold_year = 1998
+    ORDER BY store_web_qty_ratio DESC, ss.item_sk, ss.customer_sk
+    LIMIT 100
+"""
+
+
+@query("tpcds_q78_nonreturned_ratio", oracle=_Q78_TMPL)
+def tpcds_q78_nonreturned_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape (tpcds/q78.sql): per-channel (year, item, customer)
+    sums over NON-returned sales — the anti-join phrased as LEFT JOIN
+    returns + IS NULL filter, exactly as the original — then the two
+    channels joined and ordered by their quantity ratio. Quantities are
+    exact int64, so the ratio is the identical IEEE division in both
+    engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q78_TMPL)
+
+
+_Q21_TMPL = """
+    SELECT * FROM (
+      SELECT s_name AS warehouse_name, p_name AS item_id,
+             CAST(sum(CASE WHEN l_shipdate <  TIMESTAMP '1998-06-01'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS inv_before,
+             CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01'
+                      THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS inv_after
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part     ON l_partkey = p_partkey
+      WHERE p_retailprice BETWEEN 500 AND 1200
+        AND l_shipdate >= TIMESTAMP '1998-05-02'
+        AND l_shipdate <  TIMESTAMP '1998-07-01'
+      GROUP BY s_name, p_name) x
+    WHERE CASE WHEN inv_before > 0 THEN inv_after / (inv_before + 0.0)
+               ELSE NULL END BETWEEN 2.0 / 3.0 AND 3.0 / 2.0
+    ORDER BY warehouse_name, item_id
+    LIMIT 100
+"""
+
+
+@query("tpcds_q21_before_after", oracle=_Q21_TMPL)
+def tpcds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape (tpcds/q21.sql): inventory quantity summed into
+    before/after CASE pivots around an anchor date (±30-day window), a
+    price-band item filter, and a ratio-band HAVING on the pivot — int64
+    quantities make the ratio engine-identical."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q21_TMPL)
