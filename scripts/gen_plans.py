@@ -30,6 +30,11 @@ FLAGSHIPS = {
     "fulltext_bm25f_weighted": "BM25F: field explode stays map-side until the single tf shuffle",
     "sim_ivfpq_topk": "IVF-PQ: driver-side probe -> partition-pruned code scan -> ADC -> broadcast re-rank",
     "graph_pagerank_nations": "PageRank: per-iteration edge join + dst agg, no cartesian",
+    # r5 TPC-DS slice flagships
+    "tpcds_q67_rollup_rank": "TPC-DS q67: rollup Expand -> partial/final agg -> rank window, broadcast item dim",
+    "tpcds_q10_disjunctive_exists": "TPC-DS q10: OR-of-EXISTS as ExistenceJoin marker columns",
+    "tpcds_q93_returns_arith": "TPC-DS q93: null-rejecting filter collapses LEFT JOIN to inner (EliminateOuterJoin)",
+    "tpcds_q51_cumulative_channels": "TPC-DS q51: two cumulative windows + full-outer merge + running max",
 }
 
 
