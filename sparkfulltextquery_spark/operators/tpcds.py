@@ -1463,3 +1463,141 @@ def tpcds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantities make the ratio engine-identical."""
     _views(spark, sf_dir)
     return spark.sql(_Q21_TMPL)
+
+
+# ==========================================================================
+# Batch 5 (r5): CTE-chain threshold (q23), week-matched inequality self-join
+# with date offset (q72), follow-on revenue histogram (q54).
+# ==========================================================================
+
+_Q23_TMPL = """
+    WITH lw AS (
+      SELECT l.*, o_custkey FROM lineitem l JOIN orders ON l_orderkey = o_orderkey),
+    frequent_items AS (
+      SELECT p_brand, month(l_shipdate) AS m
+      FROM lw JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1998
+      GROUP BY p_brand, month(l_shipdate)
+      HAVING count(*) > 3),
+    max_sales AS (
+      SELECT max(csales) AS cmax FROM (
+        SELECT o_custkey, sum(CAST(round(l_quantity) AS BIGINT)
+                              * CAST(round(l_extendedprice * 100) AS BIGINT))
+               AS csales
+        FROM lw GROUP BY o_custkey) x),
+    best_customer AS (
+      SELECT o_custkey
+      FROM (SELECT o_custkey, sum(CAST(round(l_quantity) AS BIGINT)
+                                  * CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS ssales
+            FROM lw GROUP BY o_custkey) y, max_sales
+      WHERE ssales > 0.5 * cmax)
+    SELECT round(sum(sales) / 100.0, 2) AS total_sales
+    FROM (
+      SELECT CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT) AS sales
+      FROM lw JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1998 AND month(l_shipdate) = 2
+        AND l_linestatus = 'F'
+        AND p_brand IN (SELECT p_brand FROM frequent_items WHERE m = 2)
+        AND o_custkey IN (SELECT o_custkey FROM best_customer)
+      UNION ALL
+      SELECT CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT) AS sales
+      FROM lw JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1998 AND month(l_shipdate) = 2
+        AND l_linestatus = 'O'
+        AND p_brand IN (SELECT p_brand FROM frequent_items WHERE m = 2)
+        AND o_custkey IN (SELECT o_custkey FROM best_customer)
+    ) u
+"""
+
+
+@query("tpcds_q23_frequent_best", oracle=_Q23_TMPL)
+def tpcds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape (tpcds/q23a.sql): a CTE chain where one CTE's
+    HAVING threshold is a scalar read from ANOTHER CTE (best customers
+    spend > 50% of the max customer's spend), frequent items by count
+    threshold, both feeding IN-subqueries over a two-channel UNION ALL,
+    collapsed to one scalar. Quantity×price products use exact integer
+    cents so the 0.5×max threshold compares identical int64s."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q23_TMPL)
+
+
+_Q72_TMPL = """
+    SELECT p.p_name AS i_item_desc,
+           weekofyear(s.l_shipdate) AS wk,
+           CAST(count(CASE WHEN r.r_ok IS NULL THEN 1 END) AS BIGINT)
+             AS no_return_cnt,
+           CAST(count(CASE WHEN r.r_ok IS NOT NULL THEN 1 END) AS BIGINT)
+             AS returned_cnt,
+           CAST(count(*) AS BIGINT) AS total_cnt
+    FROM lineitem s
+    JOIN orders   ON s.l_orderkey = o_orderkey
+    JOIN part p   ON s.l_partkey = p.p_partkey
+    JOIN lineitem inv
+      ON s.l_partkey = inv.l_partkey
+     AND weekofyear(s.l_shipdate) = weekofyear(inv.l_shipdate)
+     AND year(inv.l_shipdate) = 1998
+     AND inv.l_quantity < s.l_quantity
+    LEFT OUTER JOIN (
+      SELECT l_orderkey AS r_ok, l_partkey AS r_pk FROM lineitem
+      WHERE l_returnflag = 'R' GROUP BY l_orderkey, l_partkey
+    ) r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+    WHERE year(s.l_shipdate) = 1998
+      AND s.l_shipdate > o_orderdate + INTERVAL 5 DAY
+      AND o_orderpriority = '1-URGENT'
+    GROUP BY p.p_name, weekofyear(s.l_shipdate)
+    ORDER BY total_cnt DESC, i_item_desc, wk
+    LIMIT 100
+"""
+
+_Q72_DUCK = _Q72_TMPL.replace(
+    "weekofyear(s.l_shipdate) AS wk", "CAST(weekofyear(s.l_shipdate) AS INT) AS wk"
+)
+
+
+@query("tpcds_q72_offset_inventory", oracle=_Q72_DUCK)
+def tpcds_q72_offset_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape (tpcds/q72.sql): sales joined to the inventory
+    fact on item + SAME WEEK with a quantity inequality (stock below
+    demand), a ship-after-sold+5-days interval predicate, and a LEFT JOIN
+    to returns counted by NULL/NOT NULL CASE — the multi-fact join with a
+    non-equi component the original exists to stress."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q72_TMPL)
+
+
+_Q54_TMPL = """
+    WITH lw AS (
+      SELECT l.*, o_custkey FROM lineitem l JOIN orders ON l_orderkey = o_orderkey),
+    my_customers AS (
+      SELECT DISTINCT o_custkey
+      FROM lw JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+        AND year(l_shipdate) = 1998 AND month(l_shipdate) = 12),
+    my_revenue AS (
+      SELECT lw.o_custkey, round(sum(l_extendedprice), 2) AS revenue
+      FROM lw JOIN my_customers mc ON lw.o_custkey = mc.o_custkey
+      WHERE l_shipdate >= (SELECT TIMESTAMP '1999-01-01')
+        AND l_shipdate <  (SELECT TIMESTAMP '1999-04-01')
+      GROUP BY lw.o_custkey)
+    SELECT CAST(floor(revenue / 5000) AS BIGINT) AS segment,
+           CAST(count(*) AS BIGINT) AS num_customers,
+           CAST(floor(revenue / 5000) AS BIGINT) * 5000 AS segment_base
+    FROM my_revenue
+    GROUP BY floor(revenue / 5000)
+    ORDER BY segment
+"""
+
+
+@query("tpcds_q54_revenue_segments", oracle=_Q54_TMPL)
+def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape (tpcds/q54.sql): customers who bought the target
+    category in an anchor month (channel union folded into lw), their
+    revenue over the following quarter bounded by scalar date subqueries,
+    bucketed into fixed-width segments and counted — the
+    cohort-then-histogram composition."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q54_TMPL)
