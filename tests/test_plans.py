@@ -571,3 +571,19 @@ def test_tpcds_batch3_subquery_shapes(spark):
     plan = physical_plan(_q(spark, "tpcds_q95_two_level_in"))
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpcds_batch45_shapes(spark):
+    """Batch-4/5 guardrails: the non-equi q72 join must not degrade to a
+    cartesian (it has an equi component: item + week), q23's IN-subqueries
+    plan as semi joins, q78's LEFT-JOIN-IS-NULL pair plans as anti joins,
+    q62 aggregates partial+final."""
+    plan = physical_plan(_q(spark, "tpcds_q72_offset_inventory"))
+    assert "CartesianProduct" not in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q23_frequent_best"))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q78_nonreturned_ratio"))
+    assert "CartesianProduct" not in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q62_ship_lag_buckets"))
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
