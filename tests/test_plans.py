@@ -576,8 +576,8 @@ def test_tpcds_batch3_subquery_shapes(spark):
 def test_tpcds_batch45_shapes(spark):
     """Batch-4/5 guardrails: the non-equi q72 join must not degrade to a
     cartesian (it has an equi component: item + week), q23's IN-subqueries
-    plan as semi joins, q78's LEFT-JOIN-IS-NULL pair plans as anti joins,
-    q62 aggregates partial+final."""
+    plan as semi joins, q78's per-channel LEFT-JOIN-IS-NULL stays equi
+    (no cartesian), q62 aggregates partial+final."""
     plan = physical_plan(_q(spark, "tpcds_q72_offset_inventory"))
     assert "CartesianProduct" not in plan, plan
     plan = physical_plan(_q(spark, "tpcds_q23_frequent_best"))
