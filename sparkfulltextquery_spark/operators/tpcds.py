@@ -25,7 +25,13 @@ Determinism discipline for LIMIT queries: every ORDER BY carries the full
 group key as tiebreakers (with explicit NULLS ordering where rollup introduces
 NULL keys) so the driver's order-insensitive hash sees the same SET from both
 engines. Float sums are rounded to 2dp BEFORE feeding a rank() so tie/not-tie
-decisions agree across engines.
+decisions agree across engines. AVERAGES and ratio thresholds are computed
+over exact integers (×100 for 2-decimal prices, ×10000 for 4-decimal
+products): an int64 sum plus one division are exactly-rounded IEEE ops, so
+both engines produce bit-identical doubles — rounding an avg at 2dp instead
+lands on half-cent boundaries where Spark's and DuckDB's round() disagree.
+Integer-valued sums are CAST(... AS BIGINT) in shared templates so DuckDB
+does not widen them to HUGEINT (which floats through pandas).
 
 Scale notes (100 TB): part/supplier/nation/region are dimension tables —
 broadcast-hinted. lineitem/orders joins shuffle on their keys and aggregate
