@@ -1607,3 +1607,160 @@ def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort-then-histogram composition."""
     _views(spark, sf_dir)
     return spark.sql(_Q54_TMPL)
+
+
+# ==========================================================================
+# Batch 6 (r5): the heavyweight composite shapes — cross-channel attribute
+# INTERSECT feeding a rollup union (q14a), return-ratio dual-rank union
+# (q49), year-over-year net-sales delta over unioned channels (q75).
+# ==========================================================================
+
+_Q14_TMPL = """
+    WITH cross_items AS (
+      SELECT p_brand, p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'A' AND year(l_shipdate) BETWEEN 1997 AND 1998
+      INTERSECT
+      SELECT p_brand, p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N' AND year(l_shipdate) BETWEEN 1997 AND 1998
+      INTERSECT
+      SELECT p_brand, p_type FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R' AND year(l_shipdate) BETWEEN 1997 AND 1998),
+    avg_sales AS (
+      SELECT avg(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS average_sales
+      FROM lineitem WHERE year(l_shipdate) BETWEEN 1997 AND 1998)
+    SELECT channel, p_brand,
+           CAST(sum(sales) AS BIGINT) AS sales_cents,
+           CAST(count(*) AS BIGINT) AS number_sales
+    FROM (
+      SELECT 'store' AS channel, p.p_brand,
+             CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT) AS sales
+      FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+      JOIN cross_items ci ON p.p_brand = ci.p_brand AND p.p_type = ci.p_type
+      WHERE l_linestatus = 'F' AND year(l_shipdate) = 1998
+      UNION ALL
+      SELECT 'web' AS channel, p.p_brand,
+             CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT) AS sales
+      FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+      JOIN cross_items ci ON p.p_brand = ci.p_brand AND p.p_type = ci.p_type
+      WHERE l_linestatus = 'O' AND year(l_shipdate) = 1998
+    ) u
+    GROUP BY ROLLUP (channel, p_brand)
+    HAVING sum(sales) > (SELECT average_sales FROM avg_sales)
+    ORDER BY channel NULLS LAST, p_brand NULLS LAST
+    LIMIT 100
+"""
+
+
+@query("tpcds_q14_cross_channel_items", oracle=_Q14_TMPL)
+def tpcds_q14_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14a shape (tpcds/q14a.sql): the item-attribute INTERSECT of
+    three channels (items sold in ALL channels), a scalar average-sales
+    CTE used as a HAVING threshold, and a channel UNION ALL rolled up by
+    (channel, brand). Sales stay in exact integer cents end-to-end, so
+    the HAVING threshold compares int64 sums against the exactly-derived
+    average in both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q14_TMPL)
+
+
+def _q49_channel(status: str, label: str) -> str:
+    return f"""
+      SELECT '{label}' AS channel, item, return_ratio,
+             rank() OVER (ORDER BY return_ratio, item)   AS return_rank,
+             rank() OVER (ORDER BY currency_ratio, item) AS currency_rank
+      FROM (
+        SELECT s.l_partkey AS item,
+               sum(COALESCE(r.ret_qty, 0)) / (sum(CAST(round(s.l_quantity) AS BIGINT)) + 0.0)
+                 AS return_ratio,
+               sum(COALESCE(r.ret_cents, 0)) / (sum(CAST(round(s.l_extendedprice * 100) AS BIGINT)) + 0.0)
+                 AS currency_ratio
+        FROM lineitem s
+        LEFT OUTER JOIN (
+          SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS ret_qty,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ret_cents
+          FROM lineitem WHERE l_returnflag = 'R'
+          GROUP BY l_orderkey, l_partkey
+        ) r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+        WHERE s.l_linestatus = '{status}' AND s.l_returnflag <> 'R'
+          AND year(s.l_shipdate) = 1998
+        GROUP BY s.l_partkey) ratios"""
+
+
+_Q49_TMPL = f"""
+    SELECT channel, CAST(item AS BIGINT) AS item,
+           round(return_ratio, 6) AS return_ratio,
+           CAST(return_rank AS BIGINT) AS return_rank
+    FROM (
+      {_q49_channel('F', 'store')}
+      UNION ALL
+      {_q49_channel('O', 'web')}
+    ) all_ch
+    WHERE return_rank <= 10 OR currency_rank <= 10
+    ORDER BY channel, return_rank, item
+"""
+
+
+@query("tpcds_q49_return_ratio_ranks", oracle=_Q49_TMPL)
+def tpcds_q49_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape (tpcds/q49.sql): per-channel worst-returns report —
+    return-quantity and return-amount ratios from a LEFT JOIN against the
+    returns relation, TWO rank windows per channel, rows ranked top-10 in
+    EITHER ranking, channels unioned with a label column. Ratios divide
+    exact int64 sums, so ranks agree across engines; item tiebreakers pin
+    equal-ratio rank order."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q49_TMPL)
+
+
+_Q75_TMPL = """
+    WITH all_sales AS (
+      SELECT year(l_shipdate) AS d_year, p_brand,
+             CAST(sum(sales_cnt) AS BIGINT) AS sales_cnt,
+             round(sum(sales_amt), 2) AS sales_amt
+      FROM (
+        SELECT l_shipdate, p_brand,
+               CAST(round(s.l_quantity) AS BIGINT) - COALESCE(r.ret_qty, 0)
+                 AS sales_cnt,
+               s.l_extendedprice - COALESCE(r.ret_amt, 0.0) AS sales_amt
+        FROM lineitem s
+        JOIN part ON s.l_partkey = p_partkey
+        LEFT JOIN (
+          SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS ret_qty,
+                 round(sum(l_extendedprice), 2) AS ret_amt
+          FROM lineitem WHERE l_returnflag = 'R'
+          GROUP BY l_orderkey, l_partkey
+        ) r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+        WHERE s.l_returnflag <> 'R' AND p_type IN ('ECONOMY', 'PROMO')
+      ) x
+      GROUP BY year(l_shipdate), p_brand)
+    SELECT CAST(prev_yr.d_year AS BIGINT) AS prev_year,
+           CAST(curr_yr.d_year AS BIGINT) AS year,
+           prev_yr.p_brand,
+           prev_yr.sales_cnt AS prev_yr_cnt,
+           curr_yr.sales_cnt AS curr_yr_cnt,
+           curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+           round(curr_yr.sales_amt - prev_yr.sales_amt, 2) AS sales_amt_diff
+    FROM all_sales curr_yr JOIN all_sales prev_yr
+      ON curr_yr.p_brand = prev_yr.p_brand
+     AND curr_yr.d_year = 1998 AND prev_yr.d_year = 1997
+    WHERE curr_yr.sales_cnt / (prev_yr.sales_cnt + 0.0) < 0.9
+    ORDER BY sales_cnt_diff, prev_yr.p_brand
+    LIMIT 100
+"""
+
+
+@query("tpcds_q75_yoy_delta", oracle=_Q75_TMPL)
+def tpcds_q75_yoy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape (tpcds/q75.sql): per-(year, brand) NET sales
+    (quantity and amount minus returns via LEFT JOIN coalesce
+    subtraction), the yearly relation self-joined prev-vs-curr year,
+    keeping brands that shrank >10% — ordered by the count delta.
+    Counts are exact int64 so the 0.9 ratio threshold is the identical
+    IEEE division in both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q75_TMPL)
