@@ -1764,3 +1764,71 @@ def tpcds_q75_yoy_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE division in both engines."""
     _views(spark, sf_dir)
     return spark.sql(_Q75_TMPL)
+
+
+# ==========================================================================
+# Batch 7 (r5): statistical self-join (q39) and correlated per-category
+# average threshold (q6).
+# ==========================================================================
+
+_Q39_TMPL = """
+    WITH inv AS (
+      SELECT b, m, round(mean, 4) AS mean,
+             round(sd / mean, 4) AS cov
+      FROM (
+        SELECT p_brand AS b, month(l_shipdate) AS m,
+               stddev_samp(CAST(round(l_quantity) AS BIGINT)) AS sd,
+               avg(CAST(round(l_quantity) AS BIGINT)) AS mean,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) = 1998
+        GROUP BY p_brand, month(l_shipdate)) foo
+      WHERE n >= 2 AND mean <> 0 AND sd / mean > 0.5)
+    SELECT i1.b AS brand,
+           CAST(i1.m AS BIGINT) AS moy1, i1.mean AS mean1, i1.cov AS cov1,
+           CAST(i2.m AS BIGINT) AS moy2, i2.mean AS mean2, i2.cov AS cov2
+    FROM inv i1 JOIN inv i2 ON i1.b = i2.b AND i1.m = 1 AND i2.m = 2
+    ORDER BY brand
+"""
+
+
+@query("tpcds_q39_inventory_cov", oracle=_Q39_TMPL)
+def tpcds_q39_inventory_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape (tpcds/q39a.sql): per-(item-group, month)
+    quantity mean and coefficient of variation (stddev/mean) with a
+    high-variance filter, the CTE self-joined on CONSECUTIVE months —
+    finding groups volatile in both January and February. The mean is
+    an exact int64 average; cov compares engine-identical values away
+    from the 0.5 threshold (continuous statistic, boundary measure
+    zero)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q39_TMPL)
+
+
+_Q6_TMPL = """
+    SELECT n_name AS state, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN part i   ON l_partkey = i.p_partkey
+    WHERE year(l_shipdate) = 1998
+      AND i.p_retailprice > 1.005 * (SELECT avg(j.p_retailprice)
+                                     FROM part j WHERE j.p_type = i.p_type)
+    GROUP BY n_name
+    HAVING count(*) >= 2
+    ORDER BY cnt, state
+    LIMIT 100
+"""
+
+
+@query("tpcds_q6_above_category_avg", oracle=_Q6_TMPL)
+def tpcds_q6_above_category_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape (tpcds/q6.sql): count customers per state buying
+    items priced above a CORRELATED per-category average (scalar subquery
+    correlated on the item's own category, decorrelated by Catalyst into
+    an aggregate + join on p_type). Threshold constant adapted to the
+    synthetic price band (900-920: 1.2x the mean is above the max price;
+    1.005x selects the top ~25% as the original intends)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q6_TMPL)
