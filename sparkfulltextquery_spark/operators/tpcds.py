@@ -1197,7 +1197,7 @@ def tpcds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q10_TMPL = """
     SELECT c_mktsegment, count(*) AS cnt
     FROM customer c JOIN nation ON c_nationkey = n_nationkey
-    WHERE n_name IN ('CHINA', 'FRANCE', 'BRAZIL', 'KENYA', 'PERU')
+    WHERE n_name IN ('NATION_19', 'NATION_11', 'NATION_10', 'NATION_20', 'NATION_17')
       AND EXISTS (SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   WHERE o_custkey = c.c_custkey AND l_returnflag = 'N'
                     AND year(l_shipdate) = 1998)
