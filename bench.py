@@ -81,6 +81,8 @@ EXTRA = [
     "tpcds_q19_brand_revenue",
     "tpcds_q51_cumulative_channels",
     "tpcds_q67_rollup_rank",
+    "tpcds_q14_cross_channel_items",
+    "tpcds_q49_return_ratio_ranks",
     "pipeline_corpus_curation",
 ]
 
