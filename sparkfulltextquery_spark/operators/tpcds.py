@@ -1832,3 +1832,100 @@ def tpcds_q6_above_category_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.005x selects the top ~25% as the original intends)."""
     _views(spark, sf_dir)
     return spark.sql(_Q6_TMPL)
+
+
+# ==========================================================================
+# Batch 8 (r5): EXCEPT chain (q87), fact-side correlated threshold (q32),
+# heterogeneous-column channel union (q76).
+# ==========================================================================
+
+_Q87_TMPL = """
+    SELECT CAST(count(*) AS BIGINT) AS except_count FROM (
+      SELECT DISTINCT c_name, year(l_shipdate) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'A'
+      EXCEPT
+      SELECT DISTINCT c_name, year(l_shipdate) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'N'
+      EXCEPT
+      SELECT DISTINCT c_name, year(l_shipdate) AS y
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+    ) cool_cust
+"""
+
+
+@query("tpcds_q87_except_chain", oracle=_Q87_TMPL)
+def tpcds_q87_except_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape (tpcds/q87.sql): the EXCEPT dual of q38's
+    INTERSECT — customer-activity present in the first channel but
+    neither of the other two, counted (planned as successive left-anti
+    joins over aggregated distinct sets)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q87_TMPL)
+
+
+_Q32_TMPL = """
+    SELECT round(sum(l.l_extendedprice * l.l_discount), 4)
+           AS excess_discount_amount
+    FROM lineitem l JOIN part ON l.l_partkey = p_partkey
+    WHERE p_size BETWEEN 10 AND 40
+      AND year(l.l_shipdate) = 1998
+      AND l.l_extendedprice * l.l_discount > (
+        SELECT 1.3 * avg(l2.l_extendedprice * l2.l_discount)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l.l_partkey AND year(l2.l_shipdate) = 1998)
+"""
+
+
+@query("tpcds_q32_excess_discount", oracle=_Q32_TMPL)
+def tpcds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32 shape (tpcds/q32.sql): sum the discount amounts that
+    exceed 1.3x the item's OWN average discount in the window — the
+    correlated aggregate is over the FACT table itself (unlike q6's
+    dim-side correlation), decorrelated into a per-item aggregate
+    self-joined back on the item key."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q32_TMPL)
+
+
+_Q76_TMPL = """
+    SELECT channel, col_name,
+           CAST(year(ship) AS BIGINT) AS d_year,
+           CAST(count(*) AS BIGINT) AS sales_cnt,
+           round(sum(price), 2) AS sales_amt
+    FROM (
+      SELECT 'store' AS channel, 'l_suppkey' AS col_name,
+             l_shipdate AS ship, l_extendedprice AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'P'
+      UNION ALL
+      SELECT 'web' AS channel, 'o_custkey' AS col_name,
+             l_shipdate AS ship, l_extendedprice AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT 'catalog' AS channel, 'l_partkey' AS col_name,
+             l_shipdate AS ship, l_extendedprice AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ) u
+    GROUP BY channel, col_name, year(ship)
+    ORDER BY channel, col_name, d_year
+"""
+
+
+@query("tpcds_q76_hetero_channel_union", oracle=_Q76_TMPL)
+def tpcds_q76_hetero_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape (tpcds/q76.sql): a channel UNION ALL where each
+    branch contributes a DIFFERENT anomaly column (labeled col_name) —
+    unified under one schema and counted per (channel, col_name, year).
+    Adaptation: the synthetic fact has no NULL foreign keys (the
+    original's anomaly predicate), so order-status classes stand in as
+    each branch's marker predicate."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q76_TMPL)
