@@ -999,3 +999,83 @@ def test_function_tail_r5(spark, expr, expected):
         assert v == pytest.approx(expected), f"{expr} -> {v!r}"
     else:
         assert v == expected, f"{expr} -> {v!r}"
+
+
+# ---------------------------------------------------------------------------
+# r5 batch B: HiveCompatibilitySuite whitelist closure — every udf_*.q name
+# in the reference's whitelist (HiveCompatibilitySuite.scala:563) now has a
+# literal pin under its Spark spelling (diffed mechanically; aliases like
+# udf_lcase/lower, udf_equal/= were already covered).
+# ---------------------------------------------------------------------------
+
+CASES_R5B = [
+    # bitwise operator family (udf_bitwise_*.q)
+    ("3 & 5", 1),
+    ("3 | 5", 7),
+    ("3 ^ 5", 6),
+    ("~5", -6),
+    ("shiftleft(1, 4)", 16),
+    ("shiftright(16, 4)", 1),
+    ("shiftrightunsigned(-1, 60)", 15),
+    # math spellings (udf_ceiling/pow/power/ln/log10/log2/sqrt)
+    ("ceiling(1.2)", 2),
+    ("ceil(1.2)", 2),
+    ("pow(2, 10)", 1024.0),
+    ("power(2, 10)", 1024.0),
+    ("ln(e())", 1.0),
+    ("log10(1000)", 3.0),
+    ("log2(8)", 3.0),
+    ("log(2, 8)", 3.0),
+    ("sqrt(144)", 12.0),
+    ("CAST(round(2.345, 2) AS DOUBLE)", 2.35),  # udf_round_3: scale argument
+    ("round(-1.5)", -2),
+    ("sign(-3.2)", -1.0),
+    # null tests + conditional spellings (udf_isnull/isnotnull/when/case)
+    ("isnull(NULL)", True),
+    ("isnotnull(NULL)", False),
+    ("isnull(7)", False),
+    ("CASE WHEN 1 = 2 THEN 'a' WHEN 2 = 2 THEN 'b' ELSE 'c' END", "b"),
+    ("CASE 3 WHEN 1 THEN 'a' WHEN 3 THEN 'c' END", "c"),
+    ("if(1 < 2, 'y', 'n')", "y"),
+    ("nvl(NULL, 'd')", "d"),
+    # comparison operator spellings (udf_notequal / *_orequal)
+    ("1 != 2", True),
+    ("1 <> 2", True),
+    ("2 >= 2", True),
+    ("2 <= 1", False),
+    ("'a' < 'b'", True),
+    # RLIKE (udf_rlike.q)
+    ("'foobar' RLIKE 'f.*r'", True),
+    ("'foobar' RLIKE '^bar'", False),
+    # datetime spellings (udf_dayofmonth, udf_minute, udf_second)
+    ("dayofmonth(DATE '2020-05-17')", 17),
+    ("minute(TIMESTAMP '2020-05-17 12:34:56')", 34),
+    ("second(TIMESTAMP '2020-05-17 12:34:56')", 56),
+    # cast family (udf_to_byte/short/long/double/float, udf_bigint etc.)
+    ("CAST('12' AS TINYINT)", 12),
+    ("CAST('12' AS SMALLINT)", 12),
+    ("CAST('12' AS BIGINT)", 12),
+    ("CAST('1.5' AS DOUBLE)", 1.5),
+    ("CAST('1.5' AS FLOAT)", 1.5),
+    ("CAST(1.99 AS INT)", 1),
+    ("CAST('true' AS BOOLEAN)", True),
+    # string breadth stragglers from the whitelist
+    ("lower('AbC')", "abc"),
+    ("regexp_replace('aaa', 'a', 'b')", "bbb"),
+    ("'abc' REGEXP 'b'", True),
+    ("array_position(array('a', 'b', 'c'), 'b')", 2),  # udf_field analog (field() is Hive-only)
+    # reflect2 analog: the one-arg static reflect spelling (udf_reflect2.q;
+    # java_method is the registered synonym, already pinned)
+    ("reflect('java.lang.Integer', 'parseInt', '42')", "42"),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES_R5B, ids=[c[0][:50] for c in CASES_R5B])
+def test_function_tail_r5b(spark, expr, expected):
+    v = spark.sql(f"SELECT {expr} AS v").head().v
+    if callable(expected):
+        assert expected(v), f"{expr} -> {v!r}"
+    elif isinstance(expected, float):
+        assert v == pytest.approx(expected), f"{expr} -> {v!r}"
+    else:
+        assert v == expected, f"{expr} -> {v!r}"
