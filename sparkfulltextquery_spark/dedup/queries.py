@@ -529,3 +529,64 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@query(
+    "dedup_span_passages",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    spans AS (
+      SELECT doc_id, md5(array_to_string(tk[i*16+1 : i*16+16], ' ')) AS span_hash
+      FROM toks, unnest(range(0, CAST(ceil(len(tk) / 16.0) AS BIGINT))) AS u(i)
+      WHERE len(tk[i*16+1 : i*16+16]) = 16)
+    SELECT span_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM spans
+    GROUP BY span_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_span_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-granularity exact dedup (r5): every document is cut into
+    TUMBLING 16-token spans; spans whose hash appears in >= 2 distinct
+    documents are the cross-document duplicated passages — the
+    paragraph/passage-dedup primitive web-scale pipelines (CCNet /
+    RefinedWeb style) run BELOW document granularity, where doc-level
+    minhash can't see shared boilerplate inside otherwise-distinct pages.
+
+    Plan: tokenize map-side, explode ~n_tokens/16 span rows per doc, ONE
+    md5 hash-shuffle with partial aggregation (count + count-distinct on
+    the span key). At 100 TB this is the same single-shuffle shape as
+    exact doc dedup, with ~16x the row count of the corpus's token/16
+    stream — embarrassingly scalable; the HAVING prunes the long unique
+    tail at the reducer."""
+    d = load_table(spark, sf_dir, "documents")
+    from sparkfulltextquery_spark.functions.text import tokenize
+
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    n_spans = F.ceil(F.size("tk") / F.lit(16.0)).cast("long")
+    spans = (
+        toks.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("i"),
+            F.col("tk"),
+        )
+        .select(
+            "doc_id", F.slice(F.col("tk"), F.col("i") * 16 + 1, 16).alias("span")
+        )
+        .filter(F.size("span") == 16)
+        .select("doc_id", F.md5(F.concat_ws(" ", F.col("span"))).alias("span_hash"))
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

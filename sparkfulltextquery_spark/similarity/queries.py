@@ -600,3 +600,33 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         e, [float(x) for x in qvec], k=10, n_probe=2, literals=lit, codes=codes
     )
+
+
+@query(
+    "sim_radius_search",
+    oracle=f"""
+    WITH {_E_CTE}
+    SELECT vec_id, round({_COS.format(a='v', b='qv')}, 6) AS cosine
+    FROM e CROSS JOIN q
+    WHERE {_COS.format(a='v', b='qv')} >= 0.25 AND vec_id <> 0
+    """,
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL vectors within cosine >= tau of the query
+    — the range-query dual of top-k, the primitive dedup thresholding uses
+    (r5; complements sim_cosine_topk). Same literal-broadcast query vector
+    and embarrassingly-parallel scan; the result is filter-bounded instead
+    of heap-bounded, so no orderBy/limit appears in the plan at all — at
+    100 TB the scan cost is identical to top-k, with output proportional
+    to the true neighborhood size."""
+    from sparkfulltextquery_spark.similarity import cosine_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cos = cosine_expr(F.col("embedding").cast("array<double>"), q)
+    return (
+        e.select(F.col("vec_id"), cos.alias("_c"))
+        .filter((F.col("_c") >= 0.25) & (F.col("vec_id") != 0))
+        .select("vec_id", F.round("_c", 6).alias("cosine"))
+    )
