@@ -1929,3 +1929,185 @@ def tpcds_q76_hetero_channel_union(spark: SparkSession, sf_dir: str) -> DataFram
     each branch's marker predicate."""
     _views(spark, sf_dir)
     return spark.sql(_Q76_TMPL)
+
+
+# ==========================================================================
+# Batch 9 (r5): returns-aware before/after pivot (q40), multi-range-band
+# semi join (q37), 6-instance CTE self-join (q4), dual-measure 12-month
+# wide pivot union (q66).
+# ==========================================================================
+
+_Q40_TMPL = """
+    SELECT n_name AS w_state, p_name AS i_item_id,
+           round(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+                          THEN s.l_extendedprice - COALESCE(r.ret_amt, 0)
+                          ELSE 0 END), 2) AS sales_before,
+           round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01'
+                          THEN s.l_extendedprice - COALESCE(r.ret_amt, 0)
+                          ELSE 0 END), 2) AS sales_after
+    FROM lineitem s
+    LEFT OUTER JOIN (
+      SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+             round(sum(l_extendedprice), 2) AS ret_amt
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_orderkey, l_partkey
+    ) r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+    JOIN supplier ON s.l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN part     ON s.l_partkey = p_partkey
+    WHERE p_retailprice BETWEEN 902 AND 912
+      AND s.l_returnflag <> 'R'
+      AND s.l_shipdate BETWEEN TIMESTAMP '1998-05-02' AND TIMESTAMP '1998-07-01'
+    GROUP BY n_name, p_name
+    ORDER BY w_state, i_item_id
+    LIMIT 100
+"""
+
+
+@query("tpcds_q40_returns_before_after", oracle=_Q40_TMPL)
+def tpcds_q40_returns_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q40 shape (tpcds/q40.sql): net-of-returns sales pivoted into
+    before/after an anchor date (q21's pivot composed with q93's returns
+    LEFT JOIN), per (warehouse-state ≈ supplier nation, item), in a ±30-day
+    window with an item price band."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q40_TMPL)
+
+
+_Q37_TMPL = """
+    SELECT p_name AS i_item_id, p_retailprice AS i_current_price
+    FROM part
+    JOIN lineitem inv ON inv.l_partkey = p_partkey
+    WHERE p_retailprice BETWEEN 902 AND 915
+      AND p_size IN (10, 20, 30, 40)
+      AND inv.l_quantity BETWEEN 10 AND 40
+      AND inv.l_shipdate BETWEEN TIMESTAMP '1998-02-01'
+                             AND TIMESTAMP '1998-04-02'
+      AND p_partkey IN (SELECT l_partkey FROM lineitem
+                        WHERE l_linestatus = 'O')
+    GROUP BY p_name, p_retailprice
+    ORDER BY i_item_id
+    LIMIT 100
+"""
+
+
+@query("tpcds_q37_range_bands_semi", oracle=_Q37_TMPL)
+def tpcds_q37_range_bands_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37/q82 shape (tpcds/q37.sql): items in a price band AND a
+    manufacturer IN-list, whose inventory (≈ lineitem quantity) sat in a
+    range during a 60-day window, AND that sold in the other channel
+    (IN-subquery → semi join) — three stacked range predicates + a semi,
+    grouped to distinct items."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q37_TMPL)
+
+
+_Q4_TMPL = """
+    WITH year_total AS (
+      SELECT o_custkey AS customer_id, c_name,
+             year(l_shipdate) AS dyear, l_returnflag AS sale_type,
+             round(sum(l_extendedprice), 2) AS year_total
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      GROUP BY o_custkey, c_name, year(l_shipdate), l_returnflag
+    )
+    SELECT t_s_secyear.c_name AS customer_name
+    FROM year_total t_s_firstyear, year_total t_s_secyear,
+         year_total t_c_firstyear, year_total t_c_secyear,
+         year_total t_w_firstyear, year_total t_w_secyear
+    WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+      AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+      AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+      AND t_s_firstyear.sale_type = 'A' AND t_s_secyear.sale_type = 'A'
+      AND t_c_firstyear.sale_type = 'N' AND t_c_secyear.sale_type = 'N'
+      AND t_w_firstyear.sale_type = 'R' AND t_w_secyear.sale_type = 'R'
+      AND t_s_firstyear.dyear = 1997 AND t_s_secyear.dyear = 1998
+      AND t_c_firstyear.dyear = 1997 AND t_c_secyear.dyear = 1998
+      AND t_w_firstyear.dyear = 1997 AND t_w_secyear.dyear = 1998
+      AND t_s_firstyear.year_total > 0
+      AND t_c_firstyear.year_total > 0
+      AND t_w_firstyear.year_total > 0
+      AND t_c_secyear.year_total / t_c_firstyear.year_total
+        > t_s_secyear.year_total / t_s_firstyear.year_total
+      AND t_w_secyear.year_total / t_w_firstyear.year_total
+        > t_s_secyear.year_total / t_s_firstyear.year_total
+    ORDER BY customer_name
+    LIMIT 100
+"""
+
+
+@query("tpcds_q4_triple_channel_growth", oracle=_Q4_TMPL)
+def tpcds_q4_triple_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4 shape (tpcds/q4.sql): the q11 pattern taken to THREE
+    channels — one year-total CTE referenced SIX times, customers whose
+    catalog AND web growth both outpaced store growth (channels =
+    return-flag classes)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q4_TMPL)
+
+
+_MONTHS = ["jan", "feb", "mar", "apr", "may", "jun",
+           "jul", "aug", "sep", "oct", "nov", "dec"]
+
+
+def _q66_pivot(measure: str, suffix: str, scale: int) -> str:
+    # pivot in exact integer units (x100 for 2-decimal prices, x10000 for
+    # 4-decimal products) so the outer re-sum adds int64s — float sums
+    # disagreed at a 2dp round boundary in 1/100 sf0.01 rows
+    return ",\n".join(
+        f"sum(CASE WHEN month(l_shipdate) = {i + 1} "
+        f"THEN CAST(round(({measure}) * {scale}) AS BIGINT) "
+        f"ELSE 0 END) AS {m}_{suffix}"
+        for i, m in enumerate(_MONTHS)
+    )
+
+
+def _q66_resum(suffix: str, scale: int) -> str:
+    # exact int64 total / scale is one exactly-rounded IEEE division;
+    # rounding at the value's own decimal width keeps lattice points fixed
+    nd = 2 if scale == 100 else 4
+    return ",\n".join(
+        f"round(sum({m}_{suffix}) / {scale}.0, {nd}) AS {m}_{suffix}"
+        for m in _MONTHS
+    )
+
+
+_Q66_TMPL = f"""
+    SELECT s_name AS w_warehouse_name, ship_carriers, d_year,
+           {_q66_resum('sales', 100)},
+           {_q66_resum('net', 10000)}
+    FROM (
+      SELECT s_name, 'F_CHANNEL' AS ship_carriers,
+             CAST(year(l_shipdate) AS BIGINT) AS d_year,
+             {_q66_pivot('l_extendedprice', 'sales', 100)},
+             {_q66_pivot('l_extendedprice * (1 - l_discount)', 'net', 10000)}
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linestatus = 'F' AND year(l_shipdate) = 1998
+      GROUP BY s_name, year(l_shipdate)
+      UNION ALL
+      SELECT s_name, 'O_CHANNEL' AS ship_carriers,
+             CAST(year(l_shipdate) AS BIGINT) AS d_year,
+             {_q66_pivot('l_extendedprice', 'sales', 100)},
+             {_q66_pivot('l_extendedprice * (1 - l_discount)', 'net', 10000)}
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_linestatus = 'O' AND year(l_shipdate) = 1998
+      GROUP BY s_name, year(l_shipdate)
+    ) x
+    GROUP BY s_name, ship_carriers, d_year
+    ORDER BY w_warehouse_name, ship_carriers
+    LIMIT 100
+"""
+
+
+@query("tpcds_q66_monthly_wide_pivot", oracle=_Q66_TMPL)
+def tpcds_q66_monthly_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape (tpcds/q66.sql): the widest projection in the
+    corpus — 12 months × 2 measure families CASE-pivoted per channel,
+    channels unioned and RE-aggregated (sum of sums) per warehouse — the
+    two-level wide-pivot aggregation that stresses codegen's wide-row
+    paths."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q66_TMPL)
