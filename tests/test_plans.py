@@ -587,3 +587,22 @@ def test_tpcds_batch45_shapes(spark):
     assert "CartesianProduct" not in plan, plan
     plan = physical_plan(_q(spark, "tpcds_q62_ship_lag_buckets"))
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_tpcds_batch6to9_shapes(spark):
+    """Batch 6-9 guardrails: intersect/except chains plan as semi/anti
+    over aggregates, the 6-reference CTE self-join stays cartesian-free,
+    the wide pivot is a two-level partial+final aggregation, and the q32
+    fact-side correlated threshold decorrelates without nested loops."""
+    plan = physical_plan(_q(spark, "tpcds_q14_cross_channel_items"))
+    assert "LeftSemi" in plan and "CartesianProduct" not in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q87_except_chain"))
+    assert "LeftAnti" in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q4_triple_channel_growth"))
+    assert "CartesianProduct" not in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q66_monthly_wide_pivot"))
+    assert plan.count("HashAggregate") >= 4, plan  # 2 levels x partial+final
+    plan = physical_plan(_q(spark, "tpcds_q32_excess_discount"))
+    assert "CartesianProduct" not in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q49_return_ratio_ranks"))
+    assert "Window" in plan and "CartesianProduct" not in plan, plan
