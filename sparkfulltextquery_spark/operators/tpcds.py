@@ -2111,3 +2111,165 @@ def tpcds_q66_monthly_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths."""
     _views(spark, sf_dir)
     return spark.sql(_Q66_TMPL)
+
+
+# ==========================================================================
+# Batch 10 (r5): full-outer presence flags (q97), OR-of-AND band filters
+# (q13), fact-to-fact return-lag buckets (q50), dim-only correlated
+# attribute count (q41), per-store below-average items (q65).
+# ==========================================================================
+
+_Q97_TMPL = """
+    WITH ssci AS (
+      SELECT o_custkey AS customer_sk, l_partkey AS item_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linestatus = 'F' AND year(l_shipdate) = 1998
+      GROUP BY o_custkey, l_partkey),
+    csci AS (
+      SELECT o_custkey AS customer_sk, l_partkey AS item_sk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_linestatus = 'O' AND year(l_shipdate) = 1998
+      GROUP BY o_custkey, l_partkey)
+    SELECT CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(sum(CASE WHEN ssci.customer_sk IS NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+           CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL
+                          AND csci.customer_sk IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+    FROM ssci FULL OUTER JOIN csci
+      ON ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk
+"""
+
+
+@query("tpcds_q97_channel_presence", oracle=_Q97_TMPL)
+def tpcds_q97_channel_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape (tpcds/q97.sql): distinct (customer, item)
+    activity per channel FULL OUTER joined, with NULL-side CASE flags
+    counting store-only / catalog-only / both — channel-overlap
+    cardinality from one full-outer pass."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q97_TMPL)
+
+
+_Q13_TMPL = """
+    SELECT avg(CAST(round(l_quantity) AS BIGINT))                    AS avg_qty,
+           avg(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS avg_price,
+           avg(CAST(round(l_discount * 100) AS BIGINT)) / 100.0      AS avg_disc,
+           round(sum(l_extendedprice), 2)                            AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1998
+      AND ((o_orderpriority = '1-URGENT'
+            AND l_extendedprice BETWEEN 90000 AND 92000
+            AND l_quantity BETWEEN 1 AND 20)
+        OR (o_orderpriority = '2-HIGH'
+            AND l_extendedprice BETWEEN 92000 AND 94000
+            AND l_quantity BETWEEN 10 AND 30)
+        OR (o_orderpriority = '3-MEDIUM'
+            AND l_extendedprice BETWEEN 94000 AND 96000
+            AND l_quantity BETWEEN 20 AND 50))
+"""
+
+
+@query("tpcds_q13_or_of_ands", oracle=_Q13_TMPL)
+def tpcds_q13_or_of_ands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q13/q48 shape (tpcds/q13.sql): a disjunction of three
+    CONJUNCTION groups, each pairing a categorical dimension value with
+    different numeric bands — the OR-of-ANDs predicate the planner must
+    keep joined (no single band is pushable alone) — under global
+    averages. Exact-integer averages per the module discipline."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q13_TMPL)
+
+
+_Q50_TMPL_SPARK = """
+    SELECT s_name AS store,
+           CAST(sum(CASE WHEN datediff(r.l_shipdate, s.l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN datediff(r.l_shipdate, s.l_shipdate) > 30
+                          AND datediff(r.l_shipdate, s.l_shipdate) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d31_90,
+           CAST(sum(CASE WHEN datediff(r.l_shipdate, s.l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90_plus
+    FROM lineitem s
+    JOIN lineitem r
+      ON s.l_orderkey = r.l_orderkey AND s.l_partkey = r.l_partkey
+     AND s.l_returnflag <> 'R' AND r.l_returnflag = 'R'
+    JOIN supplier ON s.l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY store
+    LIMIT 100
+"""
+
+_Q50_TMPL_DUCK = _Q50_TMPL_SPARK.replace(
+    "datediff(r.l_shipdate, s.l_shipdate)",
+    "date_diff('day', s.l_shipdate, r.l_shipdate)",
+)
+
+
+@query("tpcds_q50_return_lag_buckets", oracle=_Q50_TMPL_DUCK)
+def tpcds_q50_return_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q50 shape (tpcds/q50.sql): sale row joined to ITS return row
+    (same order + item across the two fact classes) with the day lag
+    between the two events bucketed per store — the fact-to-fact
+    event-lag report (q62 buckets order→ship within one fact; this one
+    spans facts)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q50_TMPL_SPARK)
+
+
+_Q41_TMPL = """
+    SELECT DISTINCT p_name AS i_product_name
+    FROM part i1
+    WHERE p_size BETWEEN 10 AND 40
+      AND (SELECT count(*) FROM part
+           WHERE p_brand = i1.p_brand
+             AND ((p_type = 'ECONOMY' AND p_size IN (10, 20))
+               OR (p_type = 'PROMO'   AND p_size IN (30, 40)))) > 0
+    ORDER BY i_product_name
+    LIMIT 100
+"""
+
+
+@query("tpcds_q41_attribute_combos", oracle=_Q41_TMPL)
+def tpcds_q41_attribute_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape (tpcds/q41.sql): a DIM-ONLY query — items whose
+    brand (≈ manufacturer) also produces items matching any of a set of
+    attribute-combination conjunctions, expressed as a correlated COUNT
+    subquery over the same dimension table (decorrelated to a per-brand
+    aggregate self-joined back)."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q41_TMPL)
+
+
+_Q65_TMPL = """
+    WITH sc AS (
+      SELECT l_suppkey AS store_sk, l_partkey AS item_sk,
+             round(sum(l_extendedprice), 2) AS revenue
+      FROM lineitem GROUP BY l_suppkey, l_partkey),
+    sb AS (
+      SELECT store_sk,
+             avg(CAST(round(revenue * 100) AS BIGINT)) / 100.0 AS ave
+      FROM sc GROUP BY store_sk)
+    SELECT s_name AS s_store_name, p_name AS i_item_desc, sc.revenue
+    FROM sc
+    JOIN sb ON sc.store_sk = sb.store_sk
+    JOIN supplier ON sc.store_sk = s_suppkey
+    JOIN part     ON sc.item_sk = p_partkey
+    WHERE sc.revenue <= 0.5 * sb.ave
+    ORDER BY s_store_name, i_item_desc, sc.revenue
+    LIMIT 100
+"""
+
+
+@query("tpcds_q65_below_store_average", oracle=_Q65_TMPL)
+def tpcds_q65_below_store_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape (tpcds/q65.sql): per-(store, item) revenue joined
+    against the store's average item revenue, keeping each store's
+    weakest items (revenue below half the store average) — the
+    per-group-average threshold join, with both dims joined back for
+    display. Exact-cents average for the engine-identical threshold."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q65_TMPL)
