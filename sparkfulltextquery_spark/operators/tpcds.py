@@ -2273,3 +2273,50 @@ def tpcds_q65_below_store_average(spark: SparkSession, sf_dir: str) -> DataFrame
     display. Exact-cents average for the engine-identical threshold."""
     _views(spark, sf_dir)
     return spark.sql(_Q65_TMPL)
+
+
+# ==========================================================================
+# Batch 11 (r5): channel P&L rollup (q5/q77) — the 50th shape.
+# ==========================================================================
+
+def _q5_channel(status: str, label: str) -> str:
+    return f"""
+      SELECT '{label}' AS channel, n_name AS loc,
+             CAST(sum(CASE WHEN l_returnflag <> 'R'
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sales_cents,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS returns_cents
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE l_linestatus = '{status}' AND year(l_shipdate) = 1998
+      GROUP BY n_name"""
+
+
+_Q5_TMPL = f"""
+    SELECT channel, loc,
+           round(sum(sales_cents) / 100.0, 2)   AS sales,
+           round(sum(returns_cents) / 100.0, 2) AS returns,
+           round((sum(sales_cents) - sum(returns_cents)) / 100.0, 2) AS profit
+    FROM (
+      {_q5_channel('F', 'store')}
+      UNION ALL
+      {_q5_channel('O', 'web')}
+    ) x
+    GROUP BY ROLLUP (channel, loc)
+    ORDER BY channel NULLS LAST, loc NULLS LAST
+    LIMIT 100
+"""
+
+
+@query("tpcds_q5_channel_pnl", oracle=_Q5_TMPL)
+def tpcds_q5_channel_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5/q77/q80 shape (tpcds/q5.sql): per-channel profit-and-loss
+    — sales and returns aggregated per location within each channel,
+    channels unioned under a ROLLUP(channel, location) with
+    profit = sales − returns at every level. Exact integer cents
+    throughout; the grand-total row sums both measures across channels."""
+    _views(spark, sf_dir)
+    return spark.sql(_Q5_TMPL)
