@@ -139,13 +139,16 @@ def bm25_scores(
     k1: float = BM25_K1,
     b: float = BM25_B,
     post: DataFrame | None = None,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """(doc_id, score) BM25 scores for every doc matching ≥1 query term —
     the un-truncated scoring relation (used by the boolean query language).
 
     idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))          [Lucene form]
-    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
-    """
+    score(d) = Σ_t boost(t) · idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+
+    `boosts` ({term: multiplier}, default 1.0) carries Lucene-style
+    `term^N` weights from the query language."""
     q_terms = sorted({t for t in _py_tokenize(query)})
     if not q_terms:
         raise ValueError("empty query after tokenization")
@@ -177,9 +180,11 @@ def bm25_scores(
                 + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
             ),
         )
+        .withColumn("_boost", _boost_expr(boosts))
         .withColumn(
             "tscore",
-            F.col("idf")
+            F.col("_boost")
+            * F.col("idf")
             * (F.col("tf") * (k1 + 1))
             / (
                 F.col("tf")
@@ -191,6 +196,16 @@ def bm25_scores(
         .agg(F.round(F.sum("tscore"), 4).alias("score"))
     )
     return scored
+
+
+def _boost_expr(boosts: dict[str, float] | None):
+    """Per-row boost multiplier column: CASE over the term column, 1.0 for
+    unlisted terms (driver-side literal chain — |query| whens)."""
+    out = F.lit(1.0)
+    for t, w in sorted((boosts or {}).items()):
+        if w != 1.0:
+            out = F.when(F.col("term") == t, F.lit(float(w))).otherwise(out)
+    return out
 
 
 def bm25_search(

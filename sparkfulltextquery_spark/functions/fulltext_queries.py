@@ -885,3 +885,123 @@ def fulltext_collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("b.doc_id").alias("doc_id"), F.col("b.score").alias("score"))
     )
     return best.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
+
+
+@query(
+    "fulltext_query_prefix",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    matched AS (
+      SELECT doc_id FROM tfs WHERE term LIKE 'spar%'
+      INTERSECT
+      SELECT doc_id FROM tfs WHERE term = 'join'
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch', 'join']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+    """,
+)
+def fulltext_query_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard-prefix atoms in the query language (r5):
+    '(spar* AND join) OR batch' — `spar*` matches any term with the
+    prefix (Lucene prefix-query semantics; unscored, like Lucene's
+    constant-score wildcard rewrite). The oracle phrases the prefix atom
+    as a LIKE set over the posting relation."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "(spar* AND join) OR batch", k=10)
+
+
+@query(
+    "fulltext_query_prefix_indexed",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    matched AS (
+      SELECT doc_id FROM tfs WHERE term LIKE 'spar%'
+      INTERSECT
+      SELECT doc_id FROM tfs WHERE term = 'join'
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch', 'join']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+    """,
+)
+def fulltext_query_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same prefix query answered from the PERSISTED index in the
+    one-pass form: term atoms stay bucket-pruned; the prefix atom widens
+    the scan with a StartsWith filter (hash bucketing is equality-only —
+    wildcards can't prune, the standard trade in bucketed inverted
+    indexes)."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(
+        spark, "(spar* AND join) OR batch", k=10, table_prefix=prefix
+    )
+
+
+@query(
+    "fulltext_query_boost",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    matched AS (
+      SELECT doc_id FROM tfs WHERE term = 'spark'
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'join'
+    ),
+    qt    AS (SELECT unnest(['join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum((CASE term WHEN 'spark' THEN 3.0 ELSE 1.0 END)
+                       * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+    """,
+)
+def fulltext_query_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term boosts in the query language (r5): 'spark^3 OR join' — the
+    boost scales the term's BM25 contribution (Lucene `^N` semantics),
+    reordering results toward boosted matches. The oracle carries the
+    boost as a CASE multiplier on the per-term score."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "spark^3 OR join", k=10)

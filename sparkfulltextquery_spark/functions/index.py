@@ -171,6 +171,7 @@ def bm25_scores_indexed(
     table_prefix: str = "sftq_index",
     k1: float = BM25_K1,
     b: float = BM25_B,
+    boosts: dict[str, float] | None = None,
 ) -> DataFrame:
     """Un-truncated BM25 (doc_id, score) over the persisted index. The
     postings scan is pruned to the query terms' buckets (plan shows
@@ -190,7 +191,8 @@ def bm25_scores_indexed(
     for t in q_terms:
         idf_expr = F.when(
             F.col("term") == t,
-            F.log(
+            F.lit(float((boosts or {}).get(t, 1.0)))
+            * F.log(
                 F.lit(1.0)
                 + (F.lit(n_docs) - F.lit(df_of[t]) + F.lit(0.5))
                 / (F.lit(df_of[t]) + F.lit(0.5))
@@ -414,7 +416,9 @@ def _search_indexed_build(
                 .orderBy("doc_id")
                 .limit(k)
             )
-        scored = bm25_scores_indexed(spark, " ".join(pos), table_prefix)
+        scored = bm25_scores_indexed(
+            spark, " ".join(pos), table_prefix, boosts=QL.term_boosts(ast)
+        )
         return (
             matched.join(scored, "doc_id", "left")
             .select("doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score"))
@@ -422,23 +426,32 @@ def _search_indexed_build(
             .limit(k)
         )
 
-    terms, phrases = QL._collect_atoms(ast)
+    terms, phrases, prefixes = QL._collect_atoms(ast)
     phrase_toks = {p: _py_tokenize(p) for p in sorted(phrases)}
     all_terms = sorted(terms | {t for ts in phrase_toks.values() for t in ts} | set(pos))
     flag = {t: f"_t{i}" for i, t in enumerate(sorted(terms))}
+    wflag = {w: f"_w{i}" for i, w in enumerate(sorted(prefixes))}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(sorted({t for ts in phrase_toks.values() for t in ts}))
     }
 
-    pruned = post.filter(F.col("term").isin(all_terms))
-    # df/n_docs/avgdl as driver literals — no broadcast joins in the plan
+    pred = F.col("term").isin(all_terms) if all_terms else F.lit(False)
+    for w in sorted(prefixes):
+        # prefix atoms can't bucket-prune (hash bucketing is equality-only);
+        # they widen the scan to a StartsWith filter over the posting table
+        pred = pred | F.col("term").startswith(w)
+    pruned = post.filter(pred)
+    # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
+    # `term^N` boosts fold into the idf literal chain
+    boosts = QL.term_boosts(ast)
     n_docs, avgdl, df_of = _df_stats_literals(spark, table_prefix, pos)
     idf_expr = F.lit(None).cast("double")
     for t in pos:
         idf_expr = F.when(
             F.col("term") == t,
-            F.log(
+            F.lit(float(boosts.get(t, 1.0)))
+            * F.log(
                 F.lit(1.0)
                 + (F.lit(n_docs) - F.lit(df_of[t]) + F.lit(0.5))
                 / (F.lit(df_of[t]) + F.lit(0.5))
@@ -459,6 +472,10 @@ def _search_indexed_build(
     aggs += [
         F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(c)
         for t, c in flag.items()
+    ]
+    aggs += [
+        F.max(F.when(F.col("term").startswith(w), 1).otherwise(0)).alias(c)
+        for w, c in wflag.items()
     ]
     aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
@@ -484,6 +501,8 @@ def _search_indexed_build(
     def as_col(n):
         if isinstance(n, QL.Term):
             return F.col(flag[n.text]) == 1
+        if isinstance(n, QL.Prefix):
+            return F.col(wflag[n.text]) == 1
         if isinstance(n, QL.Phrase):
             return phrase_col(n.text)
         if isinstance(n, QL.Not):

@@ -42,6 +42,16 @@ from sparkfulltextquery_spark.functions.fulltext import (
 @dataclass(frozen=True)
 class Term:
     text: str
+    boost: float = 1.0  # Lucene-style `term^2`; scales the term's BM25 share
+
+
+@dataclass(frozen=True)
+class Prefix:
+    """Wildcard prefix atom (`spar*`): matches any term with the prefix.
+    Unscored (standard full-text behavior: expanded terms don't contribute
+    idf), and unprunable by bucketing — the scan filters StartsWith."""
+
+    text: str
 
 
 @dataclass(frozen=True)
@@ -127,10 +137,21 @@ def parse_query(q: str):
             return Phrase(body)
         if t.upper() in ("AND", "OR", "NOT"):
             raise ValueError(f"operator {t!r} in term position")
+        boost = 1.0
+        m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", t)
+        if m:
+            t, boost = m.group(1), float(m.group(2))
+        if t.endswith("*") and len(t) > 1:
+            norm = _py_tokenize(t[:-1])
+            if not norm:
+                raise ValueError(f"prefix {t!r} is empty after normalization")
+            if boost != 1.0:
+                raise ValueError("boost on a prefix atom is meaningless (unscored)")
+            return Prefix(norm[0])
         norm = _py_tokenize(t)
         if not norm:
             raise ValueError(f"term {t!r} is empty after normalization")
-        return Term(norm[0])
+        return Term(norm[0], boost)
 
     if not toks:
         raise ValueError("empty query")
@@ -141,14 +162,31 @@ def parse_query(q: str):
 
 
 def positive_terms(node) -> list[str]:
-    """Terms usable for relevance scoring (everything not under a NOT)."""
+    """Terms usable for relevance scoring (everything not under a NOT).
+    Prefix atoms are unscored and contribute nothing."""
     if isinstance(node, Term):
         return [node.text]
     if isinstance(node, Phrase):
         return _py_tokenize(node.text)
-    if isinstance(node, Not):
+    if isinstance(node, (Not, Prefix)):
         return []
     return [t for c in node.children for t in positive_terms(c)]
+
+
+def term_boosts(node) -> dict[str, float]:
+    """{term: boost} over the scoring (positive) terms; a term appearing
+    with several boosts takes the max. Phrase words score unboosted."""
+    if isinstance(node, Term):
+        return {node.text: node.boost}
+    if isinstance(node, Phrase):
+        return {t: 1.0 for t in _py_tokenize(node.text)}
+    if isinstance(node, (Not, Prefix)):
+        return {}
+    out: dict[str, float] = {}
+    for c in node.children:
+        for t, b in term_boosts(c).items():
+            out[t] = max(out.get(t, 1.0), b)
+    return out
 
 
 # ---------------- compilation ----------------
@@ -164,6 +202,12 @@ def compile_matches(node, post: DataFrame, phrase_fn, universe: DataFrame) -> Da
     domain NOT subtracts from."""
     if isinstance(node, Term):
         return post.filter(F.col("term") == node.text).select("doc_id").distinct()
+    if isinstance(node, Prefix):
+        return (
+            post.filter(F.col("term").startswith(node.text))
+            .select("doc_id")
+            .distinct()
+        )
     if isinstance(node, Phrase):
         return phrase_fn(node.text)
     if isinstance(node, And):
@@ -185,27 +229,32 @@ def compile_matches(node, post: DataFrame, phrase_fn, universe: DataFrame) -> Da
     raise TypeError(f"unknown node {node!r}")
 
 
-def _collect_atoms(node) -> tuple[set, set]:
-    """(term texts, phrase texts) appearing anywhere in the AST."""
+def _collect_atoms(node) -> tuple[set, set, set]:
+    """(term texts, phrase texts, prefix texts) appearing anywhere in the
+    AST."""
     if isinstance(node, Term):
-        return {node.text}, set()
+        return {node.text}, set(), set()
+    if isinstance(node, Prefix):
+        return set(), set(), {node.text}
     if isinstance(node, Phrase):
-        return set(), {node.text}
+        return set(), {node.text}, set()
     if isinstance(node, Not):
         return _collect_atoms(node.child)
     terms: set = set()
     phrases: set = set()
+    prefixes: set = set()
     for c in node.children:
-        t, p = _collect_atoms(c)
+        t, p, w = _collect_atoms(c)
         terms |= t
         phrases |= p
-    return terms, phrases
+        prefixes |= w
+    return terms, phrases, prefixes
 
 
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, Prefix)):
         return False
     if isinstance(node, Not):
         return not _eval_empty(node.child)
@@ -228,21 +277,32 @@ def compile_matches_flags(node, post: DataFrame, phrase_fn) -> DataFrame | None:
     universe; callers fall back to compile_matches."""
     if _eval_empty(node):
         return None
-    terms, phrases = _collect_atoms(node)
+    terms, phrases, prefixes = _collect_atoms(node)
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
+    prefixes_l = sorted(prefixes)
     flag = {t: f"_t{i}" for i, t in enumerate(terms_l)}
     flag.update({p: f"_p{i}" for i, p in enumerate(phrases_l)})
+    wflag = {w: f"_w{i}" for i, w in enumerate(prefixes_l)}
 
-    if terms_l:
+    if terms_l or prefixes_l:
+        pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
+        for w in prefixes_l:
+            pred = pred | F.col("term").startswith(w)
         flags = (
-            post.filter(F.col("term").isin(terms_l))
+            post.filter(pred)
             .groupBy("doc_id")
             .agg(
                 *[
                     F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(flag[t])
                     for t in terms_l
-                ]
+                ],
+                *[
+                    F.max(
+                        F.when(F.col("term").startswith(w), 1).otherwise(0)
+                    ).alias(wflag[w])
+                    for w in prefixes_l
+                ],
             )
         )
     else:
@@ -255,6 +315,8 @@ def compile_matches_flags(node, post: DataFrame, phrase_fn) -> DataFrame | None:
     def as_col(n):
         if isinstance(n, Term):
             return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
+        if isinstance(n, Prefix):
+            return F.coalesce(F.col(wflag[n.text]), F.lit(0)) == 1
         if isinstance(n, Phrase):
             return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
         if isinstance(n, Not):
@@ -323,8 +385,16 @@ def search(
             .limit(k)
         )
     # rank every matching doc: scores come from the positive terms, docs
-    # matching only via OR-branches without those terms score 0
-    scored = bm25_scores(docs, " ".join(pos), id_col=id_col, text_col=text_col, post=post)
+    # matching only via OR-branches without those terms score 0; `term^N`
+    # boosts scale each term's BM25 contribution
+    scored = bm25_scores(
+        docs,
+        " ".join(pos),
+        id_col=id_col,
+        text_col=text_col,
+        post=post,
+        boosts=term_boosts(ast),
+    )
     return (
         matched.join(scored, "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score"))

@@ -107,6 +107,13 @@ def test_flag_compilation_equals_join_compilation(spark):
         "(spark OR join) AND (vector OR NOT batch)",
         '"batch batch"',
         'NOT vector AND "batch batch"',
+        # r5 atoms: wildcard prefixes and boosts (boost affects ranking,
+        # never matching — the match sets must be boost-invariant)
+        "spar*",
+        "spar* AND join",
+        "(spar* OR merg*) AND NOT vector",
+        "spark^3 OR join",
+        'win* AND "batch batch"',
     ]
     for q in satisfiable:
         ast = parse_query(q)
@@ -121,3 +128,55 @@ def test_flag_compilation_equals_join_compilation(spark):
 
     for q in ["NOT spark", "NOT (spark AND join)", "NOT spark OR join"]:
         assert compile_matches_flags(parse_query(q), post, phrase_fn) is None, q
+
+
+def test_parser_prefix_and_boost_shapes():
+    from sparkfulltextquery_spark.functions.querylang import Prefix, term_boosts
+
+    assert parse_query("spar*") == Prefix("spar")
+    assert parse_query("spark^2") == Term("spark", 2.0)
+    assert parse_query("spark^2.5 AND join") == And(
+        (Term("spark", 2.5), Term("join"))
+    )
+    # boost parses before normalization; prefixes normalize their stem
+    assert parse_query("SPAR*") == Prefix("spar")
+    assert term_boosts(parse_query("spark^3 OR join")) == {
+        "spark": 3.0,
+        "join": 1.0,
+    }
+    # boost under NOT is not a scoring term
+    assert term_boosts(parse_query("a AND NOT b^9")) == {"a": 1.0}
+    with pytest.raises(ValueError):
+        parse_query("spar*^2")  # boost on an unscored wildcard
+    with pytest.raises(ValueError):
+        parse_query("*")  # bare wildcard
+
+
+def test_boost_scales_ranking(spark):
+    """'spark^3 OR join' must rank docs exactly as 3x spark-score +
+    1x join-score — verified against manually composed BM25 parts."""
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.functions.fulltext import bm25_scores
+
+    docs = load_table(spark, SF_DIR, "documents")
+    boosted = {r.doc_id: r.score for r in search(docs, "spark^3 OR join", k=10).collect()}
+    s_spark = bm25_scores(docs, "spark").withColumnRenamed("score", "s1")
+    s_join = bm25_scores(docs, "join").withColumnRenamed("score", "s2")
+    manual = (
+        s_spark.join(s_join, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("s1"), F.lit(0.0)) * 3
+                + F.coalesce(F.col("s2"), F.lit(0.0)),
+                4,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+    want = {r.doc_id: r.score for r in manual.collect()}
+    assert set(boosted) == set(want)
+    for d in boosted:
+        assert abs(boosted[d] - want[d]) < 1e-3, (d, boosted[d], want[d])
