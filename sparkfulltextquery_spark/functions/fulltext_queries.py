@@ -1005,3 +1005,51 @@ def fulltext_query_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return search(d, "spark^3 OR join", k=10)
+
+
+@query(
+    "fulltext_query_near",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    near_docs AS (
+      SELECT DISTINCT a.doc_id
+      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
+      JOIN (SELECT doc_id, pos FROM pos WHERE term = 'join') b USING (doc_id)
+      WHERE abs(a.pos - b.pos) <= 5
+    ),
+    matched AS (
+      SELECT doc_id FROM near_docs
+      EXCEPT
+      SELECT doc_id FROM tfs WHERE term = 'vector'
+    ),
+    qt    AS (SELECT unnest(['join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+    """,
+)
+def fulltext_query_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR/k operator inside the query language (r5):
+    'spark NEAR/5 join AND NOT vector' — proximity as a first-class atom
+    composable with the boolean algebra (previously only a standalone
+    function). NEAR binds tighter than AND; both operands score in
+    BM25."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "spark NEAR/5 join AND NOT vector", k=10)

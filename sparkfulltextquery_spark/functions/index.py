@@ -408,8 +408,13 @@ def _search_indexed_build(
         phrase_fn = lambda text: phrase_match_indexed(  # noqa: E731
             spark, text, table_prefix
         ).select("doc_id")
+        near_fn = lambda a, b, k: proximity_match_indexed(  # noqa: E731
+            spark, a, b, k, table_prefix
+        ).select("doc_id")
         universe = spark.table(f"{table_prefix}_dl").select("doc_id")
-        matched = QL.compile_matches(ast, post, phrase_fn=phrase_fn, universe=universe)
+        matched = QL.compile_matches(
+            ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn
+        )
         if not pos:
             return (
                 matched.select("doc_id", F.lit(0.0).alias("score"))
@@ -427,13 +432,22 @@ def _search_indexed_build(
         )
 
     terms, phrases, prefixes = QL._collect_atoms(ast)
+    nears = sorted(QL.collect_nears(ast))
+    near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     phrase_toks = {p: _py_tokenize(p) for p in sorted(phrases)}
-    all_terms = sorted(terms | {t for ts in phrase_toks.values() for t in ts} | set(pos))
+    all_terms = sorted(
+        terms
+        | {t for ts in phrase_toks.values() for t in ts}
+        | near_terms
+        | set(pos)
+    )
     flag = {t: f"_t{i}" for i, t in enumerate(sorted(terms))}
     wflag = {w: f"_w{i}" for i, w in enumerate(sorted(prefixes))}
     slot = {
         t: f"_s{i}"
-        for i, t in enumerate(sorted({t for ts in phrase_toks.values() for t in ts}))
+        for i, t in enumerate(
+            sorted({t for ts in phrase_toks.values() for t in ts} | near_terms)
+        )
     }
 
     pred = F.col("term").isin(all_terms) if all_terms else F.lit(False)
@@ -498,11 +512,23 @@ def _search_indexed_build(
         )
         return present & (F.size(starts) > 0)
 
+    def near_col(a: str, b: str, k: int):
+        # same array expression as proximity_match_indexed: any |pa-pb| <= k
+        pa, pb = F.col(slot[a]), F.col(slot[b])
+        present = pa.isNotNull() & pb.isNotNull()
+        pairs = F.filter(
+            pa,
+            lambda p: F.exists(pb, lambda q: F.abs(q - p) <= F.lit(k)),
+        )
+        return present & (F.size(pairs) > 0)
+
     def as_col(n):
         if isinstance(n, QL.Term):
             return F.col(flag[n.text]) == 1
         if isinstance(n, QL.Prefix):
             return F.col(wflag[n.text]) == 1
+        if isinstance(n, QL.Near):
+            return near_col(n.a, n.b, n.k)
         if isinstance(n, QL.Phrase):
             return phrase_col(n.text)
         if isinstance(n, QL.Not):

@@ -60,6 +60,16 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Near:
+    """Proximity atom `a NEAR/k b`: both terms within k token positions
+    (unordered). Operands are plain terms; both score in BM25."""
+
+    a: str
+    b: str
+    k: int
+
+
+@dataclass(frozen=True)
 class Not:
     child: object
 
@@ -118,9 +128,26 @@ def parse_query(q: str):
         if t.upper() == "NOT":
             take()
             return Not(parse_unary())
-        return parse_atom()
+        return parse_proximity()
+
+    def parse_proximity():
+        # NEAR/k binds tighter than AND: `a NEAR/3 b AND c` == (a NEAR/3 b) AND c
+        left = parse_atom()
+        t = peek()
+        m = re.fullmatch(r"NEAR/(\d+)", t, re.IGNORECASE) if t else None
+        if not m:
+            return left
+        take()
+        right = parse_atom()
+        if not isinstance(left, Term) or not isinstance(right, Term):
+            raise ValueError("NEAR/k operands must be plain terms")
+        if left.boost != 1.0 or right.boost != 1.0:
+            raise ValueError("boost on NEAR operands is not supported")
+        return Near(left.text, right.text, int(m.group(1)))
 
     def parse_atom():
+        if peek() is None:
+            raise ValueError("dangling operator in query")
         t = take()
         if t == "(":
             node = parse_or()
@@ -135,7 +162,9 @@ def parse_query(q: str):
             if not _py_tokenize(body):
                 raise ValueError("empty phrase")
             return Phrase(body)
-        if t.upper() in ("AND", "OR", "NOT"):
+        if t.upper() in ("AND", "OR", "NOT") or re.fullmatch(
+            r"NEAR/\d+", t, re.IGNORECASE
+        ):
             raise ValueError(f"operator {t!r} in term position")
         boost = 1.0
         m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", t)
@@ -168,6 +197,8 @@ def positive_terms(node) -> list[str]:
         return [node.text]
     if isinstance(node, Phrase):
         return _py_tokenize(node.text)
+    if isinstance(node, Near):
+        return [node.a, node.b]
     if isinstance(node, (Not, Prefix)):
         return []
     return [t for c in node.children for t in positive_terms(c)]
@@ -180,6 +211,8 @@ def term_boosts(node) -> dict[str, float]:
         return {node.text: node.boost}
     if isinstance(node, Phrase):
         return {t: 1.0 for t in _py_tokenize(node.text)}
+    if isinstance(node, Near):
+        return {node.a: 1.0, node.b: 1.0}
     if isinstance(node, (Not, Prefix)):
         return {}
     out: dict[str, float] = {}
@@ -192,7 +225,9 @@ def term_boosts(node) -> dict[str, float]:
 # ---------------- compilation ----------------
 
 
-def compile_matches(node, post: DataFrame, phrase_fn, universe: DataFrame) -> DataFrame:
+def compile_matches(
+    node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None
+) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
     ``post`` is any (term, doc_id, …) posting relation — inline or the
@@ -210,21 +245,29 @@ def compile_matches(node, post: DataFrame, phrase_fn, universe: DataFrame) -> Da
         )
     if isinstance(node, Phrase):
         return phrase_fn(node.text)
+    if isinstance(node, Near):
+        if near_fn is None:
+            raise ValueError("NEAR atom requires a near_fn")
+        return near_fn(node.a, node.b, node.k)
     if isinstance(node, And):
-        out = compile_matches(node.children[0], post, phrase_fn, universe)
+        out = compile_matches(node.children[0], post, phrase_fn, universe, near_fn)
         for c in node.children[1:]:
             out = out.join(
-                compile_matches(c, post, phrase_fn, universe), "doc_id", "left_semi"
+                compile_matches(c, post, phrase_fn, universe, near_fn),
+                "doc_id",
+                "left_semi",
             )
         return out
     if isinstance(node, Or):
-        out = compile_matches(node.children[0], post, phrase_fn, universe)
+        out = compile_matches(node.children[0], post, phrase_fn, universe, near_fn)
         for c in node.children[1:]:
-            out = out.union(compile_matches(c, post, phrase_fn, universe))
+            out = out.union(compile_matches(c, post, phrase_fn, universe, near_fn))
         return out.distinct()
     if isinstance(node, Not):
         return universe.join(
-            compile_matches(node.child, post, phrase_fn, universe), "doc_id", "left_anti"
+            compile_matches(node.child, post, phrase_fn, universe, near_fn),
+            "doc_id",
+            "left_anti",
         )
     raise TypeError(f"unknown node {node!r}")
 
@@ -238,6 +281,8 @@ def _collect_atoms(node) -> tuple[set, set, set]:
         return set(), set(), {node.text}
     if isinstance(node, Phrase):
         return set(), {node.text}, set()
+    if isinstance(node, Near):
+        return set(), set(), set()  # collected separately via collect_nears
     if isinstance(node, Not):
         return _collect_atoms(node.child)
     terms: set = set()
@@ -251,10 +296,22 @@ def _collect_atoms(node) -> tuple[set, set, set]:
     return terms, phrases, prefixes
 
 
+def collect_nears(node) -> set:
+    """All Near atoms (a, b, k) in the AST."""
+    if isinstance(node, Near):
+        return {(node.a, node.b, node.k)}
+    if isinstance(node, Not):
+        return collect_nears(node.child)
+    out: set = set()
+    for c in getattr(node, "children", ()):
+        out |= collect_nears(c)
+    return out
+
+
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
-    if isinstance(node, (Term, Phrase, Prefix)):
+    if isinstance(node, (Term, Phrase, Prefix, Near)):
         return False
     if isinstance(node, Not):
         return not _eval_empty(node.child)
@@ -263,7 +320,9 @@ def _eval_empty(node) -> bool:
     return any(_eval_empty(c) for c in node.children)
 
 
-def compile_matches_flags(node, post: DataFrame, phrase_fn) -> DataFrame | None:
+def compile_matches_flags(
+    node, post: DataFrame, phrase_fn, near_fn=None
+) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
     per-doc flag aggregation, one join per phrase atom, then the whole
@@ -278,12 +337,14 @@ def compile_matches_flags(node, post: DataFrame, phrase_fn) -> DataFrame | None:
     if _eval_empty(node):
         return None
     terms, phrases, prefixes = _collect_atoms(node)
+    nears_l = sorted(collect_nears(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
     prefixes_l = sorted(prefixes)
     flag = {t: f"_t{i}" for i, t in enumerate(terms_l)}
     flag.update({p: f"_p{i}" for i, p in enumerate(phrases_l)})
     wflag = {w: f"_w{i}" for i, w in enumerate(prefixes_l)}
+    nflag = {n: f"_n{i}" for i, n in enumerate(nears_l)}
 
     if terms_l or prefixes_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
@@ -310,6 +371,13 @@ def compile_matches_flags(node, post: DataFrame, phrase_fn) -> DataFrame | None:
     for p in phrases_l:
         pdf = phrase_fn(p).select("doc_id").distinct().withColumn(flag[p], F.lit(1))
         flags = pdf if flags is None else flags.join(pdf, "doc_id", "full_outer")
+    for n in nears_l:
+        if near_fn is None:
+            raise ValueError("NEAR atom requires a near_fn")
+        ndf = (
+            near_fn(*n).select("doc_id").distinct().withColumn(nflag[n], F.lit(1))
+        )
+        flags = ndf if flags is None else flags.join(ndf, "doc_id", "full_outer")
     assert flags is not None  # no-atom ASTs were rejected by _eval_empty
 
     def as_col(n):
@@ -317,6 +385,8 @@ def compile_matches_flags(node, post: DataFrame, phrase_fn) -> DataFrame | None:
             return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
         if isinstance(n, Prefix):
             return F.coalesce(F.col(wflag[n.text]), F.lit(0)) == 1
+        if isinstance(n, Near):
+            return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
             return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
         if isinstance(n, Not):
@@ -347,8 +417,8 @@ def search(
     ast = parse_query(query)
 
     def _has_phrase(node) -> bool:
-        if isinstance(node, Phrase):
-            return True
+        if isinstance(node, (Phrase, Near)):
+            return True  # both need the positional relation
         return any(_has_phrase(c) for c in getattr(node, "children", ())) or (
             isinstance(node, Not) and _has_phrase(node.child)
         )
@@ -358,24 +428,31 @@ def search(
         # and every phrase atom's positional joins
         from sparkfulltextquery_spark.functions.fulltext import positional_relation
 
+        from sparkfulltextquery_spark.functions.fulltext import proximity_match
+
         pos_rel = positional_relation(docs, id_col, text_col)
         post = pos_rel.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
         phrase_fn = lambda text: phrase_match(  # noqa: E731
             docs, text, id_col, text_col, pos=pos_rel
+        ).select("doc_id")
+        near_fn = lambda a, b, k: proximity_match(  # noqa: E731
+            docs, a, b, k, id_col, text_col, pos=pos_rel
         ).select("doc_id")
     else:
         post = postings(docs, id_col, text_col)
         phrase_fn = lambda text: phrase_match(  # noqa: E731
             docs, text, id_col, text_col
         ).select("doc_id")
+        near_fn = None  # no Near atoms on this branch by construction
 
-    matched = compile_matches_flags(ast, post, phrase_fn=phrase_fn)
+    matched = compile_matches_flags(ast, post, phrase_fn=phrase_fn, near_fn=near_fn)
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
             ast,
             post,
             phrase_fn=phrase_fn,
             universe=docs.select(F.col(id_col).alias("doc_id")),
+            near_fn=near_fn,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

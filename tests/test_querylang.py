@@ -93,9 +93,12 @@ def test_flag_compilation_equals_join_compilation(spark):
         parse_query,
     )
 
+    from sparkfulltextquery_spark.functions.fulltext import proximity_match
+
     docs = load_table(spark, SF_DIR, "documents")
     post = postings(docs)
     phrase_fn = lambda text: phrase_match(docs, text).select("doc_id")  # noqa: E731
+    near_fn = lambda a, b, k: proximity_match(docs, a, b, k).select("doc_id")  # noqa: E731
     universe = docs.select("doc_id")
 
     satisfiable = [
@@ -114,20 +117,28 @@ def test_flag_compilation_equals_join_compilation(spark):
         "(spar* OR merg*) AND NOT vector",
         "spark^3 OR join",
         'win* AND "batch batch"',
+        "spark NEAR/5 join",
+        "(spark NEAR/3 join) OR batch",
+        'spark NEAR/4 join AND NOT vector',
     ]
     for q in satisfiable:
         ast = parse_query(q)
-        flags = compile_matches_flags(ast, post, phrase_fn)
+        flags = compile_matches_flags(ast, post, phrase_fn, near_fn=near_fn)
         assert flags is not None, q
         want = {
             r.doc_id
-            for r in compile_matches(ast, post, phrase_fn, universe).collect()
+            for r in compile_matches(
+                ast, post, phrase_fn, universe, near_fn=near_fn
+            ).collect()
         }
         got = {r.doc_id for r in flags.collect()}
         assert got == want, q
 
     for q in ["NOT spark", "NOT (spark AND join)", "NOT spark OR join"]:
-        assert compile_matches_flags(parse_query(q), post, phrase_fn) is None, q
+        assert (
+            compile_matches_flags(parse_query(q), post, phrase_fn, near_fn=near_fn)
+            is None
+        ), q
 
 
 def test_parser_prefix_and_boost_shapes():
@@ -180,3 +191,21 @@ def test_boost_scales_ranking(spark):
     assert set(boosted) == set(want)
     for d in boosted:
         assert abs(boosted[d] - want[d]) < 1e-3, (d, boosted[d], want[d])
+
+
+def test_parser_near_shapes():
+    from sparkfulltextquery_spark.functions.querylang import Near
+
+    assert parse_query("spark NEAR/5 join") == Near("spark", "join", 5)
+    # NEAR binds tighter than AND
+    assert parse_query("a NEAR/3 b AND c") == And((Near("a", "b", 3), Term("c")))
+    # the bare operator in term position must be rejected
+    with pytest.raises(ValueError):
+        parse_query("near/3")
+
+
+def test_parser_near_rejects_bad_operands():
+    for bad in ['"batch batch" NEAR/3 join', "spar* NEAR/2 join",
+                "spark^2 NEAR/2 join", "spark NEAR/2"]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
