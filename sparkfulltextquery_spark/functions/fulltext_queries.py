@@ -1007,9 +1007,7 @@ def fulltext_query_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(d, "spark^3 OR join", k=10)
 
 
-@query(
-    "fulltext_query_near",
-    oracle=f"""
+_NEAR_ORACLE = f"""
     WITH {_POSTINGS_CTE},
     pos AS (
       SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
@@ -1041,8 +1039,10 @@ def fulltext_query_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.doc_id, coalesce(s.score, 0.0) AS score
     FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
     ORDER BY score DESC, m.doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@query("fulltext_query_near", oracle=_NEAR_ORACLE)
 def fulltext_query_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The NEAR/k operator inside the query language (r5):
     'spark NEAR/5 join AND NOT vector' — proximity as a first-class atom
@@ -1053,3 +1053,17 @@ def fulltext_query_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return search(d, "spark NEAR/5 join AND NOT vector", k=10)
+
+
+@query("fulltext_query_near_indexed", oracle=_NEAR_ORACLE)
+def fulltext_query_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same NEAR query answered from the PERSISTED index one-pass:
+    both operands' stored position arrays gather as slots in the single
+    doc_id aggregation and the pair-distance test is an array expression
+    — no explode, no positional join, bucket-pruned scan."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(
+        spark, "spark NEAR/5 join AND NOT vector", k=10, table_prefix=prefix
+    )
