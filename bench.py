@@ -5,7 +5,19 @@ and prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = sum of per-query wall seconds (each query fully materialized via a
-count-collect action; results are not pulled to the driver).
+noop write; results are not pulled to the driver).
+
+r06 hygiene (VERDICT r05):
+- every headline query runs 1 warmup + 3 timed; `queries` carries the
+  MEDIAN (the graded number now carries its own noise bar) and
+  `queries_best` the min, so host contention is visible in the artifact
+  instead of re-litigated between driver and judge runs;
+- the JSON line is the ONLY stdout (JVM fd-1 noise is rerouted to stderr
+  for the run) and is ALSO written to BENCH_LOCAL.json in the repo, so
+  the driver's tail-capture truncation ("parsed": null in r4 and r5)
+  can't lose it;
+- `--sf1` runs the standing sf1 decade gate: builds /tmp/sf1 via
+  scripts/make_sf1.py if absent, skips micros, writes BENCH_SF1_LOCAL.json.
 """
 
 from __future__ import annotations
@@ -195,7 +207,36 @@ def _micro_benchmarks(spark) -> dict[str, dict[str, float]]:
     return out
 
 
+def _ensure_sf1() -> str:
+    """Build the sf1 decade dataset if absent (scripts/make_sf1.py output);
+    returns its path. Presence of lineitem.parquet is the build marker."""
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+    if not Path(f"{sf1}/lineitem.parquet").exists():
+        import subprocess
+
+        print(f"building sf1 dataset at {sf1} ...", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "make_sf1.py")],
+            check=True,
+            stdout=sys.stderr,
+        )
+    return sf1
+
+
 def main() -> None:
+    global SF_DIR
+    sf1_mode = "--sf1" in sys.argv
+    if sf1_mode:
+        SF_DIR = _ensure_sf1()
+        os.environ["SPARK_GRAFT_SKIP_MICRO"] = "1"
+
+    # Reroute OS-level fd 1 to stderr for the Spark run: JVM-side writes to
+    # stdout (ivy resolution, log4j misconfig warnings) are what overflowed
+    # the driver's capture buffer and truncated the JSON line in r4/r5.
+    # The JSON line is printed at the end through the saved real stdout.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+
     from sparkfulltextquery_spark import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
@@ -213,23 +254,26 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    timings_best: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         # one untimed warm run per query (whole-stage-codegen compilation),
-        # then best-of-2 timed runs — the reference's Benchmark harness
-        # methodology (warmup + min over iterations), which also shields the
-        # graded headline number from transient host contention (the r02
-        # +35% regression was exactly that)
+        # then 3 timed runs; the graded number is the MEDIAN (carries its
+        # own noise bar — VERDICT r05 watch item: judge-vs-driver absolute
+        # walls differed ±50% on the heaviest row with best-of-2), best kept
+        # alongside for cross-round comparability with r≤5 artifacts
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
+        walls = []
+        for _ in range(3):
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
             # materialize fully without driver-collecting the payload
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            walls.append(time.time() - t0)
+        walls.sort()
+        timings[name] = round(walls[1], 3)  # median of 3
+        timings_best[name] = round(walls[0], 3)
 
     extra: dict[str, float] = {}
     for name in EXTRA:
@@ -248,19 +292,27 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra": extra,
-                "micro": micro,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "queries_best": timings_best,
+            "extra": extra,
+            "micro": micro,
+            "sf": sf,
+        }
     )
+    # committed local twin of the driver's BENCH artifact — survives the
+    # driver's capture truncation
+    out_name = "BENCH_SF1_LOCAL.json" if sf1_mode else "BENCH_LOCAL.json"
+    (REPO / out_name).write_text(line + "\n")
+    # restore the real stdout and emit the one contract line
+    os.dup2(real_stdout_fd, 1)
+    os.close(real_stdout_fd)
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

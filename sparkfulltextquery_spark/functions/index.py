@@ -78,7 +78,17 @@ def build_index(
     """Materialize the inverted index: bucketed postings + df + doc lengths +
     corpus stats. Returns the table names. `path` makes the tables external
     at an explicit location (warehouse.dir is a static conf and cannot be
-    changed per-session)."""
+    changed per-session).
+
+    Concurrency contract (ADVICE r05): the stats table carries a
+    `generation` stamp unique per build, and a build invalidates THIS
+    process's literal/plan caches. A rebuild by ANOTHER process is not
+    auto-detected — the persisted index assumes a single writer, and
+    readers in other long-lived sessions must call
+    ``refresh_index_caches(spark, table_prefix)`` (which compares the
+    persisted stamp and drops stale caches) after an external rebuild.
+    This is the same discipline as Spark's own ``REFRESH TABLE`` for
+    externally-rewritten file tables (Catalog.refreshTable)."""
     spark = docs.sparkSession
     # a rebuild over changed data must not serve the previous build's
     # n_docs/avgdl/df literals into new scoring plans (ADVICE r04) — drop
@@ -125,14 +135,53 @@ def build_index(
     writer(doc_lengths(docs, id_col, text_col), names["doc_len"]).saveAsTable(
         names["doc_len"]
     )
-    writer(corpus_stats(docs, id_col, text_col), names["stats"]).saveAsTable(
-        names["stats"]
-    )
+    # generation stamp: unique per build, read back by refresh_index_caches
+    # so an externally-rebuilt index can be detected and this process's
+    # literal/plan caches dropped (ADVICE r05)
+    import uuid
+
+    writer(
+        corpus_stats(docs, id_col, text_col).withColumn(
+            "generation", F.lit(uuid.uuid4().hex)
+        ),
+        names["stats"],
+    ).saveAsTable(names["stats"])
     return names
 
 
 _INDEX_STATS_CACHE: dict = {}
 _INDEX_DF_CACHE: dict = {}
+_INDEX_GEN_CACHE: dict = {}
+
+
+def refresh_index_caches(spark: SparkSession, table_prefix: str = "sftq_index") -> bool:
+    """Cross-process cache revalidation: re-read the persisted stats table's
+    generation stamp; if it differs from the one this process cached, drop
+    the stale n_docs/avgdl/df literals and compiled plans (and Spark's own
+    file-listing caches via REFRESH TABLE) so subsequent searches see the
+    new build. Returns True when stale caches were dropped. Call after an
+    index rebuild performed by ANOTHER process — same-process rebuilds via
+    build_index invalidate automatically."""
+    skey = (spark.sparkContext.applicationId, table_prefix)
+    try:
+        row = spark.table(f"{table_prefix}_stats").head()
+        current = getattr(row, "generation", None)
+    except Exception:
+        current = None
+    cached = _INDEX_GEN_CACHE.get(skey)
+    if cached is not None and cached == current:
+        return False
+    for name in ("postings", "df", "dl", "stats"):
+        try:
+            spark.catalog.refreshTable(f"{table_prefix}_{name}")
+        except Exception:
+            pass
+    _INDEX_STATS_CACHE.pop(skey, None)
+    _INDEX_DF_CACHE.pop(skey, None)
+    _INDEX_GEN_CACHE[skey] = current
+    for ck in [k for k in _COMPILED_QUERY_CACHE if k[:2] == skey]:
+        _COMPILED_QUERY_CACHE.pop(ck, None)
+    return True
 
 
 def _df_stats_literals(
@@ -150,6 +199,9 @@ def _df_stats_literals(
     if skey not in _INDEX_STATS_CACHE:
         r = spark.table(f"{table_prefix}_stats").head()
         _INDEX_STATS_CACHE[skey] = (int(r.n_docs), float(r.avgdl))
+        # remember which build these literals came from, so
+        # refresh_index_caches can detect an external rebuild
+        _INDEX_GEN_CACHE[skey] = getattr(r, "generation", None)
     n_docs, avgdl = _INDEX_STATS_CACHE[skey]
     dfc = _INDEX_DF_CACHE.setdefault(skey, {})
     missing = [t for t in terms if t not in dfc]
@@ -380,7 +432,12 @@ def search_indexed(
     construction; a repeated query (the common production case — the same
     search template with the same text) pays it once. The cache is
     workload-bounded (distinct query strings) and invalidated with the
-    stats caches on build_index."""
+    stats caches on build_index.
+
+    Concurrency contract (ADVICE r05): cached literals and plans assume a
+    single writer in this process. If another process rebuilds the index at
+    the same path, call ``refresh_index_caches(spark, table_prefix)`` —
+    it compares the persisted generation stamp and drops stale caches."""
     ckey = (spark.sparkContext.applicationId, table_prefix, query, k)
     cached = _COMPILED_QUERY_CACHE.get(ckey)
     if cached is not None:

@@ -167,19 +167,25 @@ def parse_query(q: str):
         ):
             raise ValueError(f"operator {t!r} in term position")
         boost = 1.0
-        m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", t)
+        m = re.fullmatch(r"(.+?)\^(\d+(?:\.\d+)?)", t)
         if m:
             t, boost = m.group(1), float(m.group(2))
+        if "^" in t:
+            raise ValueError(f"malformed boost in atom {t!r}^{boost}")
         if t.endswith("*") and len(t) > 1:
+            if "*" in t[:-1]:
+                raise ValueError(f"interior wildcard in atom {t!r} (prefix-only)")
             norm = _py_tokenize(t[:-1])
-            if not norm:
-                raise ValueError(f"prefix {t!r} is empty after normalization")
+            if len(norm) != 1:
+                raise ValueError(f"prefix {t!r} must normalize to one token")
             if boost != 1.0:
                 raise ValueError("boost on a prefix atom is meaningless (unscored)")
             return Prefix(norm[0])
+        if "*" in t:
+            raise ValueError(f"interior wildcard in atom {t!r} (prefix-only)")
         norm = _py_tokenize(t)
-        if not norm:
-            raise ValueError(f"term {t!r} is empty after normalization")
+        if len(norm) != 1:
+            raise ValueError(f"term {t!r} must normalize to one token")
         return Term(norm[0], boost)
 
     if not toks:

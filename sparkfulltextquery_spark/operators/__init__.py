@@ -24,5 +24,6 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     tpch,
     tpch2,
     tpcds,
+    tpcds_sub,
     windows,
 )

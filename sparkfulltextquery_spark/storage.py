@@ -21,8 +21,31 @@ from __future__ import annotations
 import getpass
 import hashlib
 import os
+import stat as stat_mod
 import tempfile
 from pathlib import Path
+
+
+def _assert_secure_dir(path: Path) -> None:
+    """tempfile-style secure-dir check (ADVICE r05): mkdir(exist_ok=True)
+    on a predictable /tmp path accepts a pre-existing attacker-created
+    directory or symlink. lstat (never following a symlink) and require a
+    real directory owned by the current uid with no group/other access —
+    raising RuntimeError otherwise, exactly like tempfile's _mkstemp_inner
+    rejects unsafe candidate dirs."""
+    st = os.lstat(path)
+    if not stat_mod.S_ISDIR(st.st_mode):
+        raise RuntimeError(f"index store base {path} is not a directory")
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"index store base {path} is owned by uid {st.st_uid}, "
+            f"not the current user — refusing a pre-created directory"
+        )
+    if stat_mod.S_IMODE(st.st_mode) & 0o077:
+        raise RuntimeError(
+            f"index store base {path} is group/other-accessible "
+            f"(mode {oct(stat_mod.S_IMODE(st.st_mode))}); expected 0700"
+        )
 
 
 def index_store_root(kind: str, sf_dir: str) -> str:
@@ -30,16 +53,18 @@ def index_store_root(kind: str, sf_dir: str) -> str:
 
     Same (user, kind, sf_dir) → same path, created on first use; callers
     write with mode("overwrite") so re-use across sessions replaces rather
-    than duplicates. The base dir is scoped per-user and created with mode
-    0700 (ADVICE r04: a world-predictable shared-/tmp path is a cross-user
-    race and a pre-creation/symlink hazard; per-user 0700 restores the
-    isolation the old per-session mkdtemp had while keeping determinism)."""
+    than duplicates. The base dir is scoped per-user, created with mode
+    0700, and verified post-mkdir with a tempfile-style ownership/symlink/
+    mode check (ADVICE r04+r05: a world-predictable shared-/tmp path is a
+    cross-user race and a pre-creation/symlink hazard; mkdir(exist_ok=True)
+    alone would silently adopt an attacker's pre-created dir)."""
     try:
         user = getpass.getuser()
     except Exception:  # no passwd entry (containers) — fall back to uid
         user = str(os.getuid()) if hasattr(os, "getuid") else "nouser"
     base = Path(tempfile.gettempdir()) / f"sftq_indexes_{user}"
     base.mkdir(mode=0o700, parents=True, exist_ok=True)
+    _assert_secure_dir(base)
     digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     root = base / f"{kind}_{digest}"
     root.mkdir(parents=True, exist_ok=True)

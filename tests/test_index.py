@@ -336,3 +336,75 @@ def test_force_bucketed_scan_restores(spark):
     assert spark.conf.get(_AUTO_BUCKETED_CONF, None) == prior
     # idempotent when never forced
     restore_auto_bucketed_scan(spark)
+
+
+def test_refresh_detects_external_rebuild(spark, tmp_path):
+    """ADVICE r05: the index lives at a stable path shared across
+    processes; a rebuild by ANOTHER process leaves this process's literal/
+    plan caches stale. refresh_index_caches compares the persisted
+    generation stamp and drops them."""
+    from sparkfulltextquery_spark.functions import index as IX
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id int, text string"
+    )
+    IX.build_index(docs, table_prefix="t_gen", num_buckets=2,
+                   path=f"file://{tmp_path}/g1")
+    n1, _, _ = IX._df_stats_literals(spark, "t_gen", ["alpha"])
+    assert n1 == 2
+    skey = (spark.sparkContext.applicationId, "t_gen")
+    # same generation on disk → no-op, caches kept
+    assert IX.refresh_index_caches(spark, "t_gen") is False
+    assert skey in IX._INDEX_STATS_CACHE
+
+    # simulate ANOTHER process rebuilding: poison this process's caches
+    # with pre-rebuild state, then rewrite the index out from under them
+    docs3 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "alpha delta")],
+        "doc_id int, text string",
+    )
+    IX.build_index(docs3, table_prefix="t_gen", num_buckets=2,
+                   path=f"file://{tmp_path}/g2")
+    IX._INDEX_STATS_CACHE[skey] = (999, 1.0)  # stale literals
+    IX._INDEX_GEN_CACHE[skey] = "stale-generation"
+    assert IX.refresh_index_caches(spark, "t_gen") is True
+    n2, _, df2 = IX._df_stats_literals(spark, "t_gen", ["alpha"])
+    assert (n2, df2["alpha"]) == (3, 3)
+
+
+def test_index_store_root_rejects_insecure_base(tmp_path, monkeypatch):
+    """ADVICE r05: a pre-existing attacker-created dir (wrong mode or a
+    symlink) at the predictable /tmp path must be rejected, not adopted."""
+    import pytest as _pytest
+
+    from sparkfulltextquery_spark import storage as S
+
+    monkeypatch.setattr("tempfile.gettempdir", lambda: str(tmp_path))
+    # fresh path: created 0700 and accepted
+    root = S.index_store_root("text", "/some/sf")
+    assert root.startswith(str(tmp_path))
+
+    import getpass
+    import os
+
+    try:
+        user = getpass.getuser()
+    except Exception:
+        user = str(os.getuid())
+    base = tmp_path / f"sftq_indexes_{user}"
+    # group/other-accessible pre-created dir → rejected
+    os.chmod(base, 0o777)
+    with _pytest.raises(RuntimeError, match="group/other-accessible"):
+        S.index_store_root("text", "/some/sf")
+    os.chmod(base, 0o700)
+    S.index_store_root("text", "/some/sf")  # restored → accepted again
+
+    # symlinked base → rejected (lstat sees the link, not the target)
+    import shutil
+
+    shutil.rmtree(base)
+    real = tmp_path / "elsewhere"
+    real.mkdir(mode=0o700)
+    base.symlink_to(real)
+    with _pytest.raises(RuntimeError, match="not a directory"):
+        S.index_store_root("text", "/some/sf")

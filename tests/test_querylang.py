@@ -34,7 +34,14 @@ def test_parser_precedence_and_shapes():
 
 
 @pytest.mark.parametrize(
-    "bad", ["", "AND spark", "spark AND", "(spark", "spark)", '""', "spark OR"]
+    "bad",
+    [
+        "", "AND spark", "spark AND", "(spark", "spark)", '""', "spark OR",
+        # ADVICE r05: atoms that previously mis-parsed by silently dropping
+        # pieces must reject instead — interior wildcards, double boosts,
+        # and multi-token atoms
+        "foo*bar", "foo*bar*", "a^2^3", "can't", "a^2*",
+    ],
 )
 def test_parser_rejects_malformed(bad):
     with pytest.raises(ValueError):
