@@ -25,5 +25,6 @@ from sparkfulltextquery_spark.operators import (  # noqa: F401
     tpch2,
     tpcds,
     tpcds_sub,
+    tpcds_tail,
     windows,
 )

@@ -606,3 +606,35 @@ def test_tpcds_batch6to9_shapes(spark):
     assert "CartesianProduct" not in plan, plan
     plan = physical_plan(_q(spark, "tpcds_q49_return_ratio_ranks"))
     assert "Window" in plan and "CartesianProduct" not in plan, plan
+
+
+def test_tpcds_tail_shapes(spark):
+    """r6 tail-batch guardrails (operators/tpcds_tail.py): q64's two-pass
+    giant join stays cartesian-free with broadcast dims; q70 plans the
+    rollup Expand + grouping()-partitioned Window plus a semi join for the
+    windowed IN-subquery; q9's scalar-subquery ladder plans no joins at
+    all in the main plan; the q17/q29 three-fact chains and q23b's CTE
+    chain stay cartesian-free; q69's NOT-EXISTS pair plans anti joins and
+    q35's EXISTS-OR-EXISTS plans an ExistenceJoin."""
+    plan = physical_plan(_q(spark, "tpcds_q64_cross_year_sales"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan  # part/supplier/nation dims
+    plan = physical_plan(_q(spark, "tpcds_q70_ranked_state_rollup"))
+    assert "Expand" in plan, plan
+    assert "Window" in plan, plan
+    assert "LeftSemi" in plan, plan  # the rank-threshold IN-subquery
+    plan = physical_plan(_q(spark, "tpcds_q9_bucket_ladder"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan  # 15 scalar subqueries, zero joins
+    for name in (
+        "tpcds_q17_sale_return_rebuy_stats",
+        "tpcds_q29_sale_return_rebuy_sums",
+        "tpcds_q23b_best_customer_names",
+    ):
+        assert "CartesianProduct" not in physical_plan(_q(spark, name)), name
+    plan = physical_plan(_q(spark, "tpcds_q69_channel_absence"))
+    assert "LeftAnti" in plan, plan
+    assert "LeftSemi" in plan, plan
+    plan = physical_plan(_q(spark, "tpcds_q35_channel_presence_stats"))
+    assert "ExistenceJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
