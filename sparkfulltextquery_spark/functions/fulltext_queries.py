@@ -1067,3 +1067,111 @@ def fulltext_query_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_indexed(
         spark, "spark NEAR/5 join AND NOT vector", k=10, table_prefix=prefix
     )
+
+
+# ---------------- fielded + fuzzy atoms (r6) ----------------
+
+_FIELDED_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    matched AS (
+      SELECT DISTINCT doc_id FROM pos WHERE term = 'spark' AND pos < 10
+      INTERSECT
+      SELECT doc_id FROM tfs WHERE term = 'join'
+    ),
+    qt    AS (SELECT unnest(['join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_fielded", oracle=_FIELDED_ORACLE)
+def fulltext_query_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped atom `title:spark AND join` (Lucene fielded-search
+    surface; VERDICT r05 #5): the title field is carved positionally from
+    the text column exactly as bm25f_search does (first BM25F_TITLE_LEN=10
+    tokens), so `title:term` compiles to a position-bounded lookup in the
+    positional relation; the term still scores document-level BM25. The
+    field-WEIGHTED scoring composition is fulltext_bm25f_weighted."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "title:spark AND join", k=10)
+
+
+@query("fulltext_query_fielded_indexed", oracle=_FIELDED_ORACLE)
+def fulltext_query_fielded_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fielded query answered from the PERSISTED index one-pass:
+    the field term's stored position array gathers as a slot in the single
+    doc_id aggregation and field membership is an array `exists` over it —
+    no posexplode, bucket-pruned scan."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "title:spark AND join", k=10, table_prefix=prefix)
+
+
+_FUZZY_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    matched AS (
+      SELECT DISTINCT doc_id FROM tfs WHERE levenshtein(term, 'sparc') <= 1
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_fuzzy", oracle=_FUZZY_ORACLE)
+def fulltext_query_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy atom `sparc~1 OR batch` (Lucene fuzzy-search surface; VERDICT
+    r05 #5): `term~N` matches any vocabulary term within edit distance N
+    via a levenshtein predicate over the posting vocabulary — the
+    fulltext_fuzzy_vocab machinery as a first-class boolean-algebra atom.
+    Constant-score like prefix atoms (expanded terms contribute no idf);
+    the un-fuzzied `batch` branch still scores BM25."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "sparc~1 OR batch", k=10)
+
+
+@query("fulltext_query_fuzzy_indexed", oracle=_FUZZY_ORACLE)
+def fulltext_query_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fuzzy query answered from the PERSISTED index one-pass:
+    the levenshtein predicate widens the pruned scan (edit distance can't
+    bucket-prune, exactly like prefix atoms) and the fuzzy flag folds into
+    the single doc_id aggregation."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "sparc~1 OR batch", k=10, table_prefix=prefix)

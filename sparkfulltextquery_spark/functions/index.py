@@ -468,9 +468,27 @@ def _search_indexed_build(
         near_fn = lambda a, b, k: proximity_match_indexed(  # noqa: E731
             spark, a, b, k, table_prefix
         ).select("doc_id")
+
+        def field_fn(field: str, term: str):
+            # field membership from the stored position arrays — same
+            # title carving as bm25f_search (first BM25F_TITLE_LEN tokens)
+            from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+            pos_pred = (
+                (lambda p: p < F.lit(BM25F_TITLE_LEN))
+                if field == "title"
+                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+            )
+            return (
+                post.filter(F.col("term") == term)
+                .filter(F.exists(F.col("positions"), pos_pred))
+                .select("doc_id")
+            )
+
         universe = spark.table(f"{table_prefix}_dl").select("doc_id")
         matched = QL.compile_matches(
-            ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn
+            ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn,
+            field_fn=field_fn,
         )
         if not pos:
             return (
@@ -490,20 +508,29 @@ def _search_indexed_build(
 
     terms, phrases, prefixes = QL._collect_atoms(ast)
     nears = sorted(QL.collect_nears(ast))
+    fields = sorted(QL.collect_fields(ast))
+    fuzzies = sorted(QL.collect_fuzzies(ast))
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
+    field_terms = {t for (_f, t) in fields}
     phrase_toks = {p: _py_tokenize(p) for p in sorted(phrases)}
     all_terms = sorted(
         terms
         | {t for ts in phrase_toks.values() for t in ts}
         | near_terms
+        | field_terms
         | set(pos)
     )
     flag = {t: f"_t{i}" for i, t in enumerate(sorted(terms))}
     wflag = {w: f"_w{i}" for i, w in enumerate(sorted(prefixes))}
+    zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies)}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(
-            sorted({t for ts in phrase_toks.values() for t in ts} | near_terms)
+            sorted(
+                {t for ts in phrase_toks.values() for t in ts}
+                | near_terms
+                | field_terms
+            )
         )
     }
 
@@ -512,6 +539,9 @@ def _search_indexed_build(
         # prefix atoms can't bucket-prune (hash bucketing is equality-only);
         # they widen the scan to a StartsWith filter over the posting table
         pred = pred | F.col("term").startswith(w)
+    for zt, zd in fuzzies:
+        # fuzzy atoms likewise: a levenshtein predicate over the vocabulary
+        pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
     pruned = post.filter(pred)
     # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
     # `term^N` boosts fold into the idf literal chain
@@ -549,6 +579,12 @@ def _search_indexed_build(
         for w, c in wflag.items()
     ]
     aggs += [
+        F.max(
+            F.when(F.levenshtein(F.col("term"), F.lit(zt)) <= zd, 1).otherwise(0)
+        ).alias(c)
+        for (zt, zd), c in zflag.items()
+    ]
+    aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
         for t, c in slot.items()
     ]
@@ -579,11 +615,28 @@ def _search_indexed_build(
         )
         return present & (F.size(pairs) > 0)
 
+    def field_col(field: str, term: str):
+        # field membership straight off the gathered position array —
+        # title = first BM25F_TITLE_LEN tokens, bm25f_search's carving
+        from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+        arr = F.col(slot[term])
+        pos_pred = (
+            (lambda p: p < F.lit(BM25F_TITLE_LEN))
+            if field == "title"
+            else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+        )
+        return arr.isNotNull() & F.exists(arr, pos_pred)
+
     def as_col(n):
         if isinstance(n, QL.Term):
             return F.col(flag[n.text]) == 1
         if isinstance(n, QL.Prefix):
             return F.col(wflag[n.text]) == 1
+        if isinstance(n, QL.Fuzzy):
+            return F.col(zflag[(n.text, n.dist)]) == 1
+        if isinstance(n, QL.Field):
+            return field_col(n.field, n.text)
         if isinstance(n, QL.Near):
             return near_col(n.a, n.b, n.k)
         if isinstance(n, QL.Phrase):

@@ -60,6 +60,31 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Field:
+    """Field-scoped atom (`title:spark`): the term must occur inside the
+    named field. Fields are carved positionally from the single text
+    column exactly as bm25f_search does (title = first BM25F_TITLE_LEN
+    tokens, body = rest), so field membership is a position predicate.
+    The term still scores document-level BM25 (the field-weighted scoring
+    composition is bm25f_search)."""
+
+    field: str  # "title" | "body"
+    text: str
+
+
+@dataclass(frozen=True)
+class Fuzzy:
+    """Fuzzy atom (`term~2`): matches any vocabulary term within edit
+    distance `dist`. Constant-score like Prefix (expanded terms don't
+    contribute idf — standard multi-term query behavior), and unprunable
+    by bucketing: the scan filters a levenshtein predicate over the
+    vocabulary, the same shape as fulltext_fuzzy_vocab."""
+
+    text: str
+    dist: int
+
+
+@dataclass(frozen=True)
 class Near:
     """Proximity atom `a NEAR/k b`: both terms within k token positions
     (unordered). Operands are plain terms; both score in BM25."""
@@ -172,6 +197,34 @@ def parse_query(q: str):
             t, boost = m.group(1), float(m.group(2))
         if "^" in t:
             raise ValueError(f"malformed boost in atom {t!r}^{boost}")
+        m = re.fullmatch(r"([A-Za-z]+):(.+)", t)
+        if m:
+            field, body = m.group(1).lower(), m.group(2)
+            if field not in ("title", "body"):
+                raise ValueError(f"unknown field {field!r} (title|body)")
+            if boost != 1.0:
+                raise ValueError("boost on a field atom is not supported")
+            if "*" in body or "~" in body or ":" in body:
+                raise ValueError(f"field atom {t!r} must scope a plain term")
+            norm = _py_tokenize(body)
+            if len(norm) != 1:
+                raise ValueError(f"field atom {t!r} must normalize to one term")
+            return Field(field, norm[0])
+        m = re.fullmatch(r"(.+)~(\d)", t)
+        if m:
+            body, dist = m.group(1), int(m.group(2))
+            if boost != 1.0:
+                raise ValueError("boost on a fuzzy atom is meaningless (unscored)")
+            if not 1 <= dist <= 3:
+                raise ValueError(f"fuzzy distance must be 1-3, got {dist}")
+            if "*" in body or "~" in body:
+                raise ValueError(f"malformed fuzzy atom {t!r}")
+            norm = _py_tokenize(body)
+            if len(norm) != 1:
+                raise ValueError(f"fuzzy atom {t!r} must normalize to one term")
+            return Fuzzy(norm[0], dist)
+        if "~" in t or ":" in t:
+            raise ValueError(f"malformed atom {t!r}")
         if t.endswith("*") and len(t) > 1:
             if "*" in t[:-1]:
                 raise ValueError(f"interior wildcard in atom {t!r} (prefix-only)")
@@ -201,11 +254,13 @@ def positive_terms(node) -> list[str]:
     Prefix atoms are unscored and contribute nothing."""
     if isinstance(node, Term):
         return [node.text]
+    if isinstance(node, Field):
+        return [node.text]  # field atoms score document-level BM25
     if isinstance(node, Phrase):
         return _py_tokenize(node.text)
     if isinstance(node, Near):
         return [node.a, node.b]
-    if isinstance(node, (Not, Prefix)):
+    if isinstance(node, (Not, Prefix, Fuzzy)):
         return []
     return [t for c in node.children for t in positive_terms(c)]
 
@@ -215,11 +270,13 @@ def term_boosts(node) -> dict[str, float]:
     with several boosts takes the max. Phrase words score unboosted."""
     if isinstance(node, Term):
         return {node.text: node.boost}
+    if isinstance(node, Field):
+        return {node.text: 1.0}
     if isinstance(node, Phrase):
         return {t: 1.0 for t in _py_tokenize(node.text)}
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
-    if isinstance(node, (Not, Prefix)):
+    if isinstance(node, (Not, Prefix, Fuzzy)):
         return {}
     out: dict[str, float] = {}
     for c in node.children:
@@ -232,15 +289,17 @@ def term_boosts(node) -> dict[str, float]:
 
 
 def compile_matches(
-    node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None
+    node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None,
+    field_fn=None,
 ) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
     ``post`` is any (term, doc_id, …) posting relation — inline or the
     persisted bucketed table (then term filters become bucket-pruned scans);
     ``phrase_fn(text) -> DataFrame[doc_id]`` supplies phrase matching
-    (inline positional join or index-backed); ``universe`` is the doc_id
-    domain NOT subtracts from."""
+    (inline positional join or index-backed); ``field_fn(field, term) ->
+    DataFrame[doc_id]`` supplies field-scoped matching (positional);
+    ``universe`` is the doc_id domain NOT subtracts from."""
     if isinstance(node, Term):
         return post.filter(F.col("term") == node.text).select("doc_id").distinct()
     if isinstance(node, Prefix):
@@ -249,29 +308,47 @@ def compile_matches(
             .select("doc_id")
             .distinct()
         )
+    if isinstance(node, Fuzzy):
+        # vocabulary-wide edit-distance scan (same shape as
+        # fulltext_fuzzy_vocab) — unprunable, like Prefix
+        return (
+            post.filter(F.levenshtein(F.col("term"), F.lit(node.text)) <= node.dist)
+            .select("doc_id")
+            .distinct()
+        )
     if isinstance(node, Phrase):
         return phrase_fn(node.text)
+    if isinstance(node, Field):
+        if field_fn is None:
+            raise ValueError("field atom requires a field_fn")
+        return field_fn(node.field, node.text)
     if isinstance(node, Near):
         if near_fn is None:
             raise ValueError("NEAR atom requires a near_fn")
         return near_fn(node.a, node.b, node.k)
     if isinstance(node, And):
-        out = compile_matches(node.children[0], post, phrase_fn, universe, near_fn)
+        out = compile_matches(
+            node.children[0], post, phrase_fn, universe, near_fn, field_fn
+        )
         for c in node.children[1:]:
             out = out.join(
-                compile_matches(c, post, phrase_fn, universe, near_fn),
+                compile_matches(c, post, phrase_fn, universe, near_fn, field_fn),
                 "doc_id",
                 "left_semi",
             )
         return out
     if isinstance(node, Or):
-        out = compile_matches(node.children[0], post, phrase_fn, universe, near_fn)
+        out = compile_matches(
+            node.children[0], post, phrase_fn, universe, near_fn, field_fn
+        )
         for c in node.children[1:]:
-            out = out.union(compile_matches(c, post, phrase_fn, universe, near_fn))
+            out = out.union(
+                compile_matches(c, post, phrase_fn, universe, near_fn, field_fn)
+            )
         return out.distinct()
     if isinstance(node, Not):
         return universe.join(
-            compile_matches(node.child, post, phrase_fn, universe, near_fn),
+            compile_matches(node.child, post, phrase_fn, universe, near_fn, field_fn),
             "doc_id",
             "left_anti",
         )
@@ -287,8 +364,9 @@ def _collect_atoms(node) -> tuple[set, set, set]:
         return set(), set(), {node.text}
     if isinstance(node, Phrase):
         return set(), {node.text}, set()
-    if isinstance(node, Near):
-        return set(), set(), set()  # collected separately via collect_nears
+    if isinstance(node, (Near, Field, Fuzzy)):
+        # collected separately via collect_nears/collect_fields/collect_fuzzies
+        return set(), set(), set()
     if isinstance(node, Not):
         return _collect_atoms(node.child)
     terms: set = set()
@@ -314,10 +392,34 @@ def collect_nears(node) -> set:
     return out
 
 
+def collect_fields(node) -> set:
+    """All Field atoms (field, term) in the AST."""
+    if isinstance(node, Field):
+        return {(node.field, node.text)}
+    if isinstance(node, Not):
+        return collect_fields(node.child)
+    out: set = set()
+    for c in getattr(node, "children", ()):
+        out |= collect_fields(c)
+    return out
+
+
+def collect_fuzzies(node) -> set:
+    """All Fuzzy atoms (term, dist) in the AST."""
+    if isinstance(node, Fuzzy):
+        return {(node.text, node.dist)}
+    if isinstance(node, Not):
+        return collect_fuzzies(node.child)
+    out: set = set()
+    for c in getattr(node, "children", ()):
+        out |= collect_fuzzies(c)
+    return out
+
+
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
-    if isinstance(node, (Term, Phrase, Prefix, Near)):
+    if isinstance(node, (Term, Phrase, Prefix, Near, Field, Fuzzy)):
         return False
     if isinstance(node, Not):
         return not _eval_empty(node.child)
@@ -327,7 +429,7 @@ def _eval_empty(node) -> bool:
 
 
 def compile_matches_flags(
-    node, post: DataFrame, phrase_fn, near_fn=None
+    node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None
 ) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
@@ -344,6 +446,8 @@ def compile_matches_flags(
         return None
     terms, phrases, prefixes = _collect_atoms(node)
     nears_l = sorted(collect_nears(node))
+    fields_l = sorted(collect_fields(node))
+    fuzzies_l = sorted(collect_fuzzies(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
     prefixes_l = sorted(prefixes)
@@ -351,11 +455,15 @@ def compile_matches_flags(
     flag.update({p: f"_p{i}" for i, p in enumerate(phrases_l)})
     wflag = {w: f"_w{i}" for i, w in enumerate(prefixes_l)}
     nflag = {n: f"_n{i}" for i, n in enumerate(nears_l)}
+    gflag = {f: f"_g{i}" for i, f in enumerate(fields_l)}
+    zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies_l)}
 
-    if terms_l or prefixes_l:
+    if terms_l or prefixes_l or fuzzies_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
         for w in prefixes_l:
             pred = pred | F.col("term").startswith(w)
+        for zt, zd in fuzzies_l:
+            pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
         flags = (
             post.filter(pred)
             .groupBy("doc_id")
@@ -369,6 +477,14 @@ def compile_matches_flags(
                         F.when(F.col("term").startswith(w), 1).otherwise(0)
                     ).alias(wflag[w])
                     for w in prefixes_l
+                ],
+                *[
+                    F.max(
+                        F.when(
+                            F.levenshtein(F.col("term"), F.lit(zt)) <= zd, 1
+                        ).otherwise(0)
+                    ).alias(zflag[(zt, zd)])
+                    for zt, zd in fuzzies_l
                 ],
             )
         )
@@ -384,6 +500,13 @@ def compile_matches_flags(
             near_fn(*n).select("doc_id").distinct().withColumn(nflag[n], F.lit(1))
         )
         flags = ndf if flags is None else flags.join(ndf, "doc_id", "full_outer")
+    for fld in fields_l:
+        if field_fn is None:
+            raise ValueError("field atom requires a field_fn")
+        fdf = (
+            field_fn(*fld).select("doc_id").distinct().withColumn(gflag[fld], F.lit(1))
+        )
+        flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
     assert flags is not None  # no-atom ASTs were rejected by _eval_empty
 
     def as_col(n):
@@ -391,6 +514,10 @@ def compile_matches_flags(
             return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
         if isinstance(n, Prefix):
             return F.coalesce(F.col(wflag[n.text]), F.lit(0)) == 1
+        if isinstance(n, Fuzzy):
+            return F.coalesce(F.col(zflag[(n.text, n.dist)]), F.lit(0)) == 1
+        if isinstance(n, Field):
+            return F.coalesce(F.col(gflag[(n.field, n.text)]), F.lit(0)) == 1
         if isinstance(n, Near):
             return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
@@ -422,19 +549,21 @@ def search(
     Pure-negation queries rank by doc_id (score 0.0)."""
     ast = parse_query(query)
 
-    def _has_phrase(node) -> bool:
-        if isinstance(node, (Phrase, Near)):
-            return True  # both need the positional relation
-        return any(_has_phrase(c) for c in getattr(node, "children", ())) or (
-            isinstance(node, Not) and _has_phrase(node.child)
+    def _needs_positions(node) -> bool:
+        if isinstance(node, (Phrase, Near, Field)):
+            return True  # all three need the positional relation
+        return any(_needs_positions(c) for c in getattr(node, "children", ())) or (
+            isinstance(node, Not) and _needs_positions(node.child)
         )
 
-    if _has_phrase(ast):
+    if _needs_positions(ast):
         # one corpus tokenization feeds BOTH the posting table (groupBy)
-        # and every phrase atom's positional joins
-        from sparkfulltextquery_spark.functions.fulltext import positional_relation
-
-        from sparkfulltextquery_spark.functions.fulltext import proximity_match
+        # and every phrase/near/field atom's positional lookups
+        from sparkfulltextquery_spark.functions.fulltext import (
+            BM25F_TITLE_LEN,
+            positional_relation,
+            proximity_match,
+        )
 
         pos_rel = positional_relation(docs, id_col, text_col)
         post = pos_rel.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
@@ -444,14 +573,31 @@ def search(
         near_fn = lambda a, b, k: proximity_match(  # noqa: E731
             docs, a, b, k, id_col, text_col, pos=pos_rel
         ).select("doc_id")
+
+        def field_fn(field: str, term: str) -> DataFrame:
+            # title = first BM25F_TITLE_LEN tokens (0-based positions),
+            # exactly bm25f_search's field carving
+            in_field = (
+                F.col("pos") < BM25F_TITLE_LEN
+                if field == "title"
+                else F.col("pos") >= BM25F_TITLE_LEN
+            )
+            return (
+                pos_rel.filter((F.col("term") == term) & in_field)
+                .select("doc_id")
+                .distinct()
+            )
     else:
         post = postings(docs, id_col, text_col)
         phrase_fn = lambda text: phrase_match(  # noqa: E731
             docs, text, id_col, text_col
         ).select("doc_id")
         near_fn = None  # no Near atoms on this branch by construction
+        field_fn = None  # no Field atoms on this branch by construction
 
-    matched = compile_matches_flags(ast, post, phrase_fn=phrase_fn, near_fn=near_fn)
+    matched = compile_matches_flags(
+        ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn
+    )
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
             ast,
@@ -459,6 +605,7 @@ def search(
             phrase_fn=phrase_fn,
             universe=docs.select(F.col(id_col).alias("doc_id")),
             near_fn=near_fn,
+            field_fn=field_fn,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

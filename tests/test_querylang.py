@@ -216,3 +216,113 @@ def test_parser_near_rejects_bad_operands():
                 "spark^2 NEAR/2 join", "spark NEAR/2"]:
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_parser_field_and_fuzzy_shapes():
+    """r6 atoms: `field:term` scopes a term to the positionally-carved
+    title/body field; `term~N` is an edit-distance atom. Malformed forms
+    reject instead of silently dropping pieces (ADVICE r05 discipline)."""
+    from sparkfulltextquery_spark.functions.querylang import Field, Fuzzy
+
+    assert parse_query("title:spark") == Field("title", "spark")
+    assert parse_query("BODY:Join") == Field("body", "join")
+    assert parse_query("sparc~1") == Fuzzy("sparc", 1)
+    assert parse_query("title:spark AND sparc~2") == And(
+        (Field("title", "spark"), Fuzzy("sparc", 2))
+    )
+    for bad in [
+        "author:spark",      # unknown field
+        "title:spark^2",     # boost on a field atom
+        "title:spar*",       # wildcard inside a field atom
+        "title:a:b",         # nested colon
+        "sparc~0",           # distance out of range
+        "sparc~4",           # distance out of range
+        "sparc~2^3",         # boost on a fuzzy atom
+        "spa*rc~1",          # wildcard inside a fuzzy atom
+        "title:",            # empty field body
+        "~2",                # empty fuzzy body
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_field_fuzzy_flag_equals_join_compilation(spark):
+    """The one-pass flag compiler and the join compiler must agree on the
+    match set for every field/fuzzy AST shape (the same invariant the r4/r5
+    atoms pin in test_flag_compilation_equals_join_compilation)."""
+    from sparkfulltextquery_spark.functions.fulltext import (
+        BM25F_TITLE_LEN,
+        phrase_match,
+        positional_relation,
+        proximity_match,
+    )
+    from sparkfulltextquery_spark.functions.querylang import (
+        compile_matches,
+        compile_matches_flags,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pos_rel = positional_relation(docs)
+    post = pos_rel.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    phrase_fn = lambda text: phrase_match(docs, text, pos=pos_rel).select("doc_id")  # noqa: E731
+    near_fn = lambda a, b, k: proximity_match(docs, a, b, k, pos=pos_rel).select("doc_id")  # noqa: E731
+
+    def field_fn(field, term):
+        in_field = (
+            F.col("pos") < BM25F_TITLE_LEN
+            if field == "title"
+            else F.col("pos") >= BM25F_TITLE_LEN
+        )
+        return (
+            pos_rel.filter((F.col("term") == term) & in_field)
+            .select("doc_id")
+            .distinct()
+        )
+
+    universe = docs.select("doc_id")
+    for q in [
+        "title:spark",
+        "title:spark AND join",
+        "body:vector AND NOT title:spark",
+        "sparc~1",
+        "sparc~1 OR batch",
+        "batc~1 AND NOT vector",
+        'title:spark AND "batch batch"',
+        "(title:spark OR sparc~1) AND join",
+    ]:
+        ast = parse_query(q)
+        flags = compile_matches_flags(
+            ast, post, phrase_fn, near_fn=near_fn, field_fn=field_fn
+        )
+        assert flags is not None, q
+        want = {
+            r.doc_id
+            for r in compile_matches(
+                ast, post, phrase_fn, universe, near_fn=near_fn, field_fn=field_fn
+            ).collect()
+        }
+        got = {r.doc_id for r in flags.collect()}
+        assert got == want, q
+
+
+def test_field_matches_title_positions(spark):
+    """title:term must equal the naive 'term within the first
+    BM25F_TITLE_LEN tokens' definition (bm25f_search's field carving)."""
+    import re
+
+    from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = docs.select("doc_id", "text").collect()
+
+    def toks(s):
+        return [t for t in re.split("[^a-z0-9]+", s.lower()) if t]
+
+    want = {r.doc_id for r in rows if "spark" in toks(r.text)[:BM25F_TITLE_LEN]}
+    got = {r.doc_id for r in search(docs, "title:spark", k=10**6).collect()}
+    assert got == want
+    # body: the complement positions — a doc can match both fields
+    want_b = {r.doc_id for r in rows if "spark" in toks(r.text)[BM25F_TITLE_LEN:]}
+    got_b = {r.doc_id for r in search(docs, "body:spark", k=10**6).collect()}
+    assert got_b == want_b
