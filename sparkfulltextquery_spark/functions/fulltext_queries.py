@@ -1175,3 +1175,103 @@ def fulltext_query_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prefix = _ensure_index(spark, sf_dir)
     return search_indexed(spark, "sparc~1 OR batch", k=10, table_prefix=prefix)
+
+
+# ---------------- Hive n-gram aggregate compositions (r6) ----------------
+
+_SENT_DUCK = "list_filter(regexp_split_to_array(text, '[.!?]+\\s*'), s -> s <> '')"
+
+
+@query(
+    "fulltext_ngrams_sentence_agg",
+    oracle=f"""
+    WITH sents AS (
+      SELECT doc_id, unnest({_SENT_DUCK}) AS sent FROM documents
+    ),
+    grams AS (
+      SELECT unnest({ngrams_duck(tokenize_duck('sent'), 2)}) AS ngram FROM sents
+    )
+    SELECT ngram, count(*) AS estfrequency
+    FROM grams GROUP BY ngram
+    ORDER BY estfrequency DESC, ngram LIMIT 20
+    """,
+)
+def fulltext_ngrams_sentence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive `ngrams(sentences(lower(text)), 2, k)` composed declaratively
+    (reference udaf_ngrams.q; GenericUDAFnGrams): n-grams computed WITHIN
+    sentence boundaries — a bigram never spans two sentences, which is what
+    distinguishes this from fulltext_ngrams_top's doc-level bigrams — then
+    the global top-k by frequency. Hive's UDAF estimates frequencies with a
+    precision factor; this pipeline counts exactly (strictly stronger), one
+    partial+final count aggregation after the flatMap, top-k heap.
+
+    At 100 TB: sentence split + n-gram expansion are map-side; the single
+    shuffle is the count groupBy, identical in shape to word count."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"[.!?]+\s*"), lambda s: s != "")
+        ).alias("sent")
+    )
+    return (
+        sents.select(F.explode(ngrams(tokenize(F.col("sent")), 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("estfrequency"))
+        .orderBy(F.col("estfrequency").desc(), F.col("ngram"))
+        .limit(20)
+    )
+
+
+@query(
+    "fulltext_context_ngrams",
+    oracle=f"""
+    WITH sents AS (
+      SELECT doc_id, unnest({_SENT_DUCK}) AS sent FROM documents
+    ),
+    toks AS (SELECT {tokenize_duck('sent')} AS w FROM sents),
+    followers AS (
+      SELECT unnest(list_transform(
+               list_filter(range(2, len(w) + 1), i -> w[i - 1] = 'spark'),
+               i -> w[i])) AS follower
+      FROM toks
+    )
+    SELECT follower, count(*) AS estfrequency
+    FROM followers GROUP BY follower
+    ORDER BY estfrequency DESC, follower LIMIT 10
+    """,
+)
+def fulltext_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive `context_ngrams(sentences(lower(text)), array('spark', null),
+    k)` composed declaratively (reference udaf_context_ngrams.q): the
+    top-k tokens that FOLLOW the context word within a sentence — the
+    null slot in the Hive context array is the position being ranked.
+    Same single-shuffle shape as fulltext_ngrams_sentence_agg."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), r"[.!?]+\s*"), lambda s: s != "")
+        ).alias("sent")
+    )
+    # guard the sequence: Spark's sequence(2, n) DESCENDS for n < 2
+    # (DuckDB's range returns empty there) — single-token sentences must
+    # contribute nothing, not index w[0]
+    toks = sents.select(tokenize(F.col("sent")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    followers = toks.select(
+        F.explode(
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(2), F.size("w")),
+                    lambda i: F.element_at(F.col("w"), i - 1) == "spark",
+                ),
+                lambda i: F.element_at(F.col("w"), i),
+            )
+        ).alias("follower")
+    )
+    return (
+        followers.groupBy("follower")
+        .agg(F.count(F.lit(1)).alias("estfrequency"))
+        .orderBy(F.col("estfrequency").desc(), F.col("follower"))
+        .limit(10)
+    )

@@ -1079,3 +1079,104 @@ def test_function_tail_r5b(spark, expr, expected):
         assert v == pytest.approx(expected), f"{expr} -> {v!r}"
     else:
         assert v == expected, f"{expr} -> {v!r}"
+
+
+# ---------------------------------------------------------------------------
+# r6 batch: the remaining HiveWindowFunctionQuerySuite / windowing*.q shapes
+# (VERDICT r05 #4) — frame identities from windowing_expressions.q, the
+# windowspec frame variants not pinned in r5, degenerate/empty frames,
+# column-expression lead/lag defaults, multi-key partitions, date-interval
+# RANGE frames — plus udaf_ngrams.q n-gram aggregate pins beyond bigrams.
+# ---------------------------------------------------------------------------
+
+_W4R = "FROM VALUES (10),(20),(20),(30) t(x)"
+_WPR = "FROM VALUES ('a',1),('a',2),('a',3),('b',10),('b',20) t(g, x)"
+_WIN_RUN = "WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+
+CASES_R6 = [
+    # windowing_expressions.q row-wise identities, pinned as bool_and
+    # (Hive nests lag inside the window SUM; Spark requires staging the lag
+    # in a subquery — same identity, legal plan)
+    (f"(SELECT bool_and(v) FROM (SELECT round(sum(x) OVER w, 2) = round(sum(lx) OVER w + last_value(x) OVER w, 2) v FROM (SELECT x, lag(x, 1, 0) OVER (ORDER BY x) lx {_W4R}) {_WIN_RUN}))", True),
+    (f"(SELECT bool_and(v) FROM (SELECT max(x) OVER w - min(x) OVER w = last_value(x) OVER w - first_value(x) OVER w v {_W4R} {_WIN_RUN}))", True),
+    # windowing_windowspec.q frame variants not pinned in r5
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) v {_W4R}))", 80 + 70 + 70 + 30),
+    ("(SELECT round(sum(v), 2) FROM (SELECT avg(x) OVER (ORDER BY x ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) v FROM VALUES (1),(2),(3) t(x)))", 7.5),
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x DESC ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) v {_W4R}))", 30 + 50 + 40 + 30),
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) v {_W4R}))", 10 + 30 + 50),
+    (f"(SELECT round(sum(v), 2) FROM (SELECT avg(x) OVER (ORDER BY x RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING) v {_W4R}))", 80.0),
+    # empty / degenerate frames: rows that have no frame yield NULL
+    ("(SELECT count(v) FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) v FROM VALUES (1),(2),(3) t(x)))", 1),
+    ("(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 2 FOLLOWING AND 3 FOLLOWING) v FROM VALUES (1),(2),(3) t(x)))", 3),
+    ("(SELECT count(v) FROM (SELECT sum(x) OVER () v FROM VALUES (CAST(NULL AS INT)),(CAST(NULL AS INT)) t(x)))", 0),
+    # lead/lag with COLUMN-expression defaults (windowing_navfn.q tail)
+    ("(SELECT sum(v) FROM (SELECT lead(x, 1, x) OVER (ORDER BY x) v FROM VALUES (1),(2) t(x)))", 4),
+    ("(SELECT sum(v) FROM (SELECT lag(x, 2, x * 10) OVER (ORDER BY x) v FROM VALUES (1),(2),(3) t(x)))", 10 + 20 + 1),
+    ("(SELECT max(v) FROM (SELECT lead(s, 1, 'zz') OVER (ORDER BY s) v FROM VALUES ('a'),('b') t(s)))", "zz"),
+    ("(SELECT sum(v) FROM (SELECT coalesce(lag(x) OVER (ORDER BY x), 0) v FROM VALUES (1),(2) t(x)))", 1),
+    # value functions over direction / position variants
+    (f"(SELECT sum(v) FROM (SELECT first_value(x) OVER (ORDER BY x DESC) v {_W4R}))", 120),
+    (f"(SELECT sum(v) FROM (SELECT nth_value(x, 3) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v {_W4R}))", 80),
+    ("(SELECT count(v) FROM (SELECT nth_value(x, 5) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v FROM VALUES (1),(2),(3) t(x)))", 0),
+    # RESPECT NULLS default: the frame's first value IS the leading NULL,
+    # so every row sees NULL (contrast the IGNORE NULLS pin in CASES_R5)
+    ("(SELECT count(v) FROM (SELECT first_value(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES (1, CAST(NULL AS INT)),(2, 7) t(i, x)))", 0),
+    # multi-key partitions (windowing_udaf.q avg(i) over (partition by t, b))
+    ("(SELECT round(sum(v), 2) FROM (SELECT avg(x) OVER (PARTITION BY a, b ORDER BY x) v FROM VALUES (1, 1, 10),(1, 1, 20),(1, 2, 30) t(a, b, x)))", 10 + 15 + 30),
+    ("(SELECT sum(v) FROM (SELECT count(*) OVER (PARTITION BY bo) v FROM VALUES (true),(true),(false) t(bo)))", 5),
+    ("(SELECT max(v) FROM (SELECT max(s) OVER () v FROM VALUES ('a'),('b') t(s)))", "b"),
+    # date-interval RANGE frame
+    ("(SELECT sum(v) FROM (SELECT sum(n) OVER (ORDER BY d RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW) v FROM VALUES (DATE '2020-01-01', 1),(DATE '2020-01-02', 2),(DATE '2020-01-05', 4) t(d, n)))", 1 + 3 + 4),
+    # rank/ntile/dist tails
+    ("(SELECT sum(v) FROM (SELECT rank() OVER (ORDER BY x NULLS LAST) v FROM VALUES (CAST(NULL AS INT)),(1) t(x)))", 3),
+    (f"(SELECT sum(v) FROM (SELECT ntile(2) OVER (PARTITION BY g ORDER BY x) v {_WPR}))", (1 + 1 + 2) + (1 + 2)),
+    ("(SELECT max(v) FROM (SELECT ntile(5) OVER (ORDER BY x) v FROM VALUES (1),(2),(3) t(x)))", 3),
+    ("(SELECT round(max(v), 4) FROM (SELECT percent_rank() OVER (ORDER BY x) v FROM VALUES (7) t(x)))", 0.0),
+    ("(SELECT round(max(v), 4) FROM (SELECT cume_dist() OVER (ORDER BY x) v FROM VALUES (7) t(x)))", 1.0),
+    (f"(SELECT sum(v) FROM (SELECT x * rank() OVER (ORDER BY g ASC, x DESC) v {_WPR}))", 3 * 1 + 2 * 2 + 1 * 3 + 20 * 4 + 10 * 5),
+    # two specs over partitions in one projection
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (PARTITION BY g) + rank() OVER (PARTITION BY g ORDER BY x) v {_WPR}))", 78 + 9),
+    ("(SELECT count(v) FROM (SELECT lead(x) OVER (PARTITION BY g ORDER BY x) v FROM VALUES ('a',1),('a',2),('b',10) t(g, x)))", 1),
+    # statistical windows beyond r5's set
+    ("(SELECT round(max(v), 4) FROM (SELECT var_samp(x) OVER () v FROM VALUES (1.0),(3.0) t(x)))", 2.0),
+    ("(SELECT round(max(v), 4) FROM (SELECT covar_pop(x, y) OVER () v FROM VALUES (1.0, 2.0),(2.0, 4.0) t(x, y)))", 0.5),
+    ("(SELECT round(max(v), 4) FROM (SELECT kurtosis(x) OVER () v FROM VALUES (1.0),(2.0),(1.0),(2.0) t(x)))", -2.0),
+    # decimal-typed window aggregate (windowing_expressions.q dec column)
+    ("(SELECT round(CAST(max(v) AS DOUBLE), 2) FROM (SELECT sum(CAST(x AS DECIMAL(10, 2))) OVER (ORDER BY x) v FROM VALUES (1.5),(2.5) t(x)))", 4.0),
+    # peers under default RANGE frame with all-equal keys
+    ("(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x) v FROM VALUES (5),(5) t(x)))", 20),
+    # row_number then outer filter (windowing top-n idiom)
+    ("(SELECT count(*) FROM (SELECT row_number() OVER (ORDER BY x) rn FROM VALUES (1),(2),(3) t(x)) WHERE rn <= 2)", 2),
+    # single-row partitions
+    ("(SELECT max(v) FROM (SELECT count(*) OVER (PARTITION BY g) v FROM VALUES ('only', 1) t(g, x)))", 1),
+    # udaf_ngrams.q beyond bigrams: 4-gram, 5-gram, shorter-than-n, both-null context
+    ("(SELECT count(*) FROM (SELECT explode(transform(sequence(1, size(w) - 3), i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2]))) g FROM (SELECT split('a b c d e', ' ') w)))", 2),
+    ("(SELECT count(*) FROM (SELECT explode(transform(sequence(1, size(w) - 4), i -> concat_ws(' ', slice(w, i, 5)))) g FROM (SELECT split('a b c d e', ' ') w)))", 1),
+    ("(SELECT size(CASE WHEN size(w) < 3 THEN array() ELSE transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3))) END) FROM (SELECT split('a b', ' ') w))", 0),
+    ("(SELECT count(*) FROM (SELECT explode(transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))) g FROM (SELECT split('a b c d e', ' ') w)))", 4),
+    # context_ngrams with TRAILING context (array(null, 'd')): predecessors
+    ("(SELECT max(v) FROM (SELECT explode(transform(filter(sequence(1, size(w) - 1), i -> w[i] = 'd'), i -> w[i-1])) v FROM (SELECT split('c d x d', ' ') w)))", "x"),
+    # sentence-bounded bigrams: a bigram never crosses a sentence boundary
+    ("(SELECT count(*) FROM (SELECT explode(transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))) g FROM (SELECT explode(filter(split('a b. c d', '[.!?]+\\\\s*'), s -> s != '')) sent) LATERAL VIEW OUTER explode(array(split(trim(sent), ' '))) t AS w WHERE size(w) >= 2))", 2),
+    # grouping sets count (groupby_grouping_sets.q)
+    ("(SELECT count(*) FROM (SELECT g, h, count(*) FROM VALUES ('a', 'x'),('a', 'y') t(g, h) GROUP BY GROUPING SETS ((g), (g, h))))", 3),
+    ("(SELECT sum(c) FROM (SELECT count(*) c FROM VALUES ('a', 'x'),('a', 'y') t(g, h) GROUP BY GROUPING SETS ((g), (g, h))))", 4),
+    # windowed min/max over dates
+    ("(SELECT max(v) FROM (SELECT max(d) OVER () v FROM VALUES (DATE '2020-01-01'),(DATE '2021-01-01') t(d)))", lambda v: str(v) == "2021-01-01"),
+    ("(SELECT max(v) FROM (SELECT min(d) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES (DATE '2020-01-01'),(DATE '2021-01-01') t(d)))", lambda v: str(v) == "2020-01-01"),
+    # named-window reuse identity (windowing_windowspec.q w1 arithmetic)
+    ("(SELECT bool_and(v) FROM (SELECT round((avg(x) OVER w + 10.0) - (avg(x) OVER w - 10.0), 2) = 20.0 v FROM VALUES (1.0),(2.0),(9.0) t(x) WINDOW w AS (ORDER BY x)))", True),
+    # running sum over negative + positive mix (windowing.q sign flips)
+    ("(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES (-5),(5),(10) t(x)))", -5 + 0 + 10),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES_R6, ids=[c[0][:60] for c in CASES_R6])
+def test_function_tail_r6(spark, expr, expected):
+    v = spark.sql(f"SELECT {expr} AS v").head().v
+    if callable(expected):
+        assert expected(v), f"{expr} -> {v!r}"
+    elif isinstance(expected, float):
+        assert v == pytest.approx(expected), f"{expr} -> {v!r}"
+    else:
+        assert v == expected, f"{expr} -> {v!r}"
