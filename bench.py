@@ -96,6 +96,13 @@ EXTRA = [
     "tpcds_q14_cross_channel_items",
     "tpcds_q49_return_ratio_ranks",
     "pipeline_corpus_curation",
+    # r06 additions: the tail batch's heaviest shape + the new query-language
+    # atoms (indexed paths) + the Hive ngram aggregate
+    "tpcds_q64_cross_year_sales",
+    "tpcds_q17_sale_return_rebuy_stats",
+    "fulltext_query_fielded_indexed",
+    "fulltext_query_fuzzy_indexed",
+    "fulltext_ngrams_sentence_agg",
 ]
 
 
@@ -194,7 +201,10 @@ def _micro_benchmarks(spark) -> dict[str, dict[str, float]]:
     for name, (fn, baseline_mrows) in micros.items():
         fn()  # untimed warmup (codegen compile)
         best = float("inf")
-        for _ in range(2):
+        # best-of-3: the micros run LAST, after ~60 headline+extra queries
+        # have fragmented the heap — isolated sort_longs measures 43-49
+        # M rows/s but the first in-bench iteration can GC-stall to ~26
+        for _ in range(3):
             t0 = time.time()
             n = fn()
             best = min(best, time.time() - t0)

@@ -35,6 +35,13 @@ FLAGSHIPS = {
     "tpcds_q10_disjunctive_exists": "TPC-DS q10: OR-of-EXISTS as ExistenceJoin marker columns",
     "tpcds_q93_returns_arith": "TPC-DS q93: null-rejecting filter collapses LEFT JOIN to inner (EliminateOuterJoin)",
     "tpcds_q51_cumulative_channels": "TPC-DS q51: two cumulative windows + full-outer merge + running max",
+    # r6 tail-batch flagships
+    "tpcds_q64_cross_year_sales": "TPC-DS q64: widest join graph (8-way star + returns CTE), CTE self-join across years, no cartesian",
+    "tpcds_q70_ranked_state_rollup": "TPC-DS q70: rank-threshold IN-subquery as semi join feeding grouping()-partitioned rollup rank",
+    "tpcds_q9_bucket_ladder": "TPC-DS q9: 15 scalar subqueries, zero joins in the main plan",
+    "fulltext_query_fielded_indexed": "fielded atom: position-array exists() inside the one-pass indexed agg, bucket-pruned scan",
+    "fulltext_query_fuzzy_indexed": "fuzzy atom: levenshtein widens the pruned scan, flag folds into the single agg",
+    "fulltext_ngrams_sentence_agg": "Hive ngrams UDAF shape: staged token column (no expr recompute), one count shuffle, top-k heap",
 }
 
 

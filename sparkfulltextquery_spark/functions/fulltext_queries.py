@@ -1206,16 +1206,33 @@ def fulltext_ngrams_sentence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final count aggregation after the flatMap, top-k heap.
 
     At 100 TB: sentence split + n-gram expansion are map-side; the single
-    shuffle is the count groupBy, identical in shape to word count."""
+    shuffle is the count groupBy, identical in shape to word count.
+
+    Plan note: the token array is STAGED as a column and the n-gram
+    transform written against the column reference — `ngrams(tokenize(
+    sent))` inline references the tokenize expression four times (size
+    guard, sequence bound, slice source) and Catalyst re-evaluates the
+    regex split at each one (the textstats_quality r5 lesson); staging
+    measured 3.5s → 0.65s at sf0.1, identical results."""
     d = load_table(spark, sf_dir, "documents")
     sents = d.select(
         F.explode(
             F.filter(F.split(F.col("text"), r"[.!?]+\s*"), lambda s: s != "")
         ).alias("sent")
     )
+    toks = sents.select(tokenize(F.col("sent")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 2)),
+            )
+        ).alias("ngram")
+    )
     return (
-        sents.select(F.explode(ngrams(tokenize(F.col("sent")), 2)).alias("ngram"))
-        .groupBy("ngram")
+        grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("estfrequency"))
         .orderBy(F.col("estfrequency").desc(), F.col("ngram"))
         .limit(20)
