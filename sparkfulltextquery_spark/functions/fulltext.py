@@ -359,6 +359,78 @@ def phrase_match(
     return cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
+def slop_starts_expr(arr_of: dict, terms: list[str], slop: int):
+    """Column: the start positions at which ``terms`` occur IN ORDER with
+    at most ``slop`` extra tokens interleaved in total (ordered sloppy
+    phrase, Lucene `"a b"~k` restricted to in-order matches; slop=0 is
+    the exact phrase). ``arr_of`` maps each term to its per-doc position
+    array Column.
+
+    Exists-semantics via greedy chaining: from a candidate start p, each
+    subsequent term takes its MINIMAL position greater than the previous
+    one — greedy minimizes the final position for a fixed start (simple
+    induction), so a window ≤ n-1+slop exists iff the greedy window
+    qualifies. Pure array expressions inside codegen: per start, one
+    filter+array_min per remaining term."""
+
+    def window_end(p):
+        cur = p
+        for t in terms[1:]:
+            cur = F.array_min(
+                F.filter(arr_of[t], (lambda c: lambda q: q > c)(cur))
+            )
+        return cur
+
+    span = len(terms) - 1 + slop
+    if len(terms) == 1:
+        return arr_of[terms[0]]
+    # a failed chain yields NULL; NULL predicate results are dropped by
+    # array filter (SQL WHERE semantics), so no explicit isNotNull guard
+    return F.filter(arr_of[terms[0]], lambda p: window_end(p) - p <= span)
+
+
+def sloppy_phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    slop: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos: DataFrame | None = None,
+) -> DataFrame:
+    """Documents containing the ordered sloppy phrase (see
+    slop_starts_expr). One aggregation gathers each phrase term's sorted
+    position array per doc (collect_list skips the non-matching rows'
+    NULLs), then the greedy chain runs as array expressions — no
+    positional self-joins (contrast phrase_match's slop=0 equi-join
+    form). Returns (doc_id, n_starts)."""
+    terms = _py_tokenize(phrase)
+    if len(terms) < 2:
+        raise ValueError("sloppy phrase needs at least two terms")
+    if pos is None:
+        pos = positional_relation(docs, id_col, text_col)
+    uniq = sorted(set(terms))
+    col_of = {t: f"_pos_{i}" for i, t in enumerate(uniq)}
+    slots = (
+        pos.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+                ).alias(col_of[t])
+                for t in uniq
+            ]
+        )
+    )
+    for t in uniq:
+        slots = slots.filter(F.size(F.col(col_of[t])) > 0)
+    starts = slop_starts_expr({t: F.col(col_of[t]) for t in uniq}, terms, slop)
+    return (
+        slots.select("doc_id", F.size(starts).alias("n_starts"))
+        .filter(F.col("n_starts") > 0)
+    )
+
+
 def proximity_match(
     docs: DataFrame,
     term_a: str,

@@ -1292,3 +1292,74 @@ def fulltext_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("estfrequency").desc(), F.col("follower"))
         .limit(10)
     )
+
+
+# ---------------- sloppy phrase atoms (r6) ----------------
+
+_SLOP_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    slop_docs AS (
+      -- ordered sloppy phrase "spark join"~2: join after spark with at
+      -- most 2 extra tokens between (window = pos_join - pos_spark <= 3);
+      -- SQL states the exists-assignment semantics directly as a join
+      SELECT DISTINCT a.doc_id
+      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
+      JOIN (SELECT doc_id, pos FROM pos WHERE term = 'join') b
+        USING (doc_id)
+      WHERE b.pos > a.pos AND b.pos - a.pos <= 3
+    ),
+    matched AS (
+      SELECT doc_id FROM slop_docs
+      EXCEPT
+      SELECT doc_id FROM tfs WHERE term = 'vector'
+    ),
+    qt    AS (SELECT unnest(['join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_slop", oracle=_SLOP_ORACLE)
+def fulltext_query_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy-phrase atom `"spark join"~2 AND NOT vector` (Lucene phrase
+    slop, restricted to in-order matches; VERDICT r05 #5 family): the
+    phrase words must appear in order with at most `slop` extra tokens
+    interleaved in total — slop=0 degenerates to the exact phrase. The
+    inline compiler gathers each term's position array per doc in one
+    aggregation and runs the greedy minimal-next-position chain as array
+    expressions (exists-semantics; greedy provably minimizes the window
+    for a fixed start). Phrase words score document-level BM25."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, '"spark join"~2 AND NOT vector', k=10)
+
+
+@query("fulltext_query_slop_indexed", oracle=_SLOP_ORACLE)
+def fulltext_query_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sloppy-phrase query answered from the PERSISTED index
+    one-pass: the stored position arrays gather as slots in the single
+    doc_id aggregation and the greedy chain runs over them — bucket-pruned
+    scan, no positional joins, no explode."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(
+        spark, '"spark join"~2 AND NOT vector', k=10, table_prefix=prefix
+    )

@@ -281,7 +281,10 @@ def bm25_search_indexed(
 
 
 def phrase_match_indexed(
-    spark: SparkSession, phrase: str, table_prefix: str = "sftq_index"
+    spark: SparkSession,
+    phrase: str,
+    table_prefix: str = "sftq_index",
+    slop: int = 0,
 ) -> DataFrame:
     """Exact-phrase match off the persisted positional index: read ONLY the
     phrase terms' buckets (SelectedBucketsCount pruning), gather each slot
@@ -312,15 +315,24 @@ def phrase_match_indexed(
     # a doc lacking any slot term can't match (its array is NULL)
     for t in uniq:
         slots = slots.filter(F.col(col_of[t]).isNotNull())
-    starts = F.filter(
-        F.col(col_of[terms[0]]),
-        lambda p: reduce_and(
-            [
-                F.array_contains(F.col(col_of[t]), p + F.lit(i))
-                for i, t in enumerate(terms[1:], start=1)
-            ]
-        ),
-    )
+    if slop:
+        # ordered sloppy phrase off the stored position arrays — the same
+        # greedy-chain exists-semantics as fulltext.slop_starts_expr
+        from sparkfulltextquery_spark.functions.fulltext import slop_starts_expr
+
+        starts = slop_starts_expr(
+            {t: F.col(col_of[t]) for t in uniq}, terms, slop
+        )
+    else:
+        starts = F.filter(
+            F.col(col_of[terms[0]]),
+            lambda p: reduce_and(
+                [
+                    F.array_contains(F.col(col_of[t]), p + F.lit(i))
+                    for i, t in enumerate(terms[1:], start=1)
+                ]
+            ),
+        )
     return (
         slots.select("doc_id", F.size(starts).alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
@@ -462,8 +474,8 @@ def _search_indexed_build(
     pos = sorted(set(QL.positive_terms(ast)))
     if QL._eval_empty(ast):
         # pure negation: needs the universe; rare, cold path
-        phrase_fn = lambda text: phrase_match_indexed(  # noqa: E731
-            spark, text, table_prefix
+        phrase_fn = lambda text, slop=0: phrase_match_indexed(  # noqa: E731
+            spark, text, table_prefix, slop=slop
         ).select("doc_id")
         near_fn = lambda a, b, k: proximity_match_indexed(  # noqa: E731
             spark, a, b, k, table_prefix
@@ -512,7 +524,7 @@ def _search_indexed_build(
     fuzzies = sorted(QL.collect_fuzzies(ast))
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     field_terms = {t for (_f, t) in fields}
-    phrase_toks = {p: _py_tokenize(p) for p in sorted(phrases)}
+    phrase_toks = {p: _py_tokenize(p[0]) for p in sorted(phrases)}
     all_terms = sorted(
         terms
         | {t for ts in phrase_toks.values() for t in ts}
@@ -590,19 +602,27 @@ def _search_indexed_build(
     ]
     per_doc = pruned.groupBy("doc_id").agg(*aggs)
 
-    def phrase_col(p: str):
+    def phrase_col(p):
         toks = phrase_toks[p]
+        slop = p[1]
         slots = [slot[t] for t in toks]
         present = reduce_and([F.col(c).isNotNull() for c in slots])
-        starts = F.filter(
-            F.col(slots[0]),
-            lambda x: reduce_and(
-                [
-                    F.array_contains(F.col(c), x + F.lit(i))
-                    for i, c in enumerate(slots[1:], start=1)
-                ]
-            ),
-        )
+        if slop:
+            from sparkfulltextquery_spark.functions.fulltext import slop_starts_expr
+
+            starts = slop_starts_expr(
+                {t: F.col(slot[t]) for t in set(toks)}, toks, slop
+            )
+        else:
+            starts = F.filter(
+                F.col(slots[0]),
+                lambda x: reduce_and(
+                    [
+                        F.array_contains(F.col(c), x + F.lit(i))
+                        for i, c in enumerate(slots[1:], start=1)
+                    ]
+                ),
+            )
         return present & (F.size(starts) > 0)
 
     def near_col(a: str, b: str, k: int):
@@ -640,7 +660,7 @@ def _search_indexed_build(
         if isinstance(n, QL.Near):
             return near_col(n.a, n.b, n.k)
         if isinstance(n, QL.Phrase):
-            return phrase_col(n.text)
+            return phrase_col((n.text, n.slop))
         if isinstance(n, QL.Not):
             return ~as_col(n.child)
         if isinstance(n, QL.And):

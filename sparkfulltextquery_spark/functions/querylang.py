@@ -56,7 +56,12 @@ class Prefix:
 
 @dataclass(frozen=True)
 class Phrase:
+    """Exact phrase, or — with slop > 0 (`"a b"~2`) — an ordered sloppy
+    phrase: the words in order with at most ``slop`` extra tokens
+    interleaved in total (fulltext.slop_starts_expr semantics)."""
+
     text: str
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -186,6 +191,14 @@ def parse_query(q: str):
             body = t.strip('"')
             if not _py_tokenize(body):
                 raise ValueError("empty phrase")
+            nxt = peek()
+            m = re.fullmatch(r"~(\d+)", nxt) if nxt else None
+            if m:  # `"a b"~k` — ordered sloppy phrase
+                take()
+                slop = int(m.group(1))
+                if len(_py_tokenize(body)) < 2:
+                    raise ValueError("sloppy phrase needs at least two terms")
+                return Phrase(body, slop)
             return Phrase(body)
         if t.upper() in ("AND", "OR", "NOT") or re.fullmatch(
             r"NEAR/\d+", t, re.IGNORECASE
@@ -317,7 +330,7 @@ def compile_matches(
             .distinct()
         )
     if isinstance(node, Phrase):
-        return phrase_fn(node.text)
+        return phrase_fn(node.text, node.slop)
     if isinstance(node, Field):
         if field_fn is None:
             raise ValueError("field atom requires a field_fn")
@@ -363,7 +376,7 @@ def _collect_atoms(node) -> tuple[set, set, set]:
     if isinstance(node, Prefix):
         return set(), set(), {node.text}
     if isinstance(node, Phrase):
-        return set(), {node.text}, set()
+        return set(), {(node.text, node.slop)}, set()
     if isinstance(node, (Near, Field, Fuzzy)):
         # collected separately via collect_nears/collect_fields/collect_fuzzies
         return set(), set(), set()
@@ -491,7 +504,9 @@ def compile_matches_flags(
     else:
         flags = None
     for p in phrases_l:
-        pdf = phrase_fn(p).select("doc_id").distinct().withColumn(flag[p], F.lit(1))
+        pdf = (
+            phrase_fn(*p).select("doc_id").distinct().withColumn(flag[p], F.lit(1))
+        )
         flags = pdf if flags is None else flags.join(pdf, "doc_id", "full_outer")
     for n in nears_l:
         if near_fn is None:
@@ -521,7 +536,7 @@ def compile_matches_flags(
         if isinstance(n, Near):
             return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
-            return F.coalesce(F.col(flag[n.text]), F.lit(0)) == 1
+            return F.coalesce(F.col(flag[(n.text, n.slop)]), F.lit(0)) == 1
         if isinstance(n, Not):
             return ~as_col(n.child)
         if isinstance(n, And):
@@ -565,11 +580,19 @@ def search(
             proximity_match,
         )
 
+        from sparkfulltextquery_spark.functions.fulltext import sloppy_phrase_match
+
         pos_rel = positional_relation(docs, id_col, text_col)
         post = pos_rel.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-        phrase_fn = lambda text: phrase_match(  # noqa: E731
-            docs, text, id_col, text_col, pos=pos_rel
-        ).select("doc_id")
+
+        def phrase_fn(text, slop=0):
+            if slop:
+                return sloppy_phrase_match(
+                    docs, text, slop, id_col, text_col, pos=pos_rel
+                ).select("doc_id")
+            return phrase_match(docs, text, id_col, text_col, pos=pos_rel).select(
+                "doc_id"
+            )
         near_fn = lambda a, b, k: proximity_match(  # noqa: E731
             docs, a, b, k, id_col, text_col, pos=pos_rel
         ).select("doc_id")
@@ -589,7 +612,7 @@ def search(
             )
     else:
         post = postings(docs, id_col, text_col)
-        phrase_fn = lambda text: phrase_match(  # noqa: E731
+        phrase_fn = lambda text, slop=0: phrase_match(  # noqa: E731
             docs, text, id_col, text_col
         ).select("doc_id")
         near_fn = None  # no Near atoms on this branch by construction

@@ -104,7 +104,7 @@ def test_flag_compilation_equals_join_compilation(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     post = postings(docs)
-    phrase_fn = lambda text: phrase_match(docs, text).select("doc_id")  # noqa: E731
+    phrase_fn = lambda text, slop=0: phrase_match(docs, text).select("doc_id")  # noqa: E731
     near_fn = lambda a, b, k: proximity_match(docs, a, b, k).select("doc_id")  # noqa: E731
     universe = docs.select("doc_id")
 
@@ -265,7 +265,7 @@ def test_field_fuzzy_flag_equals_join_compilation(spark):
     docs = load_table(spark, SF_DIR, "documents")
     pos_rel = positional_relation(docs)
     post = pos_rel.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    phrase_fn = lambda text: phrase_match(docs, text, pos=pos_rel).select("doc_id")  # noqa: E731
+    phrase_fn = lambda text, slop=0: phrase_match(docs, text, pos=pos_rel).select("doc_id")  # noqa: E731
     near_fn = lambda a, b, k: proximity_match(docs, a, b, k, pos=pos_rel).select("doc_id")  # noqa: E731
 
     def field_fn(field, term):
@@ -326,3 +326,58 @@ def test_field_matches_title_positions(spark):
     want_b = {r.doc_id for r in rows if "spark" in toks(r.text)[BM25F_TITLE_LEN:]}
     got_b = {r.doc_id for r in search(docs, "body:spark", k=10**6).collect()}
     assert got_b == want_b
+
+
+def test_parser_slop_phrase_shapes():
+    """r6: `"a b"~k` parses as an ordered sloppy phrase; degenerate and
+    malformed forms reject."""
+    assert parse_query('"spark join"~2') == Phrase("spark join", 2)
+    assert parse_query('"a b c"~10') == Phrase("a b c", 10)
+    assert parse_query('"spark join"') == Phrase("spark join", 0)
+    # slop binds to the phrase, composes with boolean operators
+    assert parse_query('"a b"~1 AND c') == And((Phrase("a b", 1), Term("c")))
+    for bad in ['"spark"~2', '~2', '"a b"~']:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_slop_phrase_matches_naive_semantics(spark):
+    """Sloppy-phrase matching must equal the brute-force exists-assignment
+    definition (all increasing position assignments, not just the greedy
+    one — proving the greedy chain implements exists-semantics)."""
+    from itertools import product
+
+    toks = _token_sets(spark)
+
+    def naive(ts, words, slop):
+        span = len(words) - 1 + slop
+        positions = [[i for i, t in enumerate(ts) if t == w] for w in words]
+        if any(not p for p in positions):
+            return False
+        for combo in product(*positions):
+            if all(b > a for a, b in zip(combo, combo[1:])) and (
+                combo[-1] - combo[0] <= span
+            ):
+                return True
+        return False
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for q, words, slop in [
+        ('"spark join"~2', ["spark", "join"], 2),
+        ('"spark batch join"~3', ["spark", "batch", "join"], 3),
+        ('"join spark"~1', ["join", "spark"], 1),
+    ]:
+        expected = {d for d, ts in toks.items() if naive(ts, words, slop)}
+        got = {r.doc_id for r in search(docs, q, k=10**6).collect()}
+        assert got == expected, (q, len(got), len(expected))
+
+
+def test_slop_zero_equals_exact_phrase(spark):
+    """`"a b"~0` must equal the exact-phrase atom — the slop path and the
+    array_contains path implement the same slop=0 semantics."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {r.doc_id for r in search(docs, '"batch batch"', k=10**6).collect()}
+    from sparkfulltextquery_spark.functions.fulltext import sloppy_phrase_match
+
+    slop0 = {r.doc_id for r in sloppy_phrase_match(docs, "batch batch", 0).collect()}
+    assert slop0 == exact
