@@ -431,6 +431,77 @@ def sloppy_phrase_match(
     )
 
 
+def exact_starts_expr(arr_of: dict, terms: list[str]):
+    """Column: start positions of the exact consecutive phrase, given each
+    term's per-doc position array — the array_contains chain shared by the
+    inline and indexed phrase paths."""
+    if len(terms) == 1:
+        return arr_of[terms[0]]
+    conds = lambda p: [  # noqa: E731
+        F.array_contains(arr_of[t], p + F.lit(i))
+        for i, t in enumerate(terms[1:], start=1)
+    ]
+
+    def _and(cs):
+        out = cs[0]
+        for c in cs[1:]:
+            out = out & c
+        return out
+
+    return F.filter(arr_of[terms[0]], lambda p: _and(conds(p)))
+
+
+def field_phrase_match(
+    docs: DataFrame,
+    field: str,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos: DataFrame | None = None,
+) -> DataFrame:
+    """Documents where the exact phrase occurs ENTIRELY inside the named
+    field (title = first BM25F_TITLE_LEN tokens, body = rest — the
+    bm25f_search carving): gather each phrase term's position array per
+    doc in one aggregation, run the array_contains chain, keep only the
+    starts whose full window lies inside the field. Returns
+    (doc_id, n_starts)."""
+    terms = _py_tokenize(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    if field not in ("title", "body"):
+        raise ValueError(f"unknown field {field!r} (title|body)")
+    if pos is None:
+        pos = positional_relation(docs, id_col, text_col)
+    uniq = sorted(set(terms))
+    col_of = {t: f"_pos_{i}" for i, t in enumerate(uniq)}
+    slots = (
+        pos.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+                ).alias(col_of[t])
+                for t in uniq
+            ]
+        )
+    )
+    for t in uniq:
+        slots = slots.filter(F.size(F.col(col_of[t])) > 0)
+    starts = exact_starts_expr({t: F.col(col_of[t]) for t in uniq}, terms)
+    n = len(terms)
+    in_field = (
+        (lambda p: p <= F.lit(BM25F_TITLE_LEN - n))
+        if field == "title"
+        else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+    )
+    bounded = F.filter(starts, in_field)
+    return (
+        slots.select("doc_id", F.size(bounded).alias("n_starts"))
+        .filter(F.col("n_starts") > 0)
+    )
+
+
 def proximity_match(
     docs: DataFrame,
     term_a: str,

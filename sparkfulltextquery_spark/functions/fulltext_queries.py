@@ -1363,3 +1363,119 @@ def fulltext_query_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_indexed(
         spark, '"spark join"~2 AND NOT vector', k=10, table_prefix=prefix
     )
+
+
+# ---------------- range + field-phrase atoms (r6) ----------------
+
+_RANGE_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    matched AS (
+      SELECT doc_id FROM tfs WHERE term BETWEEN 'spark' AND 'sparl'
+      INTERSECT
+      SELECT doc_id FROM tfs WHERE term = 'join'
+    ),
+    qt    AS (SELECT unnest(['join']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_range", oracle=_RANGE_ORACLE)
+def fulltext_query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary range atom `[spark TO sparl] AND join` (Lucene range
+    query): matches any term lexicographically inside the inclusive
+    bounds. Constant-score like prefix atoms (the expanded terms
+    contribute no idf; the plain `join` conjunct still scores BM25);
+    unprunable by hash bucketing — the scan filters a range band over
+    the posting vocabulary."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "[spark TO sparl] AND join", k=10)
+
+
+@query("fulltext_query_range_indexed", oracle=_RANGE_ORACLE)
+def fulltext_query_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range query off the PERSISTED index one-pass: the range
+    band widens the pruned scan (like prefix/fuzzy) and its flag folds
+    into the single doc_id aggregation."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "[spark TO sparl] AND join", k=10, table_prefix=prefix)
+
+
+_FIELDPHRASE_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    fp_docs AS (
+      -- exact phrase 'spark join' entirely within the 10-token title:
+      -- start p has spark, p+1 has join, p+1 <= 9
+      SELECT DISTINCT a.doc_id
+      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
+      JOIN (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'join') b
+        USING (doc_id, pos)
+      WHERE a.pos <= 8
+    ),
+    matched AS (
+      SELECT doc_id FROM fp_docs
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch', 'join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_fieldphrase", oracle=_FIELDPHRASE_ORACLE)
+def fulltext_query_fieldphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped phrase `title:"spark join" OR batch` (Lucene fielded
+    phrase): the exact phrase must occur ENTIRELY inside the positionally
+    carved title field (first BM25F_TITLE_LEN tokens) — the
+    array_contains start chain bounded by the field window. Phrase words
+    score document-level BM25 alongside the OR branch."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, 'title:"spark join" OR batch', k=10)
+
+
+@query("fulltext_query_fieldphrase_indexed", oracle=_FIELDPHRASE_ORACLE)
+def fulltext_query_fieldphrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fielded phrase off the PERSISTED index one-pass: the
+    phrase terms' stored position arrays gather as slots and the bounded
+    start chain runs as array expressions — bucket-pruned, no explode."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(
+        spark, 'title:"spark join" OR batch', k=10, table_prefix=prefix
+    )

@@ -497,10 +497,42 @@ def _search_indexed_build(
                 .select("doc_id")
             )
 
+        def fphrase_fn(field: str, text: str):
+            from sparkfulltextquery_spark.functions.fulltext import (
+                BM25F_TITLE_LEN,
+                exact_starts_expr,
+            )
+
+            terms = _py_tokenize(text)
+            uniq = sorted(set(terms))
+            slots = (
+                post.filter(F.col("term").isin(uniq))
+                .groupBy("doc_id")
+                .agg(
+                    *[
+                        F.max(
+                            F.when(F.col("term") == t, F.col("positions"))
+                        ).alias(f"_fp_{i}")
+                        for i, t in enumerate(uniq)
+                    ]
+                )
+            )
+            arr_of = {t: F.col(f"_fp_{i}") for i, t in enumerate(uniq)}
+            for t in uniq:
+                slots = slots.filter(arr_of[t].isNotNull())
+            n = len(terms)
+            in_field = (
+                (lambda p: p <= F.lit(BM25F_TITLE_LEN - n))
+                if field == "title"
+                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+            )
+            starts = F.filter(exact_starts_expr(arr_of, terms), in_field)
+            return slots.filter(F.size(starts) > 0).select("doc_id")
+
         universe = spark.table(f"{table_prefix}_dl").select("doc_id")
         matched = QL.compile_matches(
             ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn,
-            field_fn=field_fn,
+            field_fn=field_fn, fphrase_fn=fphrase_fn,
         )
         if not pos:
             return (
@@ -522,19 +554,25 @@ def _search_indexed_build(
     nears = sorted(QL.collect_nears(ast))
     fields = sorted(QL.collect_fields(ast))
     fuzzies = sorted(QL.collect_fuzzies(ast))
+    ranges = sorted(QL.collect_ranges(ast))
+    fphrases = sorted(QL.collect_fieldphrases(ast))
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     field_terms = {t for (_f, t) in fields}
+    fphrase_toks = {fp: _py_tokenize(fp[1]) for fp in fphrases}
+    fphrase_terms = {t for ts in fphrase_toks.values() for t in ts}
     phrase_toks = {p: _py_tokenize(p[0]) for p in sorted(phrases)}
     all_terms = sorted(
         terms
         | {t for ts in phrase_toks.values() for t in ts}
         | near_terms
         | field_terms
+        | fphrase_terms
         | set(pos)
     )
     flag = {t: f"_t{i}" for i, t in enumerate(sorted(terms))}
     wflag = {w: f"_w{i}" for i, w in enumerate(sorted(prefixes))}
     zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies)}
+    rflag = {r: f"_r{i}" for i, r in enumerate(ranges)}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(
@@ -542,6 +580,7 @@ def _search_indexed_build(
                 {t for ts in phrase_toks.values() for t in ts}
                 | near_terms
                 | field_terms
+                | fphrase_terms
             )
         )
     }
@@ -554,6 +593,9 @@ def _search_indexed_build(
     for zt, zd in fuzzies:
         # fuzzy atoms likewise: a levenshtein predicate over the vocabulary
         pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
+    for lo, hi in ranges:
+        # range atoms likewise: a lexicographic band over the vocabulary
+        pred = pred | F.col("term").between(lo, hi)
     pruned = post.filter(pred)
     # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
     # `term^N` boosts fold into the idf literal chain
@@ -595,6 +637,10 @@ def _search_indexed_build(
             F.when(F.levenshtein(F.col("term"), F.lit(zt)) <= zd, 1).otherwise(0)
         ).alias(c)
         for (zt, zd), c in zflag.items()
+    ]
+    aggs += [
+        F.max(F.when(F.col("term").between(lo, hi), 1).otherwise(0)).alias(c)
+        for (lo, hi), c in rflag.items()
     ]
     aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
@@ -655,8 +701,27 @@ def _search_indexed_build(
             return F.col(wflag[n.text]) == 1
         if isinstance(n, QL.Fuzzy):
             return F.col(zflag[(n.text, n.dist)]) == 1
+        if isinstance(n, QL.TermRange):
+            return F.col(rflag[(n.lo, n.hi)]) == 1
         if isinstance(n, QL.Field):
             return field_col(n.field, n.text)
+        if isinstance(n, QL.FieldPhrase):
+            from sparkfulltextquery_spark.functions.fulltext import (
+                BM25F_TITLE_LEN,
+                exact_starts_expr,
+            )
+
+            toks = fphrase_toks[(n.field, n.text)]
+            arr_of = {t: F.col(slot[t]) for t in set(toks)}
+            present = reduce_and([arr_of[t].isNotNull() for t in set(toks)])
+            k = len(toks)
+            in_field = (
+                (lambda p: p <= F.lit(BM25F_TITLE_LEN - k))
+                if n.field == "title"
+                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+            )
+            starts = F.filter(exact_starts_expr(arr_of, toks), in_field)
+            return present & (F.size(starts) > 0)
         if isinstance(n, QL.Near):
             return near_col(n.a, n.b, n.k)
         if isinstance(n, QL.Phrase):

@@ -90,6 +90,29 @@ class Fuzzy:
 
 
 @dataclass(frozen=True)
+class TermRange:
+    """Lexicographic vocabulary range atom (`[alpha TO beta]`, Lucene
+    range query): matches any term t with lo <= t <= beta, bounds
+    inclusive. Constant-score like Prefix (expanded terms contribute no
+    idf); unprunable by hash bucketing — the scan filters a range
+    predicate over the vocabulary."""
+
+    lo: str
+    hi: str
+
+
+@dataclass(frozen=True)
+class FieldPhrase:
+    """Field-scoped exact phrase (`title:"a b"`): the phrase must occur
+    ENTIRELY inside the named field (same positional title/body carving
+    as Field). Exact-only — slop inside a field scope is rejected. The
+    phrase words score document-level BM25 like Phrase words."""
+
+    field: str  # "title" | "body"
+    text: str
+
+
+@dataclass(frozen=True)
 class Near:
     """Proximity atom `a NEAR/k b`: both terms within k token positions
     (unordered). Operands are plain terms; both score in BM25."""
@@ -187,6 +210,24 @@ def parse_query(q: str):
             return node
         if t == ")":
             raise ValueError("unexpected ')'")
+        if t.startswith("["):
+            # `[alpha TO beta]` — three tokens: '[alpha', 'TO', 'beta]'
+            parts = [t]
+            while not parts[-1].endswith("]") and len(parts) < 4:
+                if peek() is None or peek() in ("(", ")"):
+                    raise ValueError("unterminated range atom (expected ']')")
+                parts.append(take())
+            if len(parts) != 3 or parts[1].upper() != "TO":
+                raise ValueError(f"malformed range atom {' '.join(parts)!r}")
+            lo_raw, hi_raw = parts[0][1:], parts[2][:-1]
+            lo_n, hi_n = _py_tokenize(lo_raw), _py_tokenize(hi_raw)
+            if len(lo_n) != 1 or len(hi_n) != 1:
+                raise ValueError(
+                    f"range bounds must normalize to one term each: {t!r}"
+                )
+            if lo_n[0] > hi_n[0]:
+                raise ValueError(f"empty range: {lo_n[0]!r} > {hi_n[0]!r}")
+            return TermRange(lo_n[0], hi_n[0])
         if t.startswith('"'):
             body = t.strip('"')
             if not _py_tokenize(body):
@@ -210,6 +251,22 @@ def parse_query(q: str):
             t, boost = m.group(1), float(m.group(2))
         if "^" in t:
             raise ValueError(f"malformed boost in atom {t!r}^{boost}")
+        m = re.fullmatch(r"([A-Za-z]+):", t)
+        if m:
+            # `title:"a b"` — the quote breaks tokenization, so the field
+            # prefix arrives as its own token followed by the phrase token
+            field = m.group(1).lower()
+            if field not in ("title", "body"):
+                raise ValueError(f"unknown field {field!r} (title|body)")
+            nxt = peek()
+            if nxt is None or not nxt.startswith('"'):
+                raise ValueError(f"dangling field prefix {t!r}")
+            body = take().strip('"')
+            if not _py_tokenize(body):
+                raise ValueError("empty field phrase")
+            if peek() and re.fullmatch(r"~\d+", peek()):
+                raise ValueError("slop inside a field scope is not supported")
+            return FieldPhrase(field, body)
         m = re.fullmatch(r"([A-Za-z]+):(.+)", t)
         if m:
             field, body = m.group(1).lower(), m.group(2)
@@ -269,11 +326,13 @@ def positive_terms(node) -> list[str]:
         return [node.text]
     if isinstance(node, Field):
         return [node.text]  # field atoms score document-level BM25
+    if isinstance(node, FieldPhrase):
+        return _py_tokenize(node.text)  # like Phrase words
     if isinstance(node, Phrase):
         return _py_tokenize(node.text)
     if isinstance(node, Near):
         return [node.a, node.b]
-    if isinstance(node, (Not, Prefix, Fuzzy)):
+    if isinstance(node, (Not, Prefix, Fuzzy, TermRange)):
         return []
     return [t for c in node.children for t in positive_terms(c)]
 
@@ -285,11 +344,13 @@ def term_boosts(node) -> dict[str, float]:
         return {node.text: node.boost}
     if isinstance(node, Field):
         return {node.text: 1.0}
+    if isinstance(node, FieldPhrase):
+        return {t: 1.0 for t in _py_tokenize(node.text)}
     if isinstance(node, Phrase):
         return {t: 1.0 for t in _py_tokenize(node.text)}
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
-    if isinstance(node, (Not, Prefix, Fuzzy)):
+    if isinstance(node, (Not, Prefix, Fuzzy, TermRange)):
         return {}
     out: dict[str, float] = {}
     for c in node.children:
@@ -303,7 +364,7 @@ def term_boosts(node) -> dict[str, float]:
 
 def compile_matches(
     node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None,
-    field_fn=None,
+    field_fn=None, fphrase_fn=None,
 ) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
@@ -321,6 +382,13 @@ def compile_matches(
             .select("doc_id")
             .distinct()
         )
+    if isinstance(node, TermRange):
+        # vocabulary range scan — unprunable by hash bucketing, like Prefix
+        return (
+            post.filter(F.col("term").between(node.lo, node.hi))
+            .select("doc_id")
+            .distinct()
+        )
     if isinstance(node, Fuzzy):
         # vocabulary-wide edit-distance scan (same shape as
         # fulltext_fuzzy_vocab) — unprunable, like Prefix
@@ -335,33 +403,45 @@ def compile_matches(
         if field_fn is None:
             raise ValueError("field atom requires a field_fn")
         return field_fn(node.field, node.text)
+    if isinstance(node, FieldPhrase):
+        if fphrase_fn is None:
+            raise ValueError("field-phrase atom requires a fphrase_fn")
+        return fphrase_fn(node.field, node.text)
     if isinstance(node, Near):
         if near_fn is None:
             raise ValueError("NEAR atom requires a near_fn")
         return near_fn(node.a, node.b, node.k)
     if isinstance(node, And):
         out = compile_matches(
-            node.children[0], post, phrase_fn, universe, near_fn, field_fn
+            node.children[0], post, phrase_fn, universe, near_fn, field_fn,
+            fphrase_fn,
         )
         for c in node.children[1:]:
             out = out.join(
-                compile_matches(c, post, phrase_fn, universe, near_fn, field_fn),
+                compile_matches(
+                    c, post, phrase_fn, universe, near_fn, field_fn, fphrase_fn
+                ),
                 "doc_id",
                 "left_semi",
             )
         return out
     if isinstance(node, Or):
         out = compile_matches(
-            node.children[0], post, phrase_fn, universe, near_fn, field_fn
+            node.children[0], post, phrase_fn, universe, near_fn, field_fn,
+            fphrase_fn,
         )
         for c in node.children[1:]:
             out = out.union(
-                compile_matches(c, post, phrase_fn, universe, near_fn, field_fn)
+                compile_matches(
+                    c, post, phrase_fn, universe, near_fn, field_fn, fphrase_fn
+                )
             )
         return out.distinct()
     if isinstance(node, Not):
         return universe.join(
-            compile_matches(node.child, post, phrase_fn, universe, near_fn, field_fn),
+            compile_matches(
+                node.child, post, phrase_fn, universe, near_fn, field_fn, fphrase_fn
+            ),
             "doc_id",
             "left_anti",
         )
@@ -377,8 +457,8 @@ def _collect_atoms(node) -> tuple[set, set, set]:
         return set(), set(), {node.text}
     if isinstance(node, Phrase):
         return set(), {(node.text, node.slop)}, set()
-    if isinstance(node, (Near, Field, Fuzzy)):
-        # collected separately via collect_nears/collect_fields/collect_fuzzies
+    if isinstance(node, (Near, Field, Fuzzy, TermRange, FieldPhrase)):
+        # collected separately via the per-kind collectors below
         return set(), set(), set()
     if isinstance(node, Not):
         return _collect_atoms(node.child)
@@ -417,6 +497,30 @@ def collect_fields(node) -> set:
     return out
 
 
+def collect_ranges(node) -> set:
+    """All TermRange atoms (lo, hi) in the AST."""
+    if isinstance(node, TermRange):
+        return {(node.lo, node.hi)}
+    if isinstance(node, Not):
+        return collect_ranges(node.child)
+    out: set = set()
+    for c in getattr(node, "children", ()):
+        out |= collect_ranges(c)
+    return out
+
+
+def collect_fieldphrases(node) -> set:
+    """All FieldPhrase atoms (field, text) in the AST."""
+    if isinstance(node, FieldPhrase):
+        return {(node.field, node.text)}
+    if isinstance(node, Not):
+        return collect_fieldphrases(node.child)
+    out: set = set()
+    for c in getattr(node, "children", ()):
+        out |= collect_fieldphrases(c)
+    return out
+
+
 def collect_fuzzies(node) -> set:
     """All Fuzzy atoms (term, dist) in the AST."""
     if isinstance(node, Fuzzy):
@@ -432,7 +536,9 @@ def collect_fuzzies(node) -> set:
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
-    if isinstance(node, (Term, Phrase, Prefix, Near, Field, Fuzzy)):
+    if isinstance(
+        node, (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase)
+    ):
         return False
     if isinstance(node, Not):
         return not _eval_empty(node.child)
@@ -442,7 +548,8 @@ def _eval_empty(node) -> bool:
 
 
 def compile_matches_flags(
-    node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None
+    node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None,
+    fphrase_fn=None,
 ) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
@@ -461,6 +568,8 @@ def compile_matches_flags(
     nears_l = sorted(collect_nears(node))
     fields_l = sorted(collect_fields(node))
     fuzzies_l = sorted(collect_fuzzies(node))
+    ranges_l = sorted(collect_ranges(node))
+    fphrases_l = sorted(collect_fieldphrases(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
     prefixes_l = sorted(prefixes)
@@ -470,13 +579,17 @@ def compile_matches_flags(
     nflag = {n: f"_n{i}" for i, n in enumerate(nears_l)}
     gflag = {f: f"_g{i}" for i, f in enumerate(fields_l)}
     zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies_l)}
+    rflag = {r: f"_r{i}" for i, r in enumerate(ranges_l)}
+    fpflag = {f: f"_fp{i}" for i, f in enumerate(fphrases_l)}
 
-    if terms_l or prefixes_l or fuzzies_l:
+    if terms_l or prefixes_l or fuzzies_l or ranges_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
         for w in prefixes_l:
             pred = pred | F.col("term").startswith(w)
         for zt, zd in fuzzies_l:
             pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
+        for lo, hi in ranges_l:
+            pred = pred | F.col("term").between(lo, hi)
         flags = (
             post.filter(pred)
             .groupBy("doc_id")
@@ -498,6 +611,12 @@ def compile_matches_flags(
                         ).otherwise(0)
                     ).alias(zflag[(zt, zd)])
                     for zt, zd in fuzzies_l
+                ],
+                *[
+                    F.max(
+                        F.when(F.col("term").between(lo, hi), 1).otherwise(0)
+                    ).alias(rflag[(lo, hi)])
+                    for lo, hi in ranges_l
                 ],
             )
         )
@@ -522,6 +641,16 @@ def compile_matches_flags(
             field_fn(*fld).select("doc_id").distinct().withColumn(gflag[fld], F.lit(1))
         )
         flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
+    for fp in fphrases_l:
+        if fphrase_fn is None:
+            raise ValueError("field-phrase atom requires a fphrase_fn")
+        fdf = (
+            fphrase_fn(*fp)
+            .select("doc_id")
+            .distinct()
+            .withColumn(fpflag[fp], F.lit(1))
+        )
+        flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
     assert flags is not None  # no-atom ASTs were rejected by _eval_empty
 
     def as_col(n):
@@ -531,8 +660,12 @@ def compile_matches_flags(
             return F.coalesce(F.col(wflag[n.text]), F.lit(0)) == 1
         if isinstance(n, Fuzzy):
             return F.coalesce(F.col(zflag[(n.text, n.dist)]), F.lit(0)) == 1
+        if isinstance(n, TermRange):
+            return F.coalesce(F.col(rflag[(n.lo, n.hi)]), F.lit(0)) == 1
         if isinstance(n, Field):
             return F.coalesce(F.col(gflag[(n.field, n.text)]), F.lit(0)) == 1
+        if isinstance(n, FieldPhrase):
+            return F.coalesce(F.col(fpflag[(n.field, n.text)]), F.lit(0)) == 1
         if isinstance(n, Near):
             return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
@@ -565,8 +698,8 @@ def search(
     ast = parse_query(query)
 
     def _needs_positions(node) -> bool:
-        if isinstance(node, (Phrase, Near, Field)):
-            return True  # all three need the positional relation
+        if isinstance(node, (Phrase, Near, Field, FieldPhrase)):
+            return True  # all of these need the positional relation
         return any(_needs_positions(c) for c in getattr(node, "children", ())) or (
             isinstance(node, Not) and _needs_positions(node.child)
         )
@@ -597,6 +730,15 @@ def search(
             docs, a, b, k, id_col, text_col, pos=pos_rel
         ).select("doc_id")
 
+        def fphrase_fn(field: str, text: str) -> DataFrame:
+            from sparkfulltextquery_spark.functions.fulltext import (
+                field_phrase_match,
+            )
+
+            return field_phrase_match(
+                docs, field, text, id_col, text_col, pos=pos_rel
+            ).select("doc_id")
+
         def field_fn(field: str, term: str) -> DataFrame:
             # title = first BM25F_TITLE_LEN tokens (0-based positions),
             # exactly bm25f_search's field carving
@@ -617,9 +759,11 @@ def search(
         ).select("doc_id")
         near_fn = None  # no Near atoms on this branch by construction
         field_fn = None  # no Field atoms on this branch by construction
+        fphrase_fn = None  # no FieldPhrase atoms on this branch either
 
     matched = compile_matches_flags(
-        ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn
+        ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn,
+        fphrase_fn=fphrase_fn,
     )
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
@@ -629,6 +773,7 @@ def search(
             universe=docs.select(F.col(id_col).alias("doc_id")),
             near_fn=near_fn,
             field_fn=field_fn,
+            fphrase_fn=fphrase_fn,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

@@ -381,3 +381,64 @@ def test_slop_zero_equals_exact_phrase(spark):
 
     slop0 = {r.doc_id for r in sloppy_phrase_match(docs, "batch batch", 0).collect()}
     assert slop0 == exact
+
+
+def test_parser_range_and_fieldphrase_shapes():
+    """r6: `[a TO b]` lexicographic vocabulary ranges and `title:"a b"`
+    field-scoped phrases; malformed forms reject."""
+    from sparkfulltextquery_spark.functions.querylang import FieldPhrase, TermRange
+
+    assert parse_query("[alpha TO beta]") == TermRange("alpha", "beta")
+    assert parse_query("[A TO Z2]") == TermRange("a", "z2")
+    assert parse_query('title:"spark join"') == FieldPhrase("title", "spark join")
+    assert parse_query('body:"a b" AND c') == And(
+        (FieldPhrase("body", "a b"), Term("c"))
+    )
+    assert parse_query("[a TO b] OR x") == Or((TermRange("a", "b"), Term("x")))
+    for bad in [
+        "[a TO",            # unterminated
+        "[a b]",            # missing TO
+        "[b TO a]",         # empty range
+        "[a TO b TO c]",    # too many parts
+        'author:"a b"',     # unknown field
+        "title:",           # dangling field prefix
+        'title:"a b"~2',    # slop inside a field scope
+        'title:""',         # empty field phrase
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_range_and_fieldphrase_match_naive(spark):
+    """Range and field-phrase matching vs brute-force definitions."""
+    from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+    toks = _token_sets(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+
+    exp = {d for d, ts in toks.items() if any("spark" <= t <= "sparl" for t in ts)}
+    got = {r.doc_id for r in search(docs, "[spark TO sparl]", k=10**6).collect()}
+    assert got == exp
+
+    L = BM25F_TITLE_LEN
+    exp_t = {
+        d
+        for d, ts in toks.items()
+        if any(
+            ts[i] == "spark" and ts[i + 1] == "join"
+            for i in range(max(0, min(len(ts) - 1, L - 1)))
+        )
+    }
+    got_t = {
+        r.doc_id for r in search(docs, 'title:"spark join"', k=10**6).collect()
+    }
+    assert got_t == exp_t
+    exp_b = {
+        d
+        for d, ts in toks.items()
+        if any(ts[i] == "spark" and ts[i + 1] == "join" for i in range(L, len(ts) - 1))
+    }
+    got_b = {
+        r.doc_id for r in search(docs, 'body:"spark join"', k=10**6).collect()
+    }
+    assert got_b == exp_b
