@@ -103,6 +103,9 @@ EXTRA = [
     "fulltext_query_fielded_indexed",
     "fulltext_query_fuzzy_indexed",
     "fulltext_ngrams_sentence_agg",
+    "fulltext_query_slop_indexed",
+    "fulltext_query_range_indexed",
+    "fulltext_query_fieldphrase_indexed",
 ]
 
 

@@ -1479,3 +1479,79 @@ def fulltext_query_fieldphrase_indexed(spark: SparkSession, sf_dir: str) -> Data
     return search_indexed(
         spark, 'title:"spark join" OR batch', k=10, table_prefix=prefix
     )
+
+
+# ---------------- forward-index-served twins (r6) ----------------
+
+from sparkfulltextquery_spark.registry import REGISTRY as _REG
+
+
+@query(
+    "fulltext_more_like_this_indexed",
+    oracle=_REG["fulltext_more_like_this"].oracle,
+)
+def fulltext_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this served ENTIRELY off the persisted index (r6 forward
+    index): the query doc's term vector reads from the doc-bucketed tvec
+    table (one pruned bucket), candidates from the term-bucketed postings
+    pruned to its terms, and BOTH norms from the build-time norms table —
+    the Lucene term-vectors+norms design. Same TF-IDF-cosine semantics
+    (and oracle) as fulltext_more_like_this, with no corpus tokenization
+    and no full forward scan at query time."""
+    from sparkfulltextquery_spark.functions.index import more_like_this_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return more_like_this_indexed(spark, 7, k=10, table_prefix=prefix)
+
+
+@query(
+    "fulltext_autocomplete_indexed",
+    oracle=_REG["fulltext_autocomplete"].oracle,
+)
+def fulltext_autocomplete_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typeahead served off the persisted index: a StartsWith band over
+    the posting vocabulary + a bounded top-k heap
+    (functions/index.py::suggest_terms) — no corpus tokenization. Same
+    ranking (and oracle) as fulltext_autocomplete."""
+    from sparkfulltextquery_spark.functions.index import suggest_terms
+
+    prefix = _ensure_index(spark, sf_dir)
+    return suggest_terms(spark, "qu", top=10, table_prefix=prefix)
+
+
+@query(
+    "fulltext_faceted_search_indexed",
+    oracle=_REG["fulltext_faceted_search"].oracle,
+)
+def fulltext_faceted_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search with the match set resolved from the persisted
+    index (two pruned term buckets) instead of an inline tokenization;
+    facet values still come from the documents table (the index stores
+    postings, not source metadata — same split as any search engine's
+    doc-store lookup). Same result (and oracle) as
+    fulltext_faceted_search."""
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    d = load_table(spark, sf_dir, "documents")
+    matched = (
+        spark.table(f"{prefix}_postings")
+        .filter(F.col("term").isin(["join", "spark"]))
+        .select("doc_id")
+        .distinct()
+    )
+    hits = d.join(matched, "doc_id", "left_semi")
+    pairs = hits.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("source").alias("facet"), F.col("source").alias("value")),
+                F.struct(F.lit("lang").alias("facet"), F.col("lang").alias("value")),
+            )
+        ).alias("fv")
+    )
+    return (
+        pairs.select("fv.facet", "fv.value")
+        .groupBy("facet", "value")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

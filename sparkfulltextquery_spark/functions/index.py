@@ -74,6 +74,7 @@ def build_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     path: str | None = None,
+    term_vectors: bool = True,
 ) -> dict[str, str]:
     """Materialize the inverted index: bucketed postings + df + doc lengths +
     corpus stats. Returns the table names. `path` makes the tables external
@@ -146,6 +147,35 @@ def build_index(
         ),
         names["stats"],
     ).saveAsTable(names["stats"])
+    if term_vectors:
+        # forward index (Lucene term-vectors + norms analogue, r6): the
+        # posting relation re-bucketed by doc_id, so doc-keyed lookups
+        # (more-like-this query vectors, per-doc tf-idf) prune to ONE
+        # bucket instead of scanning the term-bucketed postings; plus the
+        # per-doc tf-idf L2 norm precomputed at build time — cosine
+        # ranking needs every candidate's norm, which would otherwise
+        # force a full forward scan at query time (Lucene stores norms at
+        # index time for exactly this reason).
+        names["tvec"] = f"{table_prefix}_tvec"
+        names["norms"] = f"{table_prefix}_norms"
+        tv = spark.table(names["postings"]).select("doc_id", "term", "tf")
+        (
+            writer(tv.repartition(num_buckets, "doc_id"), names["tvec"])
+            .bucketBy(num_buckets, "doc_id")
+            .sortBy("doc_id")
+            .saveAsTable(names["tvec"])
+        )
+        n_docs = int(spark.table(names["stats"]).head().n_docs)
+        dfreq = spark.table(names["doc_freq"])
+        wt = F.col("tf") * F.log(
+            F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))
+        )
+        writer(
+            tv.join(F.broadcast(dfreq), "term")
+            .groupBy("doc_id")
+            .agg(F.sqrt(F.sum(wt * wt)).alias("nrm")),
+            names["norms"],
+        ).saveAsTable(names["norms"])
     return names
 
 
@@ -739,6 +769,74 @@ def _search_indexed_build(
         per_doc.filter(as_col(ast))
         .select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+def more_like_this_indexed(
+    spark: SparkSession,
+    doc_id: int,
+    k: int = 10,
+    table_prefix: str = "sftq_index",
+) -> DataFrame:
+    """More-like-this served ENTIRELY off the persisted index: the query
+    doc's term vector comes from the doc-bucketed forward table (one
+    pruned bucket), its tf-idf weights fold in as literals, candidates
+    come from the term-bucketed postings pruned to the query doc's terms,
+    and both norms come from the precomputed norms table — no corpus
+    tokenization, no full forward scan. Returns top-k (doc_id, cosine),
+    identical semantics to the inline TF-IDF-cosine more-like-this.
+
+    Driver traffic is bounded: one doc's term vector (its vocabulary) and
+    one norm row — the same 1-row-query-vector discipline as the ANN
+    queries."""
+    _force_bucketed_scan(spark)
+    n_docs, _avgdl, _ = _df_stats_literals(spark, table_prefix, [])
+    qrows = (
+        spark.table(f"{table_prefix}_tvec")
+        .filter(F.col("doc_id") == doc_id)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(f"doc_id {doc_id} not in index {table_prefix!r}")
+    terms = sorted(r.term for r in qrows)
+    tf_of = {r.term: int(r.tf) for r in qrows}
+    _n, _a, df_of = _df_stats_literals(spark, table_prefix, terms)
+    qnrm = float(
+        spark.table(f"{table_prefix}_norms")
+        .filter(F.col("doc_id") == doc_id)
+        .head()
+        .nrm
+    )
+    post = (
+        spark.table(f"{table_prefix}_postings")
+        .filter(F.col("term").isin(terms))
+        .filter(F.col("doc_id") != doc_id)
+    )
+    # idf/query-weight literals fold via JVM F.log (constant-folded by
+    # Catalyst) — bit-identical to the inline Spark computation, the same
+    # discipline as bm25_scores_indexed
+    idf_expr = F.lit(None).cast("double")
+    qwt_expr = F.lit(None).cast("double")
+    for t in terms:
+        idf = F.log(F.lit(float(n_docs + 1)) / (F.lit(df_of[t]) + F.lit(1.0)))
+        idf_expr = F.when(F.col("term") == t, idf).otherwise(idf_expr)
+        qwt_expr = F.when(F.col("term") == t, F.lit(tf_of[t]) * idf).otherwise(
+            qwt_expr
+        )
+    dots = (
+        post.withColumn("_wt", F.col("tf") * idf_expr)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("_wt") * qwt_expr).alias("dot"))
+    )
+    norms = spark.table(f"{table_prefix}_norms")
+    return (
+        dots.join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.lit(qnrm) * F.col("nrm")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
         .limit(k)
     )
 

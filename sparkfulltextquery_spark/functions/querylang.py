@@ -1,12 +1,25 @@
 """Boolean full-text query language — the user-facing search surface.
 
-Grammar (tokens are case-insensitive; AND binds tighter than OR):
+Grammar (tokens are case-insensitive; AND binds tighter than OR; NEAR/k
+binds tighter than AND):
 
     query   := or_expr
     or_expr := and_expr (OR and_expr)*
     and_expr:= unary (AND unary)*
-    unary   := NOT unary | atom
-    atom    := '(' query ')' | '"' phrase '"' | term
+    unary   := NOT unary | proximity
+    proximity := atom (NEAR/k atom)?
+    atom    := '(' query ')'
+             | '"' phrase '"' ('~' slop)?      sloppy/exact phrase
+             | field ':' '"' phrase '"'        field-scoped phrase
+             | field ':' term                  field-scoped term
+             | '[' lo TO hi ']'                vocabulary range
+             | term '~' dist                   fuzzy (edit distance)
+             | term '*'                        wildcard prefix
+             | term ('^' boost)?               term, optionally boosted
+
+Scoring: plain/field/phrase words contribute document-level BM25 (boosts
+scale a term's share); prefix/fuzzy/range expansions are constant-score
+(standard multi-term-query behavior — expanded terms carry no idf).
 
 Each atom compiles to a DataFrame of matching doc_ids over the posting
 index (term → pruned posting lookup; phrase → positional equi-join); AND/OR/
