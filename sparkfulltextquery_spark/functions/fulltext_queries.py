@@ -1555,3 +1555,92 @@ def fulltext_faceted_search_indexed(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("facet", "value")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "fulltext_spell_suggest_indexed",
+    oracle=_REG["fulltext_spell_suggest"].oracle,
+)
+def fulltext_spell_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean served off the persisted index: the vocabulary IS the
+    precomputed df table — one |vocab|-sized scan, a levenshtein filter,
+    and a bounded top-k heap; no postings scan, no corpus tokenization.
+    Same ranking (and oracle) as fulltext_spell_suggest."""
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    vocab = spark.table(f"{prefix}_df")
+    dist = F.levenshtein("term", F.lit("qery"))
+    return (
+        vocab.select("term", dist.cast("long").alias("dist"), "df")
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", F.col("df").desc(), "term")
+        .limit(5)
+    )
+
+
+@query(
+    "fulltext_tfidf_top_terms_indexed",
+    oracle=_REG["fulltext_tfidf_top_terms"].oracle,
+)
+def fulltext_tfidf_top_terms_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top TF-IDF terms served off the persisted forward index:
+    term vectors from the doc-bucketed tvec table, idf from the broadcast
+    df table, n_docs as a literal — no tokenization, no posting groupBy.
+    Same result (and oracle) as fulltext_tfidf_top_terms."""
+    from pyspark.sql import Window
+
+    from sparkfulltextquery_spark.functions.index import (
+        _df_stats_literals,
+        _force_bucketed_scan,
+    )
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    n_docs, _a, _ = _df_stats_literals(spark, prefix, [])
+    tv = spark.table(f"{prefix}_tvec").filter(F.col("doc_id") < 100)
+    dfreq = spark.table(f"{prefix}_df")
+    scored = tv.join(F.broadcast(dfreq), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))),
+            4,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "fulltext_collapse_by_source_indexed",
+    oracle=_REG["fulltext_collapse_by_source"].oracle,
+)
+def fulltext_collapse_by_source_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse-by-source with scoring served off the persisted index
+    (bm25_scores_indexed: pruned term buckets, literal df/stats, zero
+    scoring joins), then one doc-store join for the collapse dimension —
+    the same split as fulltext_faceted_search_indexed. Same result (and
+    oracle) as fulltext_collapse_by_source."""
+    from pyspark.sql import Window
+
+    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    scored = bm25_scores_indexed(spark, "data query spark window", table_prefix=prefix)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "score")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
