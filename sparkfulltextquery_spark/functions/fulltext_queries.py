@@ -1644,3 +1644,23 @@ def fulltext_collapse_by_source_indexed(spark: SparkSession, sf_dir: str) -> Dat
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "fulltext_prefix_search_indexed",
+    oracle=_REG["fulltext_prefix_search"].oracle,
+)
+def fulltext_prefix_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix search off the persisted index: a StartsWith band over the
+    term-bucketed postings (hash bucketing can't prune a range, but the
+    scan stays postings-sized with no tokenization), per-doc distinct-term
+    and tf totals. Same result (and oracle) as fulltext_prefix_search."""
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    post = spark.table(f"{prefix}_postings").filter(F.col("term").startswith("quer"))
+    return post.groupBy("doc_id").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
