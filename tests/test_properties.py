@@ -584,3 +584,198 @@ def test_incremental_store_excludes_shingleless_docs(spark, tmp_path):
     # a shingle-less probe batch yields no candidates (not a crash, not a flood)
     delta = spark.createDataFrame([(10, "y z")], "doc_id int, text string")
     assert incremental_near_dups(spark, delta, corpus, store).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r6: randomized query-language equivalence — random boolean ASTs over ALL
+# atom kinds (term/boost, prefix, fuzzy, range, field, field-phrase, phrase,
+# sloppy phrase, NEAR) evaluated three ways: a pure-Python reference
+# evaluator over collected token lists, the inline flag compiler, and the
+# one-pass persisted-index compiler. Catches atom-composition edge cases no
+# hand-written query list covers (NOT over constant-score atoms, nested ORs
+# mixing positional and vocabulary atoms, ...).
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _py_eval(node, ts):
+    """Reference evaluator for one doc's token list ts."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    L = 10  # BM25F_TITLE_LEN
+    if isinstance(node, QL.Term):
+        return node.text in ts
+    if isinstance(node, QL.Prefix):
+        return any(t.startswith(node.text) for t in ts)
+    if isinstance(node, QL.Fuzzy):
+        return any(_lev(t, node.text) <= node.dist for t in set(ts))
+    if isinstance(node, QL.TermRange):
+        return any(node.lo <= t <= node.hi for t in ts)
+    if isinstance(node, QL.Field):
+        seg = ts[:L] if node.field == "title" else ts[L:]
+        return node.text in seg
+    if isinstance(node, QL.FieldPhrase):
+        words = node.text.split()
+        n = len(words)
+        lo, hi = (0, L - n) if node.field == "title" else (L, len(ts))
+        return any(
+            ts[i : i + n] == words for i in range(lo, min(hi, len(ts) - n) + 1)
+        )
+    if isinstance(node, QL.Phrase):
+        words = [w for w in re.split(r"[^a-z0-9]+", node.text.lower()) if w]
+        n = len(words)
+        if node.slop == 0:
+            return any(ts[i : i + n] == words for i in range(len(ts) - n + 1))
+        span = n - 1 + node.slop
+        starts = [i for i, t in enumerate(ts) if t == words[0]]
+        for p in starts:
+            cur = p
+            ok = True
+            for w in words[1:]:
+                nxt = next(
+                    (j for j in range(cur + 1, len(ts)) if ts[j] == w), None
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+            if ok and cur - p <= span:
+                return True
+        return False
+    if isinstance(node, QL.Near):
+        pa = [i for i, t in enumerate(ts) if t == node.a]
+        pb = [i for i, t in enumerate(ts) if t == node.b]
+        return any(abs(x - y) <= node.k for x in pa for y in pb)
+    if isinstance(node, QL.Not):
+        return not _py_eval(node.child, ts)
+    if isinstance(node, QL.And):
+        return all(_py_eval(c, ts) for c in node.children)
+    return any(_py_eval(c, ts) for c in node.children)
+
+
+def _rand_ast(rng, vocab, bigrams, depth=0):
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    if depth < 2 and rng.random() < 0.55:
+        op = rng.choice(["and", "or", "not"])
+        if op == "not":
+            return QL.Not(_rand_ast(rng, vocab, bigrams, depth + 1))
+        kids = tuple(
+            _rand_ast(rng, vocab, bigrams, depth + 1)
+            for _ in range(rng.randint(2, 3))
+        )
+        return QL.And(kids) if op == "and" else QL.Or(kids)
+    kind = rng.choice(
+        ["term", "prefix", "fuzzy", "range", "field", "fphrase", "phrase",
+         "slop", "near"]
+    )
+    w = rng.choice(vocab)
+    if kind == "term":
+        return QL.Term(w)
+    if kind == "prefix":
+        return QL.Prefix(w[: max(1, len(w) - 1)])
+    if kind == "fuzzy":
+        return QL.Fuzzy(w, rng.randint(1, 2))
+    if kind == "range":
+        a, b = sorted([w, rng.choice(vocab)])
+        return QL.TermRange(a, b)
+    if kind == "field":
+        return QL.Field(rng.choice(["title", "body"]), w)
+    bg = rng.choice(bigrams)
+    if kind == "fphrase":
+        return QL.FieldPhrase(rng.choice(["title", "body"]), bg)
+    if kind == "phrase":
+        return QL.Phrase(bg)
+    if kind == "slop":
+        return QL.Phrase(bg, rng.randint(1, 3))
+    return QL.Near(bg.split()[0], bg.split()[1], rng.randint(1, 6))
+
+
+def _ast_to_query(node) -> str:
+    """Render an AST back to grammar text, so the test also exercises the
+    parser round-trip."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    if isinstance(node, QL.Term):
+        return node.text
+    if isinstance(node, QL.Prefix):
+        return f"{node.text}*"
+    if isinstance(node, QL.Fuzzy):
+        return f"{node.text}~{node.dist}"
+    if isinstance(node, QL.TermRange):
+        return f"[{node.lo} TO {node.hi}]"
+    if isinstance(node, QL.Field):
+        return f"{node.field}:{node.text}"
+    if isinstance(node, QL.FieldPhrase):
+        return f'{node.field}:"{node.text}"'
+    if isinstance(node, QL.Phrase):
+        return f'"{node.text}"' + (f"~{node.slop}" if node.slop else "")
+    if isinstance(node, QL.Near):
+        return f"({node.a} NEAR/{node.k} {node.b})"
+    if isinstance(node, QL.Not):
+        return f"(NOT {_ast_to_query(node.child)})"
+    if isinstance(node, QL.And):
+        return "(" + " AND ".join(_ast_to_query(c) for c in node.children) + ")"
+    return "(" + " OR ".join(_ast_to_query(c) for c in node.children) + ")"
+
+
+def test_random_query_asts_three_way_equivalence(spark, tmp_path):
+    import random
+
+    from sparkfulltextquery_spark.functions import index as IX
+    from sparkfulltextquery_spark.functions import querylang as QL
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    toks = {
+        r.doc_id: [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        for r in rows
+    }
+    # vocab/bigrams drawn from the corpus so atoms actually match
+    freq: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = sorted(t for t, c in freq.items() if c >= 5 and len(t) >= 3)[:200]
+    bigrams = sorted(
+        {
+            f"{ts[i]} {ts[i+1]}"
+            for ts in list(toks.values())[:100]
+            for i in range(len(ts) - 1)
+            if ts[i] in freq and len(ts[i]) >= 3 and len(ts[i + 1]) >= 3
+        }
+    )[:200]
+
+    IX.build_index(docs, table_prefix="prop_idx", num_buckets=8,
+                   path=f"file://{tmp_path}/prop_idx")
+    rng = random.Random(20260814)
+    for trial in range(10):
+        ast = _rand_ast(rng, vocab, bigrams)
+        qtext = _ast_to_query(ast)
+        parsed = QL.parse_query(qtext)
+        expected = {d for d, ts in toks.items() if _py_eval(parsed, ts)}
+        got_inline = {
+            r.doc_id for r in QL.search(docs, qtext, k=len(rows)).collect()
+        }
+        assert got_inline == expected, (
+            f"inline mismatch on {qtext!r}: "
+            f"+{sorted(got_inline - expected)[:5]} -{sorted(expected - got_inline)[:5]}"
+        )
+        got_indexed = {
+            r.doc_id
+            for r in IX.search_indexed(
+                spark, qtext, k=len(rows), table_prefix="prop_idx"
+            ).collect()
+        }
+        assert got_indexed == expected, f"indexed mismatch on {qtext!r}"
