@@ -590,3 +590,68 @@ def dedup_span_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 2, tau: float = 0.4) -> str:
+    """Oracle for dedup_semdedup_prune: the sim_kmeans_assign CTE chain
+    (same deterministic init / 6dp argmin) nested as `asg`, then the
+    within-cluster keep-first cosine prune mirrored in DuckDB list ops
+    (list_inner_product matches the Spark zip_with left fold)."""
+    from sparkfulltextquery_spark.similarity.queries import _kmeans_duck
+
+    return f"""
+    WITH asg AS ({_kmeans_duck(k, iters)}),
+    ev AS (
+      SELECT e.vec_id, asg.cluster, e.embedding::DOUBLE[] AS v
+      FROM embeddings e JOIN asg USING (vec_id)
+    ),
+    n AS (
+      SELECT vec_id, cluster, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM ev
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {tau}
+    )
+    SELECT vec_id, cluster FROM asg
+    WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+    """
+
+
+@query("dedup_semdedup_prune", oracle=_semdedup_oracle())
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means cluster the embeddings, then prune within each cluster any
+    vector whose cosine to a lower-id cluster-mate is >= tau (keep-first,
+    the same deterministic canonical rule as exact dedup). Returns the
+    surviving (vec_id, cluster).
+
+    100 TB shape: clustering is the trained IVF coarse quantizer
+    (broadcast centroids, O(k*dim) shuffle per round); the pairwise stage
+    joins on cluster, so the quadratic work is n²/k per cluster instead
+    of n² global — k grows with the corpus, keeping per-cluster blocks
+    bounded, and each cluster's block is embarrassingly parallel (no
+    global shuffle beyond the one cluster-key join). Reference analogue:
+    mllib KMeans + a blocked self-join; no counterpart in the reference
+    engine (pipeline upgrade)."""
+    from sparkfulltextquery_spark.similarity import cosine_expr, kmeans_iterate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_iterate(e, k=8, iters=2)
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).join(assigned, "vec_id")
+    a = ev.select("cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = ev.select("cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= F.lit(0.4)
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dup, "vec_id", "left_anti").select("vec_id", "cluster")

@@ -650,3 +650,16 @@ def test_ngram_aggregate_single_shuffle_topk(spark):
     assert uses_top_k(df), physical_plan(df)
     plan = physical_plan(df)
     assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_semdedup_pair_stage_is_cluster_equi_join(spark):
+    """SemDeDup's quadratic stage must plan as an equi-join on the cluster
+    key (n²/k per cluster), never a CartesianProduct over the vectors; the
+    only cross joins allowed are the k-row broadcast centroid scans inside
+    the Lloyd rounds, and the final prune must plan as a left-anti join."""
+    df = _q(spark, "dedup_semdedup_prune")
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "CartesianProduct" in line:
+            raise AssertionError(plan)
+    assert "LeftAnti" in plan, plan
