@@ -120,3 +120,114 @@ def test_random_sql_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"query #{i} diverged:\n{sql}\nspark={got[:3]}\nduck={want[:3]}"
+
+
+# ---------------------------------------------------------------------------
+# Window-function fuzzing: random window specs with a guaranteed total order
+# (every ORDER BY ends with the unique (l_orderkey, l_linenumber) pair) so
+# rank/lag/frame outputs are engine-deterministic.
+# ---------------------------------------------------------------------------
+
+_W_PARTS = ["l_returnflag", "l_linestatus", "l_orderkey % 4"]
+_W_ORDERS = [
+    "CAST(l_quantity AS BIGINT) DESC",
+    "CAST(l_partkey AS BIGINT)",
+    "l_shipdate",
+]
+_W_FRAMES = [
+    "",
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    " ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+]
+
+
+def _gen_window_query(rng: random.Random) -> str:
+    part = rng.choice(_W_PARTS)
+    order = rng.choice(_W_ORDERS) + ", l_orderkey, l_linenumber"
+    over_rank = f"(PARTITION BY {part} ORDER BY {order})"
+    over_agg = f"(PARTITION BY {part} ORDER BY {order}{rng.choice(_W_FRAMES)})"
+    fns = rng.sample(
+        [
+            f"row_number() OVER {over_rank}",
+            f"rank() OVER {over_rank}",
+            f"dense_rank() OVER {over_rank}",
+            f"lag(CAST(l_suppkey AS BIGINT), 1, -1) OVER {over_rank}",
+            f"lead(CAST(l_suppkey AS BIGINT), {rng.randint(1, 3)}, 0) OVER {over_rank}",
+            f"SUM(CAST(l_quantity AS BIGINT)) OVER {over_agg}",
+            f"COUNT(*) OVER {over_agg}",
+            f"MIN(CAST(l_partkey AS BIGINT)) OVER {over_agg}",
+        ],
+        rng.randint(1, 3),
+    )
+    sel = ["l_orderkey", "l_linenumber"] + [f"{f} AS w{i}" for i, f in enumerate(fns)]
+    return (
+        "SELECT "
+        + ", ".join(sel)
+        + f"\nFROM lineitem\nWHERE l_orderkey % {rng.randint(7, 19)} = 0"
+    )
+
+
+def test_random_window_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 1)
+    for i in range(25):
+        sql = _gen_window_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"window query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Outer-join + null-semantics fuzzing: aggregate subqueries joined with
+# random outer types; COALESCE over the nullable sides; NOT IN vs NOT EXISTS
+# with an injected NULL (the classic three-valued-logic trap) — both engines
+# must agree on every shape.
+# ---------------------------------------------------------------------------
+
+
+def _gen_outer_join_query(rng: random.Random) -> str:
+    jt = rng.choice(["LEFT", "RIGHT", "FULL"])
+    mod_a, mod_b = rng.randint(2, 5), rng.randint(2, 5)
+    q = f"""
+    WITH a AS (
+      SELECT l_orderkey AS k, SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem WHERE l_orderkey % {mod_a} = 0 GROUP BY l_orderkey
+    ),
+    b AS (
+      SELECT o_orderkey AS k, COUNT(*) AS n
+      FROM orders WHERE o_orderkey % {mod_b} = 1 GROUP BY o_orderkey
+    )
+    SELECT COALESCE(a.k, b.k) AS k, COALESCE(qty, -1) AS qty, COALESCE(n, -1) AS n
+    FROM a {jt} OUTER JOIN b ON a.k = b.k"""
+    if rng.random() < 0.5:
+        q += f"\n    WHERE COALESCE(qty, -1) % {rng.randint(2, 4)} = 0"
+    return q
+
+
+def test_random_outer_join_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 2)
+    for i in range(20):
+        sql = _gen_outer_join_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"outer-join query #{i} diverged:\n{sql}"
+
+
+def test_not_in_with_null_agrees(fuzz_views, duck_con):
+    # NOT IN over a set containing NULL is empty under three-valued logic;
+    # NOT EXISTS over the same set is not — both engines must agree on both.
+    spark = fuzz_views
+    for sql in [
+        """SELECT COUNT(*) AS c FROM orders
+           WHERE o_orderkey NOT IN (SELECT NULLIF(l_orderkey, l_orderkey) FROM lineitem)""",
+        """SELECT COUNT(*) AS c FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                             WHERE NULLIF(l.l_orderkey, l.l_orderkey) = o.o_orderkey)""",
+        """SELECT COUNT(*) AS c FROM orders
+           WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 30)""",
+    ]:
+        got = [tuple(r) for r in spark.sql(sql).collect()]
+        want = duck_con.execute(sql).fetchall()
+        assert got == want, f"diverged on:\n{sql}\nspark={got} duck={want}"
