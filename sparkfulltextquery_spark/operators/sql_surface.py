@@ -700,3 +700,54 @@ def sqlt_literals(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST('ab' AS BINARY) AS bin
         """
     )
+
+
+_DISTRIBUTE_SORT_ORACLE = """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("sqlt_distribute_sort_by", oracle=_DISTRIBUTE_SORT_ORACLE)
+def sqlt_distribute_sort_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-dialect DISTRIBUTE BY + SORT BY (reference analogue:
+    sql/core SQLQuerySuite "distribute by"/"sort by" and the Hive
+    clusterby/distributeby golden files): hash-repartition on the key,
+    then sort within partitions only — no global order. The outer GROUP
+    BY rides the same key, so Catalyst's EnsureRequirements reuses the
+    DISTRIBUTE BY exchange: exactly one shuffle in the whole plan
+    (asserted in tests/test_plans.py). At 100 TB this is the idiom for
+    write-time layout control — cluster the output files by a key
+    without paying a global sort."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS qty
+        FROM (
+          SELECT l_returnflag, l_quantity FROM lineitem
+          DISTRIBUTE BY l_returnflag SORT BY l_returnflag
+        )
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query("sqlt_cluster_by", oracle=_DISTRIBUTE_SORT_ORACLE)
+def sqlt_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER BY key = DISTRIBUTE BY key SORT BY key in one clause (the
+    Hive shorthand; reference golden family clusterby*.q). Same
+    exchange-reuse property as sqlt_distribute_sort_by."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS qty
+        FROM (
+          SELECT l_returnflag, l_quantity FROM lineitem
+          CLUSTER BY l_returnflag
+        )
+        GROUP BY l_returnflag
+        """
+    )

@@ -663,3 +663,16 @@ def test_semdedup_pair_stage_is_cluster_equi_join(spark):
         if "CartesianProduct" in line:
             raise AssertionError(plan)
     assert "LeftAnti" in plan, plan
+
+
+def test_distribute_by_exchange_reused_by_group_by(spark):
+    """DISTRIBUTE BY / CLUSTER BY must satisfy the downstream GROUP BY's
+    clustering requirement: exactly ONE exchange in the whole plan (the
+    aggregation rides the user's hash distribution), and the SORT BY must
+    stay a partition-local sort (no global Sort)."""
+    for name in ("sqlt_distribute_sort_by", "sqlt_cluster_by"):
+        df = _q(spark, name)
+        assert count_exchanges(df) == 1, (name, physical_plan(df))
+        # a global sort would need a rangepartitioning exchange; SORT BY
+        # must not introduce one
+        assert "rangepartitioning" not in physical_plan(df), name
