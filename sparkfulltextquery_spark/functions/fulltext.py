@@ -149,6 +149,27 @@ def bm25_scores(
 
     `boosts` ({term: multiplier}, default 1.0) carries Lucene-style
     `term^N` weights from the query language."""
+    return (
+        bm25_term_scores(docs, query, id_col, text_col, k1, b, post, boosts)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("tscore"), 4).alias("score"))
+    )
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    post: DataFrame | None = None,
+    boosts: dict[str, float] | None = None,
+) -> DataFrame:
+    """Per-(doc_id, term) BM25 contribution relation — the un-aggregated
+    form behind bm25_scores, and the substance of a Lucene-style
+    Explanation (o.a.lucene.search.similarities BM25Similarity.explain):
+    (doc_id, term, tf, df, dl, idf, tscore)."""
     q_terms = sorted({t for t in _py_tokenize(query)})
     if not q_terms:
         raise ValueError("empty query after tokenization")
@@ -169,7 +190,7 @@ def bm25_scores(
     dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
 
-    scored = (
+    return (
         qpost.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -192,10 +213,8 @@ def bm25_scores(
                 * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
             ),
         )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("tscore"), 4).alias("score"))
+        .select("doc_id", "term", "tf", "df", "dl", "idf", "tscore")
     )
-    return scored
 
 
 def _boost_expr(boosts: dict[str, float] | None):
@@ -226,6 +245,38 @@ def bm25_search(
 BM25F_TITLE_LEN = 10
 BM25F_W_TITLE = 2.0
 BM25F_W_BODY = 1.0
+
+
+def bm25_explain(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene-style explain: the per-term score breakdown for the top-k
+    docs — one row per (doc_id, term) with tf, df, idf and the term's
+    contribution, plus the doc's total. The top-k relation (k rows)
+    broadcasts back into the term-score relation, so the breakdown costs
+    one extra broadcast join over plain bm25_search."""
+    ts = bm25_term_scores(docs, query, id_col, text_col, k1, b)
+    top = (
+        ts.groupBy("doc_id")
+        .agg(F.round(F.sum("tscore"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    return ts.join(F.broadcast(top), "doc_id").select(
+        "doc_id",
+        "score",
+        "term",
+        "tf",
+        "df",
+        F.round("idf", 4).alias("idf"),
+        F.round("tscore", 4).alias("tscore"),
+    )
 
 
 def bm25f_search(

@@ -1664,3 +1664,38 @@ def fulltext_prefix_search_indexed(spark: SparkSession, sf_dir: str) -> DataFram
         F.countDistinct("term").alias("n_terms"),
         F.sum("tf").cast("long").alias("total_tf"),
     )
+
+
+@query(
+    "fulltext_score_explain",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    ts AS (
+      SELECT doc_id, term, tf, df,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf_raw,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS ts_raw
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    top AS (
+      SELECT doc_id, round(sum(ts_raw), 4) AS score
+      FROM ts GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 3
+    )
+    SELECT ts.doc_id, score, term, tf, df,
+           round(idf_raw, 4) AS idf, round(ts_raw, 4) AS tscore
+    FROM ts JOIN top USING (doc_id)
+    """,
+)
+def fulltext_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style score explain (BM25Similarity.explain): the per-term
+    breakdown — tf, df, idf, contribution — for the top-3 BM25 docs of the
+    standard query. The 3-row top-k broadcasts back into the term-score
+    relation, so explain costs one broadcast join over plain search."""
+    d = load_table(spark, sf_dir, "documents")
+    return FT.bm25_explain(d, " ".join(_BM25_QUERY_TERMS), k=3)
