@@ -1699,3 +1699,20 @@ def fulltext_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, so explain costs one broadcast join over plain search."""
     d = load_table(spark, sf_dir, "documents")
     return FT.bm25_explain(d, " ".join(_BM25_QUERY_TERMS), k=3)
+
+
+@query(
+    "fulltext_score_explain_indexed",
+    oracle=_REG["fulltext_score_explain"].oracle,
+)
+def fulltext_score_explain_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-3 BM25 explain, served from the persisted index: pruned
+    term buckets, df/idf as constant-folded literals, denormalized doc
+    lengths — zero joins before the k-row broadcast-back. Shares
+    fulltext_score_explain's oracle."""
+    from sparkfulltextquery_spark.functions.index import bm25_explain_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return bm25_explain_indexed(
+        spark, " ".join(_BM25_QUERY_TERMS), k=3, table_prefix=prefix
+    )

@@ -254,6 +254,7 @@ def bm25_scores_indexed(
     k1: float = BM25_K1,
     b: float = BM25_B,
     boosts: dict[str, float] | None = None,
+    explain: bool = False,
 ) -> DataFrame:
     """Un-truncated BM25 (doc_id, score) over the persisted index. The
     postings scan is pruned to the query terms' buckets (plan shows
@@ -280,8 +281,14 @@ def bm25_scores_indexed(
                 / (F.lit(df_of[t]) + F.lit(0.5))
             ),
         ).otherwise(idf_expr)
-    scored = (
+    # per-term df as a constant-folded CASE (used by the explain surface;
+    # constant-folds away when unprojected)
+    df_expr = F.lit(None).cast("long")
+    for t in q_terms:
+        df_expr = F.when(F.col("term") == t, F.lit(df_of[t])).otherwise(df_expr)
+    term_scores = (
         post.withColumn("idf", idf_expr)
+        .withColumn("df", df_expr)
         .withColumn(
             "tscore",
             F.col("idf")
@@ -291,10 +298,42 @@ def bm25_scores_indexed(
                 + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
             ),
         )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("tscore"), 4).alias("score"))
     )
-    return scored
+    if explain:
+        return term_scores.select("doc_id", "term", "tf", "df", "idf", "tscore")
+    return term_scores.groupBy("doc_id").agg(
+        F.round(F.sum("tscore"), 4).alias("score")
+    )
+
+
+def bm25_explain_indexed(
+    spark: SparkSession,
+    query: str,
+    k: int = 10,
+    table_prefix: str = "sftq_index",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Lucene-style explain off the persisted index: per-term tf/df/idf/
+    contribution rows for the top-k docs. Same pruned-bucket scan as
+    bm25_scores_indexed (df/idf are constant-folded literals); the k-row
+    top-k broadcasts back into the term relation."""
+    ts = bm25_scores_indexed(spark, query, table_prefix, k1, b, explain=True)
+    top = (
+        ts.groupBy("doc_id")
+        .agg(F.round(F.sum("tscore"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+    return ts.join(F.broadcast(top), "doc_id").select(
+        "doc_id",
+        "score",
+        "term",
+        "tf",
+        "df",
+        F.round("idf", 4).alias("idf"),
+        F.round("tscore", 4).alias("tscore"),
+    )
 
 
 def bm25_search_indexed(
