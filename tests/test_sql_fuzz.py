@@ -231,3 +231,68 @@ def test_not_in_with_null_agrees(fuzz_views, duck_con):
         got = [tuple(r) for r in spark.sql(sql).collect()]
         want = duck_con.execute(sql).fetchall()
         assert got == want, f"diverged on:\n{sql}\nspark={got} duck={want}"
+
+
+# ---------------------------------------------------------------------------
+# Grouping-sets fuzzing: ROLLUP / CUBE / explicit GROUPING SETS with
+# GROUPING() markers — same text in both engines; the markers disambiguate
+# aggregated NULLs from data NULLs, so results are fully comparable.
+# ---------------------------------------------------------------------------
+
+
+def _gen_grouping_query(rng: random.Random) -> str:
+    keys = rng.sample(["l_returnflag", "l_linestatus", "l_orderkey % 3"], 2)
+    ka, kb = keys
+    spec = rng.choice(
+        [
+            f"ROLLUP (k1, k2)",
+            f"CUBE (k1, k2)",
+            f"GROUPING SETS ((k1, k2), (k1), ())",
+            f"GROUPING SETS ((k1), (k2))",
+        ]
+    )
+    return f"""
+    SELECT k1, k2, GROUPING(k1) AS g1, GROUPING(k2) AS g2,
+           count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS qty
+    FROM (SELECT {ka} AS k1, {kb} AS k2, l_quantity FROM lineitem
+          WHERE l_orderkey % {rng.randint(2, 6)} = 0)
+    GROUP BY {spec}"""
+
+
+def test_random_grouping_sets_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 3)
+    for i in range(15):
+        sql = _gen_grouping_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"grouping query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Set-operation fuzzing: INTERSECT / EXCEPT / UNION with and without ALL
+# (bag vs set semantics) over deliberately-overlapping projections.
+# ---------------------------------------------------------------------------
+
+
+def _gen_setop_query(rng: random.Random) -> str:
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "INTERSECT ALL", "EXCEPT ALL"]
+    )
+    ma, mb = rng.randint(2, 4), rng.randint(2, 4)
+    return f"""
+    SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) % 10 AS q
+    FROM lineitem WHERE l_orderkey % {ma} = 0
+    {op}
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) % 10
+    FROM lineitem WHERE l_orderkey % {mb} = 1"""
+
+
+def test_random_setops_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 4)
+    for i in range(18):
+        sql = _gen_setop_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"setop query #{i} ({sql.splitlines()[3].strip()}) diverged"
