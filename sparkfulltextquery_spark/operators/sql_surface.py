@@ -751,3 +751,66 @@ def sqlt_cluster_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+_PIVOT_CLAUSE_ORACLE = """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS F_qty,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS O_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+
+@query("sqlt_pivot_clause", oracle=_PIVOT_CLAUSE_ORACLE)
+def sqlt_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (reference analogue: sql-tests/inputs/pivot.sql;
+    Spark plans it as the same two-phase PivotFirst aggregate as
+    DataFrame.pivot — one shuffle, value columns widened map-side).
+    Oracle is the dialect-portable CASE-WHEN expansion."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+        )
+        PIVOT (sum(qty) FOR l_linestatus IN ('F' AS F_qty, 'O' AS O_qty))
+        """
+    )
+
+
+_UNPIVOT_CLAUSE_ORACLE = """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS f_qty,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS o_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, status, qty FROM (
+      SELECT l_returnflag, 'f_qty' AS status, f_qty AS qty FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'o_qty', o_qty FROM wide
+    ) WHERE qty IS NOT NULL
+"""
+
+
+@query("sqlt_unpivot_clause", oracle=_UNPIVOT_CLAUSE_ORACLE)
+def sqlt_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause (Spark 3.4+; reference analogue the stack()
+    golden family): widen then melt back to (key, status, qty). UNPIVOT
+    excludes NULL cells by default — mirrored in the oracle's WHERE.
+    Plans as Expand (no shuffle beyond the aggregate)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS f_qty,
+                 sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS o_qty
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, status, qty
+        FROM wide UNPIVOT (qty FOR status IN (f_qty, o_qty))
+        """
+    )
