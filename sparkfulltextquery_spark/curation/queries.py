@@ -924,3 +924,90 @@ def curation_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
     )
+
+
+_SPLIT_HASH = "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
+
+_HASH_SPLIT_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, len({_TOK}) AS n_tokens, {_SPLIT_HASH} AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1
+"""
+
+
+@query("curation_hash_split", oracle=_HASH_SPLIT_ORACLE)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by salted content-stable hash
+    (the standard 90/5/5 pipeline split): bucket = h28('split:' || id) %
+    100. Hash-assignment is reproducible across runs, cluster sizes and
+    partitionings — unlike randomSplit, which is partition-dependent. One
+    narrow projection + a 3-group aggregate; at 100 TB the split column
+    is computed map-side and the output is typically written partitioned
+    by it."""
+    from sparkfulltextquery_spark.functions.hashes import h28
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        h28(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), F.size(tokenize("text")).alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_BUDGET_CAP = 20_000
+
+_TOKEN_BUDGET_ORACLE = f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_TOK}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_BUDGET_CAP}
+"""
+
+
+@query("curation_token_budget_cap", oracle=_TOKEN_BUDGET_ORACLE)
+def curation_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-capped selection: per source, take documents in (length
+    desc, doc_id) priority order until the source's running token total
+    hits the budget — the mixture-building primitive for "at most N
+    tokens from each source". One hash-shuffle on source + a running-sum
+    window (no global sort); at 100 TB a skewed giant source is the risk
+    — the fix is pre-aggregating per (source, length-bucket) counts to
+    find the cut length, then filtering map-side; the window form here is
+    the per-source-bounded reference semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= _BUDGET_CAP)
+    )
