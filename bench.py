@@ -106,6 +106,10 @@ EXTRA = [
     "fulltext_query_slop_indexed",
     "fulltext_query_range_indexed",
     "fulltext_query_fieldphrase_indexed",
+    # r06 continuation: semantic dedup (kmeans + within-cluster cosine) and
+    # the index-served score explain
+    "dedup_semdedup_prune",
+    "fulltext_score_explain_indexed",
 ]
 
 

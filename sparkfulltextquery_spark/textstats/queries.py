@@ -268,3 +268,51 @@ def textstats_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+_ZIPF_ORACLE = f"""
+    WITH tf AS (
+      SELECT t AS term, count(*) AS freq
+      FROM (SELECT unnest({_TOK}) AS t FROM documents)
+      GROUP BY t HAVING count(*) >= 5
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank
+      FROM tf
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rank)), 4) AS zipf_r2
+    FROM ranked
+"""
+
+
+@query("textstats_zipf_fit", oracle=_ZIPF_ORACLE)
+def textstats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope and R² of ln(freq) against ln(rank) over
+    the term frequency distribution (min count 5) — the standard
+    corpus-health diagnostic (natural text sits near slope -1; boilerplate
+    or synthetic floods bend it). One term-count shuffle, a rank window
+    over the bounded vocabulary, then a single-row regr_slope/regr_r2
+    aggregate (map-side partial moments)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokenize("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+    from pyspark.sql import Window as W
+
+    ranked = tf.select(
+        "freq",
+        F.row_number()
+        .over(W.orderBy(F.col("freq").desc(), "term"))
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("zipf_r2"),
+    )
