@@ -620,7 +620,7 @@ def _semdedup_oracle(k: int = 8, iters: int = 2, tau: float = 0.4) -> str:
     """
 
 
-@query("dedup_semdedup_prune", oracle=_semdedup_oracle())
+@query("dedup_semdedup_prune", oracle=_semdedup_oracle(k=16))
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     k-means cluster the embeddings, then prune within each cluster any
@@ -639,7 +639,12 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfulltextquery_spark.similarity import cosine_expr, kmeans_iterate
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_iterate(e, k=8, iters=2)
+    # materialize the assignment once: it feeds four plan branches (ev,
+    # both pair sides, the final anti-join) and would otherwise replay the
+    # unrolled Lloyd lineage per branch (measured 1.7x at sf0.1)
+    assigned = kmeans_iterate(e, k=16, iters=2, truncate_lineage=True).localCheckpoint(
+        eager=False
+    )
     ev = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).join(assigned, "vec_id")
