@@ -676,3 +676,26 @@ def test_distribute_by_exchange_reused_by_group_by(spark):
         # a global sort would need a rangepartitioning exchange; SORT BY
         # must not introduce one
         assert "rangepartitioning" not in physical_plan(df), name
+
+
+def test_sql_hints_steer_join_and_partitioning(spark):
+    """SQL hint surface (reference analogue: sql/catalyst ResolveHints):
+    /*+ BROADCAST(x) */ must force a broadcast hash join even on the
+    bigger side, and /*+ REPARTITION(n) */ must inject an n-partition
+    exchange."""
+    from sparkfulltextquery_spark.sources import load_table
+
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("h_orders")
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("h_lineitem")
+
+    hinted = spark.sql(
+        """
+        SELECT /*+ BROADCAST(h_orders) */ o_orderkey, count(*) AS n
+        FROM h_lineitem JOIN h_orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey
+        """
+    )
+    assert uses_broadcast_join(hinted), physical_plan(hinted)
+
+    rep = spark.sql("SELECT /*+ REPARTITION(7) */ * FROM h_orders")
+    assert rep.rdd.getNumPartitions() == 7

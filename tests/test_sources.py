@@ -276,3 +276,30 @@ def test_xml_from_xml_function(spark):
     ).select("id", "p.a", "p.b")
     rows = {(r.id, r.a, r.b) for r in parsed.collect()}
     assert rows == {(1, 5, "x"), (2, 7, "y")}
+
+
+def test_tablesample_bounds_and_subset(spark):
+    """TABLESAMPLE (n PERCENT) REPEATABLE(seed): Bernoulli row sampling —
+    the result must be a subset of the table, roughly the asked fraction,
+    and identical when re-run with the same seed (SampleExec semantics;
+    sampling is partition-deterministic, so exact rows are a function of
+    seed + split layout, not of time)."""
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("ts_orders")
+    total = spark.table("ts_orders").count()
+    s1 = spark.sql(
+        "SELECT o_orderkey FROM ts_orders TABLESAMPLE (40 PERCENT) REPEATABLE (7)"
+    )
+    got = {r.o_orderkey for r in s1.collect()}
+    again = {
+        r.o_orderkey
+        for r in spark.sql(
+            "SELECT o_orderkey FROM ts_orders TABLESAMPLE (40 PERCENT) REPEATABLE (7)"
+        ).collect()
+    }
+    assert got == again
+    all_keys = {r.o_orderkey for r in spark.table("ts_orders").select("o_orderkey").collect()}
+    assert got <= all_keys
+    assert 0.25 * total < len(got) < 0.55 * total
