@@ -592,15 +592,22 @@ def dedup_span_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle(k: int = 8, iters: int = 2, tau: float = 0.4) -> str:
+_SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(8, CAST(floor(sqrt(count(*))) AS INT)) FROM embeddings)"
+)
+
+
+def _semdedup_oracle(iters: int = 2, tau: float = 0.4) -> str:
     """Oracle for dedup_semdedup_prune: the sim_kmeans_assign CTE chain
-    (same deterministic init / 6dp argmin) nested as `asg`, then the
+    (same deterministic init / 6dp argmin) nested as `asg` — with the
+    cluster count k = max(8, isqrt(n)) expressed as a scalar-subquery
+    LIMIT so both engines derive the same data-dependent k — then the
     within-cluster keep-first cosine prune mirrored in DuckDB list ops
     (list_inner_product matches the Spark zip_with left fold)."""
     from sparkfulltextquery_spark.similarity.queries import _kmeans_duck
 
     return f"""
-    WITH asg AS ({_kmeans_duck(k, iters)}),
+    WITH asg AS ({_kmeans_duck(_SEMDEDUP_K_SQL, iters)}),
     ev AS (
       SELECT e.vec_id, asg.cluster, e.embedding::DOUBLE[] AS v
       FROM embeddings e JOIN asg USING (vec_id)
@@ -620,7 +627,7 @@ def _semdedup_oracle(k: int = 8, iters: int = 2, tau: float = 0.4) -> str:
     """
 
 
-@query("dedup_semdedup_prune", oracle=_semdedup_oracle(k=16))
+@query("dedup_semdedup_prune", oracle=_semdedup_oracle())
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     k-means cluster the embeddings, then prune within each cluster any
@@ -638,11 +645,19 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (pipeline upgrade)."""
     from sparkfulltextquery_spark.similarity import cosine_expr, kmeans_iterate
 
+    import math
+
     e = load_table(spark, sf_dir, "embeddings")
+    # k grows with the corpus (k = max(8, isqrt(n)), the IVF coarse-
+    # quantizer discipline): pair work is n^2/k, so sqrt scaling keeps the
+    # whole operator O(n^1.5) instead of quadratic-with-a-constant. The
+    # count is one scalar to the driver; the oracle derives the same k via
+    # a scalar-subquery LIMIT.
+    k = max(8, math.isqrt(e.count()))
     # materialize the assignment once: it feeds four plan branches (ev,
     # both pair sides, the final anti-join) and would otherwise replay the
     # unrolled Lloyd lineage per branch (measured 1.7x at sf0.1)
-    assigned = kmeans_iterate(e, k=16, iters=2, truncate_lineage=True).localCheckpoint(
+    assigned = kmeans_iterate(e, k=k, iters=2, truncate_lineage=True).localCheckpoint(
         eager=False
     )
     ev = e.select(

@@ -473,7 +473,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_duck(k: int = 8, iters: int = 2) -> str:
+def _kmeans_duck(k: int | str = 8, iters: int = 2) -> str:
     """Unrolled Lloyd-iteration oracle mirroring similarity.kmeans_iterate:
     same deterministic init (the k lowest-vec_id vectors via ORDER BY +
     LIMIT, clusters labeled by seed vec_id), same 6dp-rounded squared-L2
