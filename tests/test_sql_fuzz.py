@@ -296,3 +296,48 @@ def test_random_setops_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"setop query #{i} ({sql.splitlines()[3].strip()}) diverged"
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery fuzzing: scalar subqueries in SELECT/WHERE and
+# [NOT] EXISTS, randomly composed — the decorrelation rewrite (subquery →
+# aggregate join) is where engines classically diverge on empty groups.
+# ---------------------------------------------------------------------------
+
+
+def _gen_subquery_query(rng: random.Random) -> str:
+    mod = rng.randint(11, 29)
+    shape = rng.choice(["scalar_select", "scalar_where", "exists", "not_exists"])
+    if shape == "scalar_select":
+        agg = rng.choice(
+            ["COUNT(*)", "COALESCE(SUM(CAST(l_quantity AS BIGINT)), 0)",
+             "COALESCE(MIN(CAST(l_suppkey AS BIGINT)), -1)"]
+        )
+        return f"""
+        SELECT o_orderkey,
+               (SELECT {agg} FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_quantity >= {rng.randint(10, 40)}) AS s
+        FROM orders WHERE o_orderkey % {mod} = 0"""
+    if shape == "scalar_where":
+        return f"""
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % {mod} = 0
+          AND (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey)
+              >= {rng.randint(1, 5)}"""
+    neg = "NOT " if shape == "not_exists" else ""
+    return f"""
+    SELECT o_orderkey FROM orders o
+    WHERE o_orderkey % {mod} = 0
+      AND {neg}EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity > {rng.randint(20, 45)})"""
+
+
+def test_random_correlated_subqueries_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 5)
+    for i in range(16):
+        sql = _gen_subquery_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"subquery #{i} diverged:\n{sql}"
