@@ -1716,3 +1716,62 @@ def fulltext_score_explain_indexed(spark: SparkSession, sf_dir: str) -> DataFram
     return bm25_explain_indexed(
         spark, " ".join(_BM25_QUERY_TERMS), k=3, table_prefix=prefix
     )
+
+
+@query(
+    "fulltext_search_after_indexed",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    cursor AS (
+      SELECT score AS c_score, doc_id AS c_doc
+      FROM scored ORDER BY score DESC, doc_id LIMIT 1 OFFSET 9
+    )
+    SELECT doc_id, score
+    FROM scored CROSS JOIN cursor
+    WHERE score < c_score OR (score = c_score AND doc_id > c_doc)
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def fulltext_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination ("search after", the Lucene/Elasticsearch
+    searchAfter cursor): page 2 of the standard BM25 query, fetched as
+    WHERE (score, doc_id) < page-1-boundary instead of OFFSET. OFFSET k
+    at depth makes every executor heap carry offset+k rows; the keyset
+    predicate keeps per-partition heaps at k forever — the only correct
+    deep-paging shape at 100 TB. Served off the persisted index; the
+    1-row cursor (computed here from page 1's boundary to stay
+    self-contained; a real client passes it back) broadcasts into the
+    scoring relation."""
+    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    scored = bm25_scores_indexed(spark, " ".join(_BM25_QUERY_TERMS), table_prefix=prefix)
+    cursor = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+        .orderBy(F.col("score").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(F.col("score").alias("c_score"), F.col("doc_id").alias("c_doc"))
+    )
+    return (
+        scored.join(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
