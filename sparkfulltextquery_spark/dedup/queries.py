@@ -657,9 +657,11 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the assignment once: it feeds four plan branches (ev,
     # both pair sides, the final anti-join) and would otherwise replay the
     # unrolled Lloyd lineage per branch (measured 1.7x at sf0.1)
-    assigned = kmeans_iterate(e, k=k, iters=2, truncate_lineage=True).localCheckpoint(
-        eager=False
-    )
+    # truncate_lineage off: at 2 unrolled rounds the lineage is shallow and
+    # the per-round eager checkpoints cost ~1s of pure job overhead
+    # (A/B'd); the single assignment checkpoint below already prevents the
+    # four-branch replay
+    assigned = kmeans_iterate(e, k=k, iters=2).localCheckpoint(eager=False)
     ev = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).join(assigned, "vec_id")
