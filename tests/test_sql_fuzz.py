@@ -341,3 +341,45 @@ def test_random_correlated_subqueries_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"subquery #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# String-scalar fuzzing: randomly composed portable string expressions
+# (upper/lower/substr/trim/replace/concat/length) over real column data —
+# per-row outputs compared exactly.
+# ---------------------------------------------------------------------------
+
+_STR_FNS = [
+    "upper({x})",
+    "lower({x})",
+    "substr({x}, 2, 5)",
+    "trim({x})",
+    "replace({x}, 'a', '_')",
+    "{x} || '-' || l_returnflag",
+    "CAST(length({x}) AS BIGINT)",
+    "reverse({x})",
+    "ltrim(rtrim({x}))",
+    "repeat(l_linestatus, 3)",
+]
+
+
+def _gen_string_query(rng: random.Random) -> str:
+    x = rng.choice(["l_returnflag", "l_linestatus", "o_orderpriority", "o_orderstatus"])
+    exprs = [f.format(x=x) for f in rng.sample(_STR_FNS, rng.randint(2, 4))]
+    inner = rng.choice(exprs)
+    exprs.append(f"upper({inner})" if "length" not in inner else inner)
+    sel = ", ".join(f"{e} AS e{i}" for i, e in enumerate(exprs))
+    return f"""
+    SELECT l_orderkey, l_linenumber, {sel}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey % {rng.randint(17, 43)} = 0"""
+
+
+def test_random_string_exprs_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 6)
+    for i in range(15):
+        sql = _gen_string_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"string query #{i} diverged:\n{sql}"
