@@ -383,3 +383,48 @@ def test_random_string_exprs_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"string query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Datetime fuzzing over the portable subset: year/month/day/hour extracts
+# as BIGINT, date_trunc cast to DATE (never raw timestamps in the output —
+# engines render/convert those differently).
+# ---------------------------------------------------------------------------
+
+_DT_EXPRS = [
+    "CAST(year({t}) AS BIGINT)",
+    "CAST(month({t}) AS BIGINT)",
+    "CAST(day({t}) AS BIGINT)",
+    "CAST(hour({t}) AS BIGINT)",
+    "CAST(date_trunc('month', {t}) AS DATE)",
+    "CAST(date_trunc('year', {t}) AS DATE)",
+    "CAST(date_trunc('day', {t}) AS DATE)",
+]
+
+
+def _gen_datetime_query(rng: random.Random) -> str:
+    t = rng.choice(["l_shipdate", "o_orderdate"])
+    exprs = [f.format(t=t) for f in rng.sample(_DT_EXPRS, rng.randint(2, 4))]
+    sel = ", ".join(f"{e} AS d{i}" for i, e in enumerate(exprs))
+    group = rng.random() < 0.5
+    if group:
+        keys = ", ".join(f"d{i}" for i in range(len(exprs)))
+        return f"""
+        SELECT {sel}, count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_orderkey % {rng.randint(5, 13)} = 0
+        GROUP BY {keys}"""
+    return f"""
+    SELECT l_orderkey, l_linenumber, {sel}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey % {rng.randint(23, 47)} = 0"""
+
+
+def test_random_datetime_exprs_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 7)
+    for i in range(15):
+        sql = _gen_datetime_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"datetime query #{i} diverged:\n{sql}"
