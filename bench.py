@@ -253,7 +253,30 @@ def main() -> None:
     # The JSON line is printed at the end through the saved real stdout.
     real_stdout_fd = os.dup(1)
     os.dup2(2, 1)
+    try:
+        line = _run(sf1_mode)
+    except BaseException as exc:
+        # restore stdout BEFORE re-raising so a mid-run failure still leaves
+        # the driver's capture usable (and emit a parseable breadcrumb
+        # instead of an empty stdout)
+        os.dup2(real_stdout_fd, 1)
+        os.close(real_stdout_fd)
+        print(
+            json.dumps(
+                {"metric": "headline_total_wall", "value": None, "unit": "sec",
+                 "error": f"{type(exc).__name__}: {exc}"}
+            ),
+            flush=True,
+        )
+        raise
+    # restore the real stdout and emit the one contract line
+    os.dup2(real_stdout_fd, 1)
+    os.close(real_stdout_fd)
+    sys.stdout.flush()
+    print(line, flush=True)
 
+
+def _run(sf1_mode: bool) -> str:
     from sparkfulltextquery_spark import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
@@ -336,11 +359,7 @@ def main() -> None:
     # driver's capture truncation
     out_name = "BENCH_SF1_LOCAL.json" if sf1_mode else "BENCH_LOCAL.json"
     (REPO / out_name).write_text(line + "\n")
-    # restore the real stdout and emit the one contract line
-    os.dup2(real_stdout_fd, 1)
-    os.close(real_stdout_fd)
-    sys.stdout.flush()
-    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":

@@ -39,11 +39,21 @@ def main() -> int:
     for section in ("queries", "extra"):
         for k, v1 in b.get(section, {}).items():
             v0 = a.get(section, {}).get(k)
-            if not v0:
+            if v0 is None:
                 continue
-            r = v1 / v0
+            # a 0.000-rounded sf0.1 wall must not silently skip the query —
+            # an "infinitely super-linear" row is exactly what this gate
+            # exists to catch; floor the denominator at the 1ms rounding
+            # granularity instead
+            r = v1 / max(v0, 0.001)
             cls = "OK" if r <= 3.5 else ("LINEAR" if r <= 12 else "ALARM")
             rows.append((cls, r, k, v0, v1))
+    if not rows:
+        print(
+            "ALARM  no overlapping query names between BENCH_LOCAL.json and "
+            "BENCH_SF1_LOCAL.json — stale artifact? rerun both bench modes"
+        )
+        return 1
     rows.sort(key=lambda t: -t[1])
     width = max(len(k) for _, _, k, _, _ in rows)
     alarms = 0

@@ -926,7 +926,9 @@ def curation_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_HASH = "('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100"
+from sparkfulltextquery_spark.functions.hashes import h28_duck as _h28_duck
+
+_SPLIT_HASH = _h28_duck("'split:' || CAST(doc_id AS VARCHAR)") + " % 100"
 
 _HASH_SPLIT_ORACLE = f"""
     WITH b AS (
