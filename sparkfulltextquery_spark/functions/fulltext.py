@@ -262,6 +262,13 @@ def bm25_explain(
     broadcasts back into the term-score relation, so the breakdown costs
     one extra broadcast join over plain bm25_search."""
     ts = bm25_term_scores(docs, query, id_col, text_col, k1, b)
+    return explain_from_term_scores(ts, k)
+
+
+def explain_from_term_scores(ts: DataFrame, k: int) -> DataFrame:
+    """Shared tail of both explain paths (inline and indexed): total the
+    per-(doc, term) contributions, take the deterministic top-k, broadcast
+    the k-row relation back in, and emit the 4dp-rounded breakdown."""
     top = (
         ts.groupBy("doc_id")
         .agg(F.round(F.sum("tscore"), 4).alias("score"))
@@ -440,6 +447,30 @@ def slop_starts_expr(arr_of: dict, terms: list[str], slop: int):
     return F.filter(arr_of[terms[0]], lambda p: window_end(p) - p <= span)
 
 
+def _gather_position_slots(pos: DataFrame, uniq: list[str]):
+    """One aggregation gathering each term's sorted per-doc position array
+    from the positional relation, keeping only docs containing EVERY term
+    (collect_list skips the non-matching rows' NULLs). Returns
+    (slots_df, {term: position-array Column}) — shared by the sloppy- and
+    field-phrase paths, whose only difference is the start predicate."""
+    col_of = {t: f"_pos_{i}" for i, t in enumerate(uniq)}
+    slots = (
+        pos.filter(F.col("term").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(F.col("term") == t, F.col("pos")))
+                ).alias(col_of[t])
+                for t in uniq
+            ]
+        )
+    )
+    for t in uniq:
+        slots = slots.filter(F.size(F.col(col_of[t])) > 0)
+    return slots, {t: F.col(col_of[t]) for t in uniq}
+
+
 def sloppy_phrase_match(
     docs: DataFrame,
     phrase: str,
@@ -460,22 +491,8 @@ def sloppy_phrase_match(
     if pos is None:
         pos = positional_relation(docs, id_col, text_col)
     uniq = sorted(set(terms))
-    col_of = {t: f"_pos_{i}" for i, t in enumerate(uniq)}
-    slots = (
-        pos.filter(F.col("term").isin(uniq))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sort_array(
-                    F.collect_list(F.when(F.col("term") == t, F.col("pos")))
-                ).alias(col_of[t])
-                for t in uniq
-            ]
-        )
-    )
-    for t in uniq:
-        slots = slots.filter(F.size(F.col(col_of[t])) > 0)
-    starts = slop_starts_expr({t: F.col(col_of[t]) for t in uniq}, terms, slop)
+    slots, arr_of = _gather_position_slots(pos, uniq)
+    starts = slop_starts_expr(arr_of, terms, slop)
     return (
         slots.select("doc_id", F.size(starts).alias("n_starts"))
         .filter(F.col("n_starts") > 0)
@@ -524,22 +541,8 @@ def field_phrase_match(
     if pos is None:
         pos = positional_relation(docs, id_col, text_col)
     uniq = sorted(set(terms))
-    col_of = {t: f"_pos_{i}" for i, t in enumerate(uniq)}
-    slots = (
-        pos.filter(F.col("term").isin(uniq))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.sort_array(
-                    F.collect_list(F.when(F.col("term") == t, F.col("pos")))
-                ).alias(col_of[t])
-                for t in uniq
-            ]
-        )
-    )
-    for t in uniq:
-        slots = slots.filter(F.size(F.col(col_of[t])) > 0)
-    starts = exact_starts_expr({t: F.col(col_of[t]) for t in uniq}, terms)
+    slots, arr_of = _gather_position_slots(pos, uniq)
+    starts = exact_starts_expr(arr_of, terms)
     n = len(terms)
     in_field = (
         (lambda p: p <= F.lit(BM25F_TITLE_LEN - n))

@@ -193,6 +193,15 @@ def refresh_index_caches(spark: SparkSession, table_prefix: str = "sftq_index") 
     index rebuild performed by ANOTHER process — same-process rebuilds via
     build_index invalidate automatically."""
     skey = (spark.sparkContext.applicationId, table_prefix)
+    # refresh the stats relation BEFORE reading the stamp: the stamp read
+    # must not be served from this session's cached file listing, or an
+    # external rebuild that leaves the old part files readable (partial
+    # overwrite, eventually-consistent store) would return the OLD
+    # generation and staleness would go undetected
+    try:
+        spark.catalog.refreshTable(f"{table_prefix}_stats")
+    except Exception:
+        pass
     try:
         row = spark.table(f"{table_prefix}_stats").head()
         current = getattr(row, "generation", None)
@@ -201,7 +210,9 @@ def refresh_index_caches(spark: SparkSession, table_prefix: str = "sftq_index") 
     cached = _INDEX_GEN_CACHE.get(skey)
     if cached is not None and cached == current:
         return False
-    for name in ("postings", "df", "dl", "stats"):
+    # includes the optional forward-index tables (tvec/norms); refreshTable
+    # on a prefix that was built without them is a swallowed no-op
+    for name in ("postings", "df", "dl", "stats", "tvec", "norms"):
         try:
             spark.catalog.refreshTable(f"{table_prefix}_{name}")
         except Exception:
@@ -318,22 +329,10 @@ def bm25_explain_indexed(
     contribution rows for the top-k docs. Same pruned-bucket scan as
     bm25_scores_indexed (df/idf are constant-folded literals); the k-row
     top-k broadcasts back into the term relation."""
+    from sparkfulltextquery_spark.functions.fulltext import explain_from_term_scores
+
     ts = bm25_scores_indexed(spark, query, table_prefix, k1, b, explain=True)
-    top = (
-        ts.groupBy("doc_id")
-        .agg(F.round(F.sum("tscore"), 4).alias("score"))
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(k)
-    )
-    return ts.join(F.broadcast(top), "doc_id").select(
-        "doc_id",
-        "score",
-        "term",
-        "tf",
-        "df",
-        F.round("idf", 4).alias("idf"),
-        F.round("tscore", 4).alias("tscore"),
-    )
+    return explain_from_term_scores(ts, k)
 
 
 def bm25_search_indexed(
@@ -624,6 +623,7 @@ def _search_indexed_build(
     fields = sorted(QL.collect_fields(ast))
     fuzzies = sorted(QL.collect_fuzzies(ast))
     ranges = sorted(QL.collect_ranges(ast))
+    regexes = sorted(QL.collect_regexes(ast))
     fphrases = sorted(QL.collect_fieldphrases(ast))
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     field_terms = {t for (_f, t) in fields}
@@ -642,6 +642,7 @@ def _search_indexed_build(
     wflag = {w: f"_w{i}" for i, w in enumerate(sorted(prefixes))}
     zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies)}
     rflag = {r: f"_r{i}" for i, r in enumerate(ranges)}
+    xflag = {x: f"_x{i}" for i, x in enumerate(regexes)}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(
@@ -665,6 +666,9 @@ def _search_indexed_build(
     for lo, hi in ranges:
         # range atoms likewise: a lexicographic band over the vocabulary
         pred = pred | F.col("term").between(lo, hi)
+    for pat in regexes:
+        # regexp atoms likewise: an anchored RLIKE over the vocabulary
+        pred = pred | F.col("term").rlike(QL.Regex(pat).anchored())
     pruned = post.filter(pred)
     # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
     # `term^N` boosts fold into the idf literal chain
@@ -710,6 +714,12 @@ def _search_indexed_build(
     aggs += [
         F.max(F.when(F.col("term").between(lo, hi), 1).otherwise(0)).alias(c)
         for (lo, hi), c in rflag.items()
+    ]
+    aggs += [
+        F.max(
+            F.when(F.col("term").rlike(QL.Regex(pat).anchored()), 1).otherwise(0)
+        ).alias(c)
+        for pat, c in xflag.items()
     ]
     aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
@@ -772,6 +782,8 @@ def _search_indexed_build(
             return F.col(zflag[(n.text, n.dist)]) == 1
         if isinstance(n, QL.TermRange):
             return F.col(rflag[(n.lo, n.hi)]) == 1
+        if isinstance(n, QL.Regex):
+            return F.col(xflag[n.pattern]) == 1
         if isinstance(n, QL.Field):
             return field_col(n.field, n.text)
         if isinstance(n, QL.FieldPhrase):

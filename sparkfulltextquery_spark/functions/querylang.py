@@ -15,6 +15,7 @@ binds tighter than AND):
              | '[' lo TO hi ']'                vocabulary range
              | term '~' dist                   fuzzy (edit distance)
              | term '*'                        wildcard prefix
+             | '/' pattern '/'                 regexp over the vocabulary
              | term ('^' boost)?               term, optionally boosted
 
 Scoring: plain/field/phrase words contribute document-level BM25 (boosts
@@ -103,6 +104,23 @@ class Fuzzy:
 
 
 @dataclass(frozen=True)
+class Regex:
+    """Regexp atom (`/sp.rk/`, Lucene RegexpQuery): matches any vocabulary
+    term the pattern matches ENTIRELY (Lucene regexps are implicitly
+    anchored — no ^/$ inside the pattern). Constant-score like Prefix
+    (expanded terms contribute no idf); unprunable by hash bucketing — the
+    scan filters an RLIKE predicate over the vocabulary, the same shape as
+    Fuzzy's levenshtein scan. The pattern is restricted to a portable
+    subset (literals, `.`, `*`, `+`, `?`, `|`, groups, char classes) that
+    Java regex and RE2-family engines interpret identically."""
+
+    pattern: str
+
+    def anchored(self) -> str:
+        return f"^(?:{self.pattern})$"
+
+
+@dataclass(frozen=True)
 class TermRange:
     """Lexicographic vocabulary range atom (`[alpha TO beta]`, Lucene
     range query): matches any term t with lo <= t <= beta, bounds
@@ -150,7 +168,12 @@ class Or:
     children: tuple
 
 
-_TOKEN_RE = re.compile(r'\(|\)|"[^"]*"|[^\s()"]+')
+_TOKEN_RE = re.compile(r'/[^/\s]+/|\(|\)|"[^"]*"|[^\s()"]+')
+
+# the portable regexp-atom subset: literals, dot, quantifiers, alternation,
+# groups, character classes — NO anchors (Lucene regexps are implicitly
+# anchored), NO backslash escapes (escape semantics differ across engines)
+_REGEX_ATOM_OK = re.compile(r"^[a-z0-9.*+?|()\[\]\-]+$")
 
 
 def parse_query(q: str):
@@ -241,6 +264,18 @@ def parse_query(q: str):
             if lo_n[0] > hi_n[0]:
                 raise ValueError(f"empty range: {lo_n[0]!r} > {hi_n[0]!r}")
             return TermRange(lo_n[0], hi_n[0])
+        if t.startswith("/") and t.endswith("/") and len(t) >= 3:
+            pat = t[1:-1].lower()
+            if not _REGEX_ATOM_OK.fullmatch(pat):
+                raise ValueError(
+                    f"regexp atom {t!r} outside the portable subset "
+                    "(letters, digits, . * + ? | ( ) [ ] -)"
+                )
+            try:
+                re.compile(pat)
+            except re.error as exc:
+                raise ValueError(f"invalid regexp atom {t!r}: {exc}") from exc
+            return Regex(pat)
         if t.startswith('"'):
             body = t.strip('"')
             if not _py_tokenize(body):
@@ -306,7 +341,7 @@ def parse_query(q: str):
             if len(norm) != 1:
                 raise ValueError(f"fuzzy atom {t!r} must normalize to one term")
             return Fuzzy(norm[0], dist)
-        if "~" in t or ":" in t:
+        if "~" in t or ":" in t or "/" in t:
             raise ValueError(f"malformed atom {t!r}")
         if t.endswith("*") and len(t) > 1:
             if "*" in t[:-1]:
@@ -345,7 +380,7 @@ def positive_terms(node) -> list[str]:
         return _py_tokenize(node.text)
     if isinstance(node, Near):
         return [node.a, node.b]
-    if isinstance(node, (Not, Prefix, Fuzzy, TermRange)):
+    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex)):
         return []
     return [t for c in node.children for t in positive_terms(c)]
 
@@ -363,7 +398,7 @@ def term_boosts(node) -> dict[str, float]:
         return {t: 1.0 for t in _py_tokenize(node.text)}
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
-    if isinstance(node, (Not, Prefix, Fuzzy, TermRange)):
+    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex)):
         return {}
     out: dict[str, float] = {}
     for c in node.children:
@@ -407,6 +442,14 @@ def compile_matches(
         # fulltext_fuzzy_vocab) — unprunable, like Prefix
         return (
             post.filter(F.levenshtein(F.col("term"), F.lit(node.text)) <= node.dist)
+            .select("doc_id")
+            .distinct()
+        )
+    if isinstance(node, Regex):
+        # vocabulary-wide anchored-regexp scan (Lucene RegexpQuery) —
+        # unprunable, like Prefix and Fuzzy
+        return (
+            post.filter(F.col("term").rlike(node.anchored()))
             .select("doc_id")
             .distinct()
         )
@@ -470,7 +513,7 @@ def _collect_atoms(node) -> tuple[set, set, set]:
         return set(), set(), {node.text}
     if isinstance(node, Phrase):
         return set(), {(node.text, node.slop)}, set()
-    if isinstance(node, (Near, Field, Fuzzy, TermRange, FieldPhrase)):
+    if isinstance(node, (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex)):
         # collected separately via the per-kind collectors below
         return set(), set(), set()
     if isinstance(node, Not):
@@ -486,71 +529,56 @@ def _collect_atoms(node) -> tuple[set, set, set]:
     return terms, phrases, prefixes
 
 
-def collect_nears(node) -> set:
-    """All Near atoms (a, b, k) in the AST."""
-    if isinstance(node, Near):
-        return {(node.a, node.b, node.k)}
+def _collect_kind(node, cls, key) -> set:
+    """Generic AST walk: every atom of type `cls` anywhere in the tree,
+    projected through `key`. One traversal serves all per-kind collectors
+    below (they differ only in the atom class and key tuple)."""
+    if isinstance(node, cls):
+        return {key(node)}
     if isinstance(node, Not):
-        return collect_nears(node.child)
+        return _collect_kind(node.child, cls, key)
     out: set = set()
     for c in getattr(node, "children", ()):
-        out |= collect_nears(c)
+        out |= _collect_kind(c, cls, key)
     return out
+
+
+def collect_nears(node) -> set:
+    """All Near atoms (a, b, k) in the AST."""
+    return _collect_kind(node, Near, lambda n: (n.a, n.b, n.k))
 
 
 def collect_fields(node) -> set:
     """All Field atoms (field, term) in the AST."""
-    if isinstance(node, Field):
-        return {(node.field, node.text)}
-    if isinstance(node, Not):
-        return collect_fields(node.child)
-    out: set = set()
-    for c in getattr(node, "children", ()):
-        out |= collect_fields(c)
-    return out
+    return _collect_kind(node, Field, lambda n: (n.field, n.text))
 
 
 def collect_ranges(node) -> set:
     """All TermRange atoms (lo, hi) in the AST."""
-    if isinstance(node, TermRange):
-        return {(node.lo, node.hi)}
-    if isinstance(node, Not):
-        return collect_ranges(node.child)
-    out: set = set()
-    for c in getattr(node, "children", ()):
-        out |= collect_ranges(c)
-    return out
+    return _collect_kind(node, TermRange, lambda n: (n.lo, n.hi))
 
 
 def collect_fieldphrases(node) -> set:
     """All FieldPhrase atoms (field, text) in the AST."""
-    if isinstance(node, FieldPhrase):
-        return {(node.field, node.text)}
-    if isinstance(node, Not):
-        return collect_fieldphrases(node.child)
-    out: set = set()
-    for c in getattr(node, "children", ()):
-        out |= collect_fieldphrases(c)
-    return out
+    return _collect_kind(node, FieldPhrase, lambda n: (n.field, n.text))
 
 
 def collect_fuzzies(node) -> set:
     """All Fuzzy atoms (term, dist) in the AST."""
-    if isinstance(node, Fuzzy):
-        return {(node.text, node.dist)}
-    if isinstance(node, Not):
-        return collect_fuzzies(node.child)
-    out: set = set()
-    for c in getattr(node, "children", ()):
-        out |= collect_fuzzies(c)
-    return out
+    return _collect_kind(node, Fuzzy, lambda n: (n.text, n.dist))
+
+
+def collect_regexes(node) -> set:
+    """All Regex atom patterns in the AST."""
+    return _collect_kind(node, Regex, lambda n: n.pattern)
 
 
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
     if isinstance(
-        node, (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase)
+        node,
+        (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase, Regex),
     ):
         return False
     if isinstance(node, Not):
@@ -582,6 +610,7 @@ def compile_matches_flags(
     fields_l = sorted(collect_fields(node))
     fuzzies_l = sorted(collect_fuzzies(node))
     ranges_l = sorted(collect_ranges(node))
+    regexes_l = sorted(collect_regexes(node))
     fphrases_l = sorted(collect_fieldphrases(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
@@ -593,9 +622,10 @@ def compile_matches_flags(
     gflag = {f: f"_g{i}" for i, f in enumerate(fields_l)}
     zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies_l)}
     rflag = {r: f"_r{i}" for i, r in enumerate(ranges_l)}
+    xflag = {x: f"_x{i}" for i, x in enumerate(regexes_l)}
     fpflag = {f: f"_fp{i}" for i, f in enumerate(fphrases_l)}
 
-    if terms_l or prefixes_l or fuzzies_l or ranges_l:
+    if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
         for w in prefixes_l:
             pred = pred | F.col("term").startswith(w)
@@ -603,6 +633,8 @@ def compile_matches_flags(
             pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
         for lo, hi in ranges_l:
             pred = pred | F.col("term").between(lo, hi)
+        for pat in regexes_l:
+            pred = pred | F.col("term").rlike(Regex(pat).anchored())
         flags = (
             post.filter(pred)
             .groupBy("doc_id")
@@ -630,6 +662,14 @@ def compile_matches_flags(
                         F.when(F.col("term").between(lo, hi), 1).otherwise(0)
                     ).alias(rflag[(lo, hi)])
                     for lo, hi in ranges_l
+                ],
+                *[
+                    F.max(
+                        F.when(
+                            F.col("term").rlike(Regex(pat).anchored()), 1
+                        ).otherwise(0)
+                    ).alias(xflag[pat])
+                    for pat in regexes_l
                 ],
             )
         )
@@ -675,6 +715,8 @@ def compile_matches_flags(
             return F.coalesce(F.col(zflag[(n.text, n.dist)]), F.lit(0)) == 1
         if isinstance(n, TermRange):
             return F.coalesce(F.col(rflag[(n.lo, n.hi)]), F.lit(0)) == 1
+        if isinstance(n, Regex):
+            return F.coalesce(F.col(xflag[n.pattern]), F.lit(0)) == 1
         if isinstance(n, Field):
             return F.coalesce(F.col(gflag[(n.field, n.text)]), F.lit(0)) == 1
         if isinstance(n, FieldPhrase):

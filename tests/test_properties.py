@@ -620,6 +620,9 @@ def _py_eval(node, ts):
         return any(_lev(t, node.text) <= node.dist for t in set(ts))
     if isinstance(node, QL.TermRange):
         return any(node.lo <= t <= node.hi for t in ts)
+    if isinstance(node, QL.Regex):
+        pat = re.compile(node.pattern)
+        return any(pat.fullmatch(t) for t in set(ts))
     if isinstance(node, QL.Field):
         seg = ts[:L] if node.field == "title" else ts[L:]
         return node.text in seg
@@ -676,7 +679,7 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.And(kids) if op == "and" else QL.Or(kids)
     kind = rng.choice(
         ["term", "prefix", "fuzzy", "range", "field", "fphrase", "phrase",
-         "slop", "near"]
+         "slop", "near", "regex"]
     )
     w = rng.choice(vocab)
     if kind == "term":
@@ -685,6 +688,12 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.Prefix(w[: max(1, len(w) - 1)])
     if kind == "fuzzy":
         return QL.Fuzzy(w, rng.randint(1, 2))
+    if kind == "regex":
+        if rng.random() < 0.5:
+            # one wildcarded character in a real vocab word
+            i = rng.randrange(len(w))
+            return QL.Regex(w[:i] + "." + w[i + 1 :])
+        return QL.Regex(f"{w}|{rng.choice(vocab)}")
     if kind == "range":
         a, b = sorted([w, rng.choice(vocab)])
         return QL.TermRange(a, b)
@@ -711,6 +720,8 @@ def _ast_to_query(node) -> str:
         return f"{node.text}*"
     if isinstance(node, QL.Fuzzy):
         return f"{node.text}~{node.dist}"
+    if isinstance(node, QL.Regex):
+        return f"/{node.pattern}/"
     if isinstance(node, QL.TermRange):
         return f"[{node.lo} TO {node.hi}]"
     if isinstance(node, QL.Field):

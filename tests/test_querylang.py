@@ -442,3 +442,78 @@ def test_range_and_fieldphrase_match_naive(spark):
         r.doc_id for r in search(docs, 'body:"spark join"', k=10**6).collect()
     }
     assert got_b == exp_b
+
+
+def test_parser_regex_shapes():
+    """r6: `/pattern/` regexp atoms (Lucene RegexpQuery) — implicitly
+    anchored, restricted to the Java-regex/RE2-portable subset; malformed
+    or non-portable patterns reject."""
+    from sparkfulltextquery_spark.functions.querylang import Regex
+
+    assert parse_query("/sp.rk/") == Regex("sp.rk")
+    assert parse_query("/SP(AR|UR)K/") == Regex("sp(ar|ur)k")
+    assert parse_query("/qu.+y/ OR batch") == Or((Regex("qu.+y"), Term("batch")))
+    assert parse_query("NOT /a[bc]d/") == Not(Regex("a[bc]d"))
+    assert Regex("sp.rk").anchored() == "^(?:sp.rk)$"
+    for bad in [
+        "//",          # empty pattern
+        "/a\\d/",      # escapes are not portable
+        "/a{2}/",      # bounded repetition outside the subset
+        "/^a/",        # anchors are implicit (Lucene semantics)
+        "/a$/",        # anchors are implicit
+        "/(ab/",       # invalid regex (unbalanced group)
+        "a/b",         # stray slash in a term atom
+        "/foo",        # unterminated pattern
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_regex_matches_naive_fullmatch(spark):
+    """`/pattern/` must equal brute-force `re.fullmatch` over each doc's
+    vocabulary (anchored semantics — `/ar/` must NOT match 'spark')."""
+    import re as _re
+
+    toks = _token_sets(spark)
+    docs = load_table(spark, SF_DIR, "documents")
+
+    for pat in ["sp.rk", "qu.r(y|ies)", "jo.+"]:
+        rx = _re.compile(pat)
+        exp = {d for d, ts in toks.items() if any(rx.fullmatch(t) for t in set(ts))}
+        got = {r.doc_id for r in search(docs, f"/{pat}/", k=10**6).collect()}
+        assert got == exp, pat
+    # substring pattern must not match longer terms (anchoring)
+    exp = {d for d, ts in toks.items() if "ar" in ts}
+    got = {r.doc_id for r in search(docs, "/ar/", k=10**6).collect()}
+    assert got == exp
+
+
+def test_regex_flag_equals_join_compilation(spark):
+    """One-pass flag compiler vs join compiler on regex-bearing ASTs."""
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.functions.fulltext import phrase_match, postings
+    from sparkfulltextquery_spark.functions.querylang import (
+        compile_matches,
+        compile_matches_flags,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    post = postings(docs)
+    phrase_fn = lambda text, slop=0: phrase_match(docs, text).select("doc_id")  # noqa: E731
+    universe = docs.select("doc_id")
+    for q in [
+        "/sp.rk/",
+        "/sp.rk/ OR batch",
+        "/qu.r(y|ies)/ AND NOT spark",
+        "(/jo.+/ OR vector) AND batch",
+    ]:
+        ast = parse_query(q)
+        flags = compile_matches_flags(ast, post, phrase_fn)
+        assert flags is not None, q
+        want = {
+            r.doc_id
+            for r in compile_matches(ast, post, phrase_fn, universe).collect()
+        }
+        got = {r.doc_id for r in flags.collect()}
+        assert got == want, q
