@@ -1151,6 +1151,60 @@ _FUZZY_ORACLE = f"""
 """
 
 
+_REGEX_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    matched AS (
+      SELECT DISTINCT doc_id FROM tfs WHERE regexp_matches(term, '^(?:qu.r(y|ies))$')
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_regex", oracle=_REGEX_ORACLE)
+def fulltext_query_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp atom `/qu.r(y|ies)/ OR batch` (Lucene RegexpQuery surface,
+    ref RegexpExpression family `regexpExpressions.scala`): `/pattern/`
+    matches any vocabulary term the pattern matches entirely (implicitly
+    anchored, as Lucene regexps are) via an RLIKE predicate over the
+    posting vocabulary — the same constant-score multi-term expansion
+    discipline as prefix and fuzzy atoms; the plain `batch` branch still
+    scores BM25. The pattern subset (literals, ., quantifiers, |, groups,
+    char classes — no anchors, no escapes) is portable between Java regex
+    and RE2-family engines, so the oracle runs the IDENTICAL pattern."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "/qu.r(y|ies)/ OR batch", k=10)
+
+
+@query("fulltext_query_regex_indexed", oracle=_REGEX_ORACLE)
+def fulltext_query_regex_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same regexp query answered from the PERSISTED index one-pass:
+    the anchored RLIKE widens the pruned scan (a regexp can't bucket-prune,
+    exactly like prefix/fuzzy atoms) and the regex flag folds into the
+    single doc_id aggregation."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "/qu.r(y|ies)/ OR batch", k=10, table_prefix=prefix)
+
+
 @query("fulltext_query_fuzzy", oracle=_FUZZY_ORACLE)
 def fulltext_query_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy atom `sparc~1 OR batch` (Lucene fuzzy-search surface; VERDICT
@@ -1773,5 +1827,101 @@ def fulltext_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .select("doc_id", "score")
         .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------- hybrid search: BM25 + vector RRF (r6) ----------------
+
+_RRF_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+      FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    semtop AS (
+      SELECT vec_id,
+             round(list_inner_product(v, qv) /
+                   (sqrt(list_sum(list_transform(v, x -> x * x))) *
+                    sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
+      FROM e CROSS JOIN q
+      ORDER BY cosine DESC, vec_id LIMIT 20
+    ),
+    sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS sr
+      FROM semtop
+    )
+    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+           round(coalesce(1.0::DOUBLE / (60 + lr), 0)
+                 + coalesce(1.0::DOUBLE / (60 + sr), 0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@query("fulltext_hybrid_rrf", oracle=_RRF_ORACLE)
+def fulltext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009; the
+    Elasticsearch/OpenSearch hybrid-search default): fuse the lexical BM25
+    top-20 for 'spark join' with the semantic cosine top-20 against the
+    vec_id=0 embedding (doc_id aligned with vec_id) as
+    rrf = Σ 1/(60 + rank), full-outer over the two bounded rank lists,
+    top-10 by fused score.
+
+    Scale shape: each leg ends in a global top-20 heap (per-partition
+    heaps merged on the driver — O(k) whatever the corpus size); the
+    row_number windows and the full-outer join run over the two 20-row
+    lists, so the fusion itself is constant-cost. The unpartitioned
+    windows are safe by construction — they see ≤20 rows. Rank literals
+    are exact integers; the only floats are the two IEEE divisions, summed
+    once and rounded at 6dp."""
+    from sparkfulltextquery_spark.functions.fulltext import bm25_scores
+    from sparkfulltextquery_spark.similarity import cosine_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    lex = (
+        bm25_scores(d, "spark join")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .alias("lr"),
+        )
+    )
+    sem = (
+        cosine_topk(e, [float(x) for x in qvec], k=20)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+            .alias("sr"),
+        )
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("sr")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
         .limit(10)
     )

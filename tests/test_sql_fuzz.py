@@ -428,3 +428,137 @@ def test_random_datetime_exprs_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"datetime query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Join-graph fuzzing: random connected subgraphs of the star schema
+# (lineitem-orders-customer-nation-region / supplier / part) joined INNER
+# along their FK edges in random order — the shapes Catalyst's join
+# reordering and DuckDB's optimizer must agree on.
+# ---------------------------------------------------------------------------
+
+# table -> (parent table, join condition); chains are built by walking
+# edges upward from lineitem
+_GRAPH_EDGES = {
+    "orders": "l_orderkey = o_orderkey",
+    "customer": "o_custkey = c_custkey",
+    "nation": "c_nationkey = n_nationkey",
+    "region": "n_regionkey = r_regionkey",
+    "supplier": "l_suppkey = s_suppkey",
+    "part": "l_partkey = p_partkey",
+}
+_GRAPH_KEYS = {
+    "orders": ("o_orderstatus", "k_ost"),
+    "customer": ("c_mktsegment", "k_seg"),
+    "nation": ("n_name", "k_nat"),
+    "region": ("r_name", "k_reg"),
+    "supplier": ("s_suppkey % 3", "k_sup"),
+    "part": ("p_brand", "k_brand"),
+}
+_GRAPH_PREDS = {
+    "orders": "o_orderstatus <> 'X'",
+    "customer": "c_acctbal >= {v}",
+    "nation": "n_nationkey % 2 = 0",
+    "region": "r_regionkey <= {v}",
+    "supplier": "s_acctbal > {v}",
+    "part": "p_size BETWEEN 1 AND {v}",
+}
+
+
+def _gen_join_graph_query(rng: random.Random) -> str:
+    # pick a connected table set: always lineitem; orders-chain depth 0-4;
+    # optionally supplier and/or part legs
+    chain = ["orders", "customer", "nation", "region"][: rng.randint(0, 4)]
+    legs = [t for t in ("supplier", "part") if rng.random() < 0.4]
+    tables = chain + legs
+    joins = "".join(
+        f"\n    JOIN {t} ON {_GRAPH_EDGES[t]}" for t in tables
+    )
+    keys = [_GRAPH_KEYS[t] for t in rng.sample(tables, min(len(tables), 2))] if tables else []
+    aggs = rng.sample(_AGGS, rng.randint(1, 2))
+    preds = [
+        _GRAPH_PREDS[t].format(v=rng.randint(2, 30))
+        for t in tables
+        if rng.random() < 0.4
+    ]
+    sel = [f"{e} AS {a}" for e, a in keys] + [f"{g} AS a{i}" for i, g in enumerate(aggs)]
+    sql = "SELECT " + ", ".join(sel) + "\nFROM lineitem" + joins
+    if preds:
+        sql += "\nWHERE " + " AND ".join(preds)
+    if keys:
+        sql += "\nGROUP BY " + ", ".join(a for _, a in keys)
+    return sql
+
+
+def test_random_join_graphs_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    from sparkfulltextquery_spark.sources import load_table
+
+    for t in ("customer", "nation", "region", "supplier", "part"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
+        duck_con.execute(
+            f"CREATE VIEW IF NOT EXISTS {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    rng = random.Random(SEED + 8)
+    for i in range(20):
+        sql = _gen_join_graph_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"join-graph query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Integer-arithmetic / CASE fuzzing: randomly nested exact-integer
+# expressions (+ - * % abs greatest least, CASE ladders) computed per-row —
+# the constant-folding and three-valued-logic surface, no floats anywhere.
+# ---------------------------------------------------------------------------
+
+_INT_COLS = [
+    "CAST(l_orderkey AS BIGINT)",
+    "CAST(l_partkey AS BIGINT)",
+    "CAST(l_suppkey AS BIGINT)",
+    "CAST(l_linenumber AS BIGINT)",
+    "CAST(round(l_quantity) AS BIGINT)",
+]
+
+
+def _gen_int_expr(rng: random.Random, depth: int = 0) -> str:
+    if depth >= 2 or rng.random() < 0.35:
+        return rng.choice(_INT_COLS) if rng.random() < 0.7 else str(rng.randint(-9, 9))
+    shape = rng.choice(["bin", "mod", "abs", "gl", "case"])
+    a = _gen_int_expr(rng, depth + 1)
+    b = _gen_int_expr(rng, depth + 1)
+    if shape == "bin":
+        return f"({a} {rng.choice(['+', '-', '*'])} {b})"
+    if shape == "mod":
+        # strictly-positive divisor: engines agree on % sign for pos divisors
+        return f"({a} % {rng.randint(2, 13)})"
+    if shape == "abs":
+        return f"abs({a})"
+    if shape == "gl":
+        return f"{rng.choice(['greatest', 'least'])}({a}, {b})"
+    return (
+        f"(CASE WHEN {a} > {rng.randint(-5, 20)} THEN {b} "
+        f"WHEN {a} < {rng.randint(-20, -6)} THEN {rng.randint(0, 5)} "
+        f"ELSE {_gen_int_expr(rng, depth + 1)} END)"
+    )
+
+
+def _gen_arith_query(rng: random.Random) -> str:
+    exprs = [_gen_int_expr(rng) for _ in range(rng.randint(2, 4))]
+    sel = ", ".join(f"CAST({e} AS BIGINT) AS e{i}" for i, e in enumerate(exprs))
+    return f"""
+    SELECT l_orderkey, l_linenumber, {sel}
+    FROM lineitem
+    WHERE l_orderkey % {rng.randint(13, 37)} = 0"""
+
+
+def test_random_int_arithmetic_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 9)
+    for i in range(20):
+        sql = _gen_arith_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"arith query #{i} diverged:\n{sql}"
