@@ -1925,3 +1925,73 @@ def fulltext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+# ---------------- minimum_should_match (r6) ----------------
+
+_MSM_TERMS = ["batch", "join", "spark", "vector"]
+
+_MSM_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['batch', 'join', 'spark', 'vector']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    perdoc AS (
+      SELECT doc_id, count(DISTINCT term) AS n_matched,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_matched, score
+    FROM perdoc WHERE n_matched >= 2
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@query("fulltext_min_should_match", oracle=_MSM_ORACLE)
+def fulltext_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/Elasticsearch `minimum_should_match`: an OR of should-clauses
+    that only matches documents satisfying at least m of them (here m=2 of
+    4 terms), ranked by BM25 summed over the MATCHED clauses. One postings
+    scan, one doc_id aggregation computing the distinct-clause count and
+    the BM25 sum together, a HAVING-style filter, top-k heap — the same
+    single-shuffle shape as plain BM25 search."""
+    from sparkfulltextquery_spark.functions.fulltext import bm25_term_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = bm25_term_scores(d, " ".join(_MSM_TERMS))
+    return (
+        ts.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_matched"),
+            F.round(F.sum("tscore"), 4).alias("score"),
+        )
+        .filter(F.col("n_matched") >= 2)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+@query("fulltext_min_should_match_indexed", oracle=_MSM_ORACLE)
+def fulltext_min_should_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match served off the PERSISTED index: the pruned
+    per-(doc, term) score relation (bucket-pruned scan, df/idf as
+    constant-folded literals) aggregates clause count and BM25 sum in ONE
+    doc_id groupBy — zero joins, corpus-size-independent driver state."""
+    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    ts = bm25_scores_indexed(spark, " ".join(_MSM_TERMS), table_prefix=prefix, explain=True)
+    return (
+        ts.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_matched"),
+            F.round(F.sum("tscore"), 4).alias("score"),
+        )
+        .filter(F.col("n_matched") >= 2)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )

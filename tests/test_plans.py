@@ -699,3 +699,38 @@ def test_sql_hints_steer_join_and_partitioning(spark):
 
     rep = spark.sql("SELECT /*+ REPARTITION(7) */ * FROM h_orders")
     assert rep.rdd.getNumPartitions() == 7
+
+
+def test_regex_indexed_one_pass(spark):
+    """The /regex/ atom on the indexed path must stay the one-pass shape:
+    a single postings scan (the RLIKE widens the term pruning but adds no
+    relation), one doc_id aggregation, no join anywhere in the plan."""
+    df = _q(spark, "fulltext_query_regex_indexed")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-pass plan"
+    assert uses_top_k(df)
+
+
+def test_min_should_match_indexed_zero_join(spark):
+    """minimum_should_match off the index: clause count and BM25 sum fold
+    into ONE doc_id aggregation over the pruned scan — no joins, bounded
+    top-k heap."""
+    df = _q(spark, "fulltext_min_should_match_indexed")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-pass plan"
+    assert uses_top_k(df)
+
+
+def test_hybrid_rrf_bounded_legs(spark):
+    """Hybrid RRF: both retrieval legs must end in bounded top-k heaps
+    (TakeOrderedAndProject) BEFORE the fusion join — the join then runs
+    over two ≤20-row lists, so no cartesian and no unbounded sort-merge
+    over corpus-sized relations."""
+    df = _q(spark, "fulltext_hybrid_rrf")
+    plan = physical_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
