@@ -110,6 +110,11 @@ EXTRA = [
     # the index-served score explain
     "dedup_semdedup_prune",
     "fulltext_score_explain_indexed",
+    # r06 continuation: regex atom (indexed one-pass), hybrid BM25+vector
+    # RRF fusion, minimum_should_match (indexed one-pass)
+    "fulltext_query_regex_indexed",
+    "fulltext_hybrid_rrf",
+    "fulltext_min_should_match_indexed",
 ]
 
 

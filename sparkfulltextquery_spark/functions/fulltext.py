@@ -378,6 +378,99 @@ def bm25f_search(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
+def dismax_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    tie: float = 0.3,
+    title_len: int = BM25F_TITLE_LEN,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Disjunction-max top-k (Lucene DisjunctionMaxQuery — the OTHER classic
+    multi-field scorer besides BM25F): each field is scored as an
+    independent BM25 sub-index (its OWN df, dl, avgdl), and per (doc, term)
+    the fused score is
+
+        dismax(d,t) = max_f s_f(d,t) + tie · (Σ_f s_f(d,t) − max_f s_f(d,t))
+
+    summed over query terms. Where BM25F fuses tf BEFORE saturation,
+    DisMax fuses complete per-field scores AFTER — it rewards the best
+    single field rather than accumulation across fields, which is why
+    Lucene defaults multi-field queries to it.
+
+    Fields carve deterministically like bm25f_search (title = first
+    `title_len` tokens). Same plan shape: IN-list prune before joins,
+    per-field stats broadcast, two bounded aggregations, top-k heap."""
+    q_terms = sorted(set(_py_tokenize(query)))
+    if not q_terms:
+        raise ValueError("empty query after tokenization")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    fields = toks.select(
+        "doc_id",
+        F.slice("toks", 1, title_len).alias("title"),
+        F.slice(
+            "toks",
+            F.lit(title_len + 1),
+            F.greatest(F.size("toks") - title_len, F.lit(0)),
+        ).alias("body"),
+    )
+    ftoks = fields.select(
+        "doc_id",
+        F.explode(
+            F.create_map(
+                F.lit("title"), F.col("title"), F.lit("body"), F.col("body")
+            )
+        ).alias("field", "ftoks"),
+    )
+    dl = ftoks.select("doc_id", "field", F.size("ftoks").alias("dl"))
+    avgdl = dl.groupBy("field").agg(F.avg("dl").alias("avgdl"))
+    fpost = ftoks.select("doc_id", "field", F.explode("ftoks").alias("term"))
+    qpost = (
+        fpost.filter(F.col("term").isin(q_terms))
+        .groupBy("doc_id", "field", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # per-FIELD document frequency — each field is its own sub-index
+    dfreq = qpost.groupBy("field", "term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    s = (
+        qpost.join(dl, ["doc_id", "field"])
+        .join(F.broadcast(avgdl), "field")
+        .join(F.broadcast(dfreq), ["field", "term"])
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    fused = s.groupBy("doc_id", "term").agg(
+        (F.max("s") + F.lit(tie) * (F.sum("s") - F.max("s"))).alias("dm")
+    )
+    return (
+        fused.groupBy("doc_id")
+        .agg(F.round(F.sum("dm"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
 def positional_relation(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

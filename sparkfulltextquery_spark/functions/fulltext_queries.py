@@ -1995,3 +1995,57 @@ def fulltext_min_should_match_indexed(spark: SparkSession, sf_dir: str) -> DataF
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+# ---------------- DisMax multi-field scoring (r6) ----------------
+
+
+@query(
+    "fulltext_dismax",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    fields AS (
+      SELECT doc_id, 'title' AS field, toks[1:10] AS ftoks FROM toks
+      UNION ALL
+      SELECT doc_id, 'body' AS field, toks[11:] AS ftoks FROM toks
+    ),
+    dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM fields),
+    avgdl AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
+    fpost AS (SELECT doc_id, field, unnest(ftoks) AS term FROM fields),
+    qpost AS (
+      SELECT doc_id, field, term, count(*) AS tf FROM fpost
+      WHERE term IN ('data', 'query', 'spark', 'window')
+      GROUP BY doc_id, field, term
+    ),
+    dfreq AS (
+      SELECT field, term, count(DISTINCT doc_id) AS df
+      FROM qpost GROUP BY field, term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (
+      SELECT doc_id, term,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+      FROM qpost JOIN dl USING (doc_id, field)
+      JOIN avgdl USING (field) JOIN dfreq USING (field, term) CROSS JOIN n
+    ),
+    fused AS (
+      SELECT doc_id, term, max(s) + 0.3 * (sum(s) - max(s)) AS dm
+      FROM s GROUP BY doc_id, term
+    )
+    SELECT doc_id, round(sum(dm), 4) AS score
+    FROM fused GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def fulltext_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction-max multi-field ranking (Lucene DisjunctionMaxQuery,
+    tie_breaker=0.3): each field scores as an independent BM25 sub-index
+    (per-field df/dl/avgdl) and per (doc, term) the fused score is the best
+    field's score plus tie x the rest — rewarding the best single field
+    rather than cross-field accumulation (the complement of
+    fulltext_bm25f_weighted, which fuses tf BEFORE saturation). Same
+    deterministic title/body carving and query as the BM25F row so the two
+    scorers' rankings are directly comparable."""
+    d = load_table(spark, sf_dir, "documents")
+    return FT.dismax_search(d, "data query spark window", k=10)

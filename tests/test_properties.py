@@ -790,3 +790,37 @@ def test_random_query_asts_three_way_equivalence(spark, tmp_path):
             ).collect()
         }
         assert got_indexed == expected, f"indexed mismatch on {qtext!r}"
+
+
+def test_dismax_tiebreak_contract(spark):
+    """DisMax semantics contracts (Lucene DisjunctionMaxQuery):
+    tie=0 scores exactly the best field; tie=1 degenerates to the
+    per-field score SUM; and a doc whose two query terms sit in the SAME
+    field outranks one splitting them across fields at tie=0 (the
+    'best single field' behavior DisMax exists for)."""
+    from sparkfulltextquery_spark.functions.fulltext import dismax_search
+
+    filler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    body_fill = " ".join(["lorem"] * 30)
+    docs = spark.createDataFrame(
+        [
+            # doc 1: both terms in the title window
+            (1, "needle thread " + filler[len("alpha beta "):] + " " + body_fill),
+            # doc 2: terms split across title and body (body padded past the
+            # corpus avgdl so its length normalization actually bites — with
+            # dl == avgdl in BOTH fields the two placements score identically)
+            (2, "needle " + filler[len("alpha "):] + " " + body_fill + " pad pad pad thread"),
+            (3, filler + " " + body_fill),
+            (4, filler + " " + body_fill + " extra words here"),
+        ],
+        "doc_id long, text string",
+    )
+    q = "needle thread"
+    t0 = {r.doc_id: r.score for r in dismax_search(docs, q, k=4, tie=0.0).collect()}
+    t1 = {r.doc_id: r.score for r in dismax_search(docs, q, k=4, tie=1.0).collect()}
+    assert set(t0) == {1, 2}, t0
+    # same-field doc wins under pure max semantics
+    assert t0[1] > t0[2], t0
+    # tie=1 >= tie=0 pointwise (the tiebreak only ever adds score)
+    for d in t0:
+        assert t1[d] >= t0[d], (d, t0[d], t1[d])
