@@ -114,6 +114,7 @@ EXTRA = [
     # RRF fusion, minimum_should_match (indexed one-pass)
     "fulltext_query_regex_indexed",
     "fulltext_hybrid_rrf",
+    "fulltext_hybrid_rrf_indexed",
     "fulltext_min_should_match_indexed",
 ]
 

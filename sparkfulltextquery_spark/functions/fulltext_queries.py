@@ -2049,3 +2049,45 @@ def fulltext_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorers' rankings are directly comparable."""
     d = load_table(spark, sf_dir, "documents")
     return FT.dismax_search(d, "data query spark window", k=10)
+
+
+@query("fulltext_hybrid_rrf_indexed", oracle=_RRF_ORACLE)
+def fulltext_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF with the lexical leg served off the PERSISTED index:
+    bm25_scores_indexed is bit-identical to the inline scorer (same
+    formula, df/avgdl as constant-folded literals), so the fused ranking —
+    and the oracle — are unchanged while the corpus tokenization drops out
+    of the plan (one bucket-pruned postings scan instead). The semantic
+    leg is the same bounded cosine top-20."""
+    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
+    from sparkfulltextquery_spark.similarity import cosine_topk
+
+    prefix = _ensure_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    lex = (
+        bm25_scores_indexed(spark, "spark join", table_prefix=prefix)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
+            .alias("lr"),
+        )
+    )
+    sem = cosine_topk(e, [float(x) for x in qvec], k=20).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id")))
+        .alias("sr"),
+    )
+    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("sr")), F.lit(0.0)
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(10)
+    )

@@ -562,3 +562,58 @@ def test_random_int_arithmetic_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"arith query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause fuzzing: aggregates with per-aggregate FILTER (WHERE ...)
+# predicates (the SQL:2003 pivot primitive) — random aggregate/filter
+# combinations, exact-integer only.
+# ---------------------------------------------------------------------------
+
+_FILTER_AGGS = [
+    "COUNT(*)",
+    "COUNT(DISTINCT l_suppkey)",
+    "SUM(CAST(l_quantity AS BIGINT))",
+    "MIN(CAST(l_partkey AS BIGINT))",
+    "MAX(CAST(l_orderkey AS BIGINT))",
+]
+_FILTER_PREDS = [
+    "l_quantity >= {q}",
+    "l_returnflag = 'R'",
+    "l_linestatus = 'O'",
+    "l_orderkey % {m} = 0",
+    "l_discount > 0.05",
+]
+
+
+_FILTER_KEYS = [k for k in _KEYS if not k[0].startswith(("o_", "year(o_"))]
+
+
+def _gen_filter_agg_query(rng: random.Random) -> str:
+    keys = rng.sample(_FILTER_KEYS, rng.randint(0, 2))
+    parts = []
+    for i in range(rng.randint(2, 4)):
+        agg = rng.choice(_FILTER_AGGS)
+        if rng.random() < 0.8:
+            pred = rng.choice(_FILTER_PREDS).format(
+                q=rng.randint(10, 40), m=rng.randint(2, 7)
+            )
+            # COALESCE: a filter matching no rows yields NULL for SUM/MIN/MAX
+            parts.append(f"COALESCE({agg} FILTER (WHERE {pred}), -1) AS a{i}")
+        else:
+            parts.append(f"{agg} AS a{i}")
+    sel = [f"{e} AS {a}" for e, a in keys] + parts
+    sql = "SELECT " + ", ".join(sel) + "\nFROM lineitem"
+    if keys:
+        sql += "\nGROUP BY " + ", ".join(a for _, a in keys)
+    return sql
+
+
+def test_random_filter_clause_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 10)
+    for i in range(18):
+        sql = _gen_filter_agg_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"filter-agg query #{i} diverged:\n{sql}"
