@@ -2091,3 +2091,38 @@ def fulltext_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "fulltext_index_stats",
+    oracle=f"""
+    WITH {_POSTINGS_CTE}
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           count(DISTINCT term) AS n_terms,
+           count(*) AS n_postings,
+           CAST(sum(tf) AS BIGINT) AS total_tokens
+    FROM tfs
+    """,
+)
+def fulltext_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index integrity/statistics surface (the Lucene CheckIndex /
+    Elasticsearch _stats analogue): doc count, vocabulary size, posting
+    count and total token instances — served ENTIRELY off the persisted
+    index tables while the oracle re-derives every number from the raw
+    corpus, so this query IS the end-to-end build-integrity check: a lost
+    posting, a dropped doc, or a miscounted tf in build_index breaks it.
+
+    Plan: two bounded single-row aggregates (postings scan + dl scan)
+    crossJoined — no shuffle beyond the partial+final agg pair each."""
+    prefix = _ensure_index(spark, sf_dir)
+    post_stats = (
+        spark.table(f"{prefix}_postings").agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum("tf").cast("long").alias("total_tokens"),
+        )
+    )
+    doc_stats = spark.table(f"{prefix}_dl").agg(F.count(F.lit(1)).alias("n_docs"))
+    return doc_stats.crossJoin(post_stats).select(
+        "n_docs", "n_terms", "n_postings", "total_tokens"
+    )

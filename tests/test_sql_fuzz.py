@@ -617,3 +617,45 @@ def test_random_filter_clause_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"filter-agg query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY / LIMIT / OFFSET fuzzing: random sort directions + NULLS
+# placement over a guaranteed total order (the unique key pair always
+# terminates the ORDER BY), random LIMIT/OFFSET windows — the top-k /
+# pagination surface both engines must slice identically.
+# ---------------------------------------------------------------------------
+
+_OL_SORTS = [
+    "CAST(l_quantity AS BIGINT) DESC",
+    "CAST(l_quantity AS BIGINT) ASC",
+    "l_returnflag DESC",
+    "CAST(l_partkey AS BIGINT) % 97",
+    "year(l_shipdate) DESC",
+]
+
+
+def _gen_order_limit_query(rng: random.Random) -> str:
+    sorts = rng.sample(_OL_SORTS, rng.randint(1, 2))
+    order = ", ".join(sorts) + ", l_orderkey, l_linenumber"
+    limit = rng.randint(1, 50)
+    offset = rng.choice([0, rng.randint(1, 30)])
+    sql = f"""
+    SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS q, l_returnflag
+    FROM lineitem
+    WHERE l_orderkey % {rng.randint(3, 11)} = 0
+    ORDER BY {order}
+    LIMIT {limit}"""
+    if offset:
+        sql += f" OFFSET {offset}"
+    return sql
+
+
+def test_random_order_limit_offset_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 11)
+    for i in range(18):
+        sql = _gen_order_limit_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"order-limit query #{i} diverged:\n{sql}"
