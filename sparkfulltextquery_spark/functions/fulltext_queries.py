@@ -2126,3 +2126,65 @@ def fulltext_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats.crossJoin(post_stats).select(
         "n_docs", "n_terms", "n_postings", "total_tokens"
     )
+
+
+# ---------------- phrase boost (r6) ----------------
+
+_PBOOST_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    phrase_docs AS (
+      SELECT DISTINCT a.doc_id
+      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
+      JOIN (SELECT doc_id, pos FROM pos WHERE term = 'join') b USING (doc_id)
+      WHERE b.pos = a.pos + 1
+    ),
+    matched AS (
+      SELECT doc_id FROM phrase_docs
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch', 'join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum((CASE WHEN term IN ('join', 'spark') THEN 2.0 ELSE 1.0 END)
+                       * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_phrase_boost", oracle=_PBOOST_ORACLE)
+def fulltext_query_phrase_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase boost `"spark join"^2 OR batch` (Lucene phrase boosting):
+    the boost scales the phrase words' BM25 shares exactly like a term
+    boost while leaving MATCHING untouched (a boosted phrase matches the
+    same docs as the plain phrase). Completes the boost surface: terms
+    (r5), phrases (r6)."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, '"spark join"^2 OR batch', k=10)
+
+
+@query("fulltext_query_phrase_boost_indexed", oracle=_PBOOST_ORACLE)
+def fulltext_query_phrase_boost_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same boosted phrase off the PERSISTED index one-pass: the boost
+    folds into the constant-folded idf literal chain (bm25_scores_indexed
+    boosts), the phrase match runs as stored-position array expressions."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, '"spark join"^2 OR batch', k=10, table_prefix=prefix)

@@ -9,7 +9,7 @@ binds tighter than AND):
     unary   := NOT unary | proximity
     proximity := atom (NEAR/k atom)?
     atom    := '(' query ')'
-             | '"' phrase '"' ('~' slop)?      sloppy/exact phrase
+             | '"' phrase '"' ('~' slop)? ('^' boost)?   phrase (sloppy/boosted)
              | field ':' '"' phrase '"'        field-scoped phrase
              | field ':' term                  field-scoped term
              | '[' lo TO hi ']'                vocabulary range
@@ -72,10 +72,14 @@ class Prefix:
 class Phrase:
     """Exact phrase, or — with slop > 0 (`"a b"~2`) — an ordered sloppy
     phrase: the words in order with at most ``slop`` extra tokens
-    interleaved in total (fulltext.slop_starts_expr semantics)."""
+    interleaved in total (fulltext.slop_starts_expr semantics). A boost
+    (`"a b"^2`, Lucene phrase boost) scales the phrase words' BM25 shares
+    like a term boost; it never affects MATCHING, so flag keys stay
+    (text, slop)."""
 
     text: str
     slop: int = 0
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -281,13 +285,20 @@ def parse_query(q: str):
             if not _py_tokenize(body):
                 raise ValueError("empty phrase")
             nxt = peek()
-            m = re.fullmatch(r"~(\d+)", nxt) if nxt else None
-            if m:  # `"a b"~k` — ordered sloppy phrase
+            # `"a b"~k` (ordered sloppy phrase), `"a b"^N` (phrase boost),
+            # or both combined as one token `~k^N`
+            m = (
+                re.fullmatch(r"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?", nxt)
+                if nxt
+                else None
+            )
+            if m and (m.group(1) or m.group(2)):
                 take()
-                slop = int(m.group(1))
-                if len(_py_tokenize(body)) < 2:
+                slop = int(m.group(1)) if m.group(1) else 0
+                boost = float(m.group(2)) if m.group(2) else 1.0
+                if slop and len(_py_tokenize(body)) < 2:
                     raise ValueError("sloppy phrase needs at least two terms")
-                return Phrase(body, slop)
+                return Phrase(body, slop, boost)
             return Phrase(body)
         if t.upper() in ("AND", "OR", "NOT") or re.fullmatch(
             r"NEAR/\d+", t, re.IGNORECASE
@@ -387,7 +398,8 @@ def positive_terms(node) -> list[str]:
 
 def term_boosts(node) -> dict[str, float]:
     """{term: boost} over the scoring (positive) terms; a term appearing
-    with several boosts takes the max. Phrase words score unboosted."""
+    with several boosts takes the max. Phrase words carry the phrase's
+    boost (`"a b"^2`); field-phrase words score unboosted."""
     if isinstance(node, Term):
         return {node.text: node.boost}
     if isinstance(node, Field):
@@ -395,7 +407,7 @@ def term_boosts(node) -> dict[str, float]:
     if isinstance(node, FieldPhrase):
         return {t: 1.0 for t in _py_tokenize(node.text)}
     if isinstance(node, Phrase):
-        return {t: 1.0 for t in _py_tokenize(node.text)}
+        return {t: node.boost for t in _py_tokenize(node.text)}
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
     if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex)):

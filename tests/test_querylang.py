@@ -517,3 +517,33 @@ def test_regex_flag_equals_join_compilation(spark):
         }
         got = {r.doc_id for r in flags.collect()}
         assert got == want, q
+
+
+def test_parser_phrase_boost_shapes():
+    """r6: `"a b"^N` phrase boosts, alone or combined with slop as
+    `"a b"~k^N`; malformed suffixes reject."""
+    from sparkfulltextquery_spark.functions.querylang import Phrase
+
+    assert parse_query('"spark join"^2') == Phrase("spark join", 0, 2.0)
+    assert parse_query('"spark join"~2^3') == Phrase("spark join", 2, 3.0)
+    assert parse_query('"spark join"~2') == Phrase("spark join", 2, 1.0)
+    got = parse_query('"spark join"^2 OR batch')
+    assert isinstance(got, Or) and got.children[0].boost == 2.0
+    for bad in ['"a b"^', '"a b"^x', '"a b"^2^3', '"a"~1^2']:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_phrase_boost_scales_ranking(spark):
+    """A boosted phrase must not change the MATCH set and must scale the
+    phrase words' score contributions exactly 2x relative to the unboosted
+    query (scores are per-term-linear in the boost)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    plain = {r.doc_id: r.score for r in search(docs, '"spark join"', k=10**6).collect()}
+    boosted = {
+        r.doc_id: r.score
+        for r in search(docs, '"spark join"^2', k=10**6).collect()
+    }
+    assert set(plain) == set(boosted)
+    for d, s in plain.items():
+        assert abs(boosted[d] - 2 * s) < 2e-3, (d, s, boosted[d])
