@@ -316,3 +316,61 @@ def textstats_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("freq"), F.log("rank")), 4).alias("zipf_r2"),
     )
+
+
+@query(
+    "textstats_readability",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_TOK}) AS n_words,
+             len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                             s -> trim(s) <> '')) AS n_sents,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id, n_words, n_sents, n_syll,
+           round(206.835 - 1.015 * (n_words / greatest(n_sents, 1))
+                         - 84.6 * (n_syll / greatest(n_words, 1)), 4) AS flesch
+    FROM base
+    """,
+)
+def textstats_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the corpus-quality signal used
+    by readability-gated training-data filters: words from the shared
+    tokenizer, sentences by [.!?]+ splitting, syllables by the standard
+    vowel-group heuristic (maximal [aeiouy]+ runs, counted with the SAME
+    regex in both engines via regexp_count / regexp_extract_all).
+
+        flesch = 206.835 − 1.015·(W/S) − 84.6·(SYL/W)
+
+    All three components are exact integers; the score is one fixed
+    IEEE expression over them rounded at 4dp (the cross-engine float
+    discipline: never round derived ratios upstream). Per-row map-side
+    work only — no shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    base = d.select(
+        "doc_id",
+        F.size(tokenize(F.col("text"))).alias("n_words"),
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ).alias("n_sents"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')").alias("n_syll"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sents",
+        "n_syll",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words") / F.greatest(F.col("n_sents"), F.lit(1)))
+            - F.lit(84.6)
+            * (F.col("n_syll") / F.greatest(F.col("n_words"), F.lit(1))),
+            4,
+        ).alias("flesch"),
+    )
