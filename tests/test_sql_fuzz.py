@@ -659,3 +659,46 @@ def test_random_order_limit_offset_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"order-limit query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# Window-over-join-aggregate fuzzing: a window function ranking the rows of
+# an aggregated join (the TPC-DS q47/q51 composition) — random keys,
+# aggregates, and window specs stacked in one query.
+# ---------------------------------------------------------------------------
+
+
+def _gen_window_over_agg_query(rng: random.Random) -> str:
+    key = rng.choice(
+        ["o_orderstatus", "o_orderpriority", "l_returnflag", "l_linestatus"]
+    )
+    agg = rng.choice(
+        ["SUM(CAST(l_quantity AS BIGINT))", "COUNT(*)", "MAX(CAST(l_partkey AS BIGINT))"]
+    )
+    wfn = rng.choice(
+        [
+            "row_number() OVER (PARTITION BY k1 ORDER BY v DESC, k2)",
+            "rank() OVER (PARTITION BY k1 ORDER BY v DESC, k2)",
+            "SUM(v) OVER (PARTITION BY k1 ORDER BY v, k2 "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+            "lag(v, 1, -1) OVER (PARTITION BY k1 ORDER BY v, k2)",
+        ]
+    )
+    return f"""
+    WITH a AS (
+      SELECT {key} AS k1, l_orderkey % {rng.randint(3, 9)} AS k2, {agg} AS v
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_quantity >= {rng.randint(5, 30)}
+      GROUP BY k1, k2
+    )
+    SELECT k1, k2, v, {wfn} AS w FROM a"""
+
+
+def test_random_window_over_agg_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 12)
+    for i in range(15):
+        sql = _gen_window_over_agg_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"window-over-agg query #{i} diverged:\n{sql}"
