@@ -2188,3 +2188,60 @@ def fulltext_query_phrase_boost_indexed(spark: SparkSession, sf_dir: str) -> Dat
 
     prefix = _ensure_index(spark, sf_dir)
     return search_indexed(spark, '"spark join"^2 OR batch', k=10, table_prefix=prefix)
+
+
+# ---------------- field-scoped prefix (r6) ----------------
+
+_FIELDPREFIX_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    matched AS (
+      SELECT DISTINCT doc_id FROM pos
+      WHERE pos < 10 AND starts_with(term, 'spar')
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_fieldprefix", oracle=_FIELDPREFIX_ORACLE)
+def fulltext_query_fieldprefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped wildcard prefix `title:spar* OR batch` (Lucene fielded
+    PrefixQuery): the composition of Prefix (StartsWith over the
+    vocabulary, constant-score) and Field (positional title carving) as
+    one atom. The prefix branch contributes no idf — standard multi-term
+    rewrite — while the OR'd plain term still scores BM25."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "title:spar* OR batch", k=10)
+
+
+@query("fulltext_query_fieldprefix_indexed", oracle=_FIELDPREFIX_ORACLE)
+def fulltext_query_fieldprefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fielded prefix off the PERSISTED index one-pass: the
+    StartsWith widens the pruned scan (prefixes can't bucket-prune) and
+    the flag combines the vocabulary test with an EXISTS over the stored
+    position arrays — no positional explode, no join."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "title:spar* OR batch", k=10, table_prefix=prefix)

@@ -597,10 +597,25 @@ def _search_indexed_build(
             starts = F.filter(exact_starts_expr(arr_of, terms), in_field)
             return slots.filter(F.size(starts) > 0).select("doc_id")
 
+        def fprefix_fn(field: str, prefix: str):
+            from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+            pos_pred = (
+                (lambda p: p < F.lit(BM25F_TITLE_LEN))
+                if field == "title"
+                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+            )
+            return (
+                post.filter(F.col("term").startswith(prefix))
+                .filter(F.exists(F.col("positions"), pos_pred))
+                .select("doc_id")
+                .distinct()
+            )
+
         universe = spark.table(f"{table_prefix}_dl").select("doc_id")
         matched = QL.compile_matches(
             ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn,
-            field_fn=field_fn, fphrase_fn=fphrase_fn,
+            field_fn=field_fn, fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn,
         )
         if not pos:
             return (
@@ -625,6 +640,7 @@ def _search_indexed_build(
     ranges = sorted(QL.collect_ranges(ast))
     regexes = sorted(QL.collect_regexes(ast))
     fphrases = sorted(QL.collect_fieldphrases(ast))
+    fprefixes = sorted(QL.collect_fieldprefixes(ast))
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     field_terms = {t for (_f, t) in fields}
     fphrase_toks = {fp: _py_tokenize(fp[1]) for fp in fphrases}
@@ -643,6 +659,7 @@ def _search_indexed_build(
     zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies)}
     rflag = {r: f"_r{i}" for i, r in enumerate(ranges)}
     xflag = {x: f"_x{i}" for i, x in enumerate(regexes)}
+    fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes)}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(
@@ -669,6 +686,10 @@ def _search_indexed_build(
     for pat in regexes:
         # regexp atoms likewise: an anchored RLIKE over the vocabulary
         pred = pred | F.col("term").rlike(QL.Regex(pat).anchored())
+    for _fld, w in fprefixes:
+        # field-scoped prefixes widen like plain prefixes; the position
+        # predicate applies at flag time over the stored arrays
+        pred = pred | F.col("term").startswith(w)
     pruned = post.filter(pred)
     # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
     # `term^N` boosts fold into the idf literal chain
@@ -720,6 +741,26 @@ def _search_indexed_build(
             F.when(F.col("term").rlike(QL.Regex(pat).anchored()), 1).otherwise(0)
         ).alias(c)
         for pat, c in xflag.items()
+    ]
+
+    def _fpx_pos_pred(field):
+        from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+        return (
+            (lambda p: p < F.lit(BM25F_TITLE_LEN))
+            if field == "title"
+            else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+        )
+
+    aggs += [
+        F.max(
+            F.when(
+                F.col("term").startswith(w)
+                & F.exists(F.col("positions"), _fpx_pos_pred(fld)),
+                1,
+            ).otherwise(0)
+        ).alias(c)
+        for (fld, w), c in fpxflag.items()
     ]
     aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
@@ -784,6 +825,8 @@ def _search_indexed_build(
             return F.col(rflag[(n.lo, n.hi)]) == 1
         if isinstance(n, QL.Regex):
             return F.col(xflag[n.pattern]) == 1
+        if isinstance(n, QL.FieldPrefix):
+            return F.col(fpxflag[(n.field, n.text)]) == 1
         if isinstance(n, QL.Field):
             return field_col(n.field, n.text)
         if isinstance(n, QL.FieldPhrase):

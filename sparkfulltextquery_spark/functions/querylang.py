@@ -11,6 +11,7 @@ binds tighter than AND):
     atom    := '(' query ')'
              | '"' phrase '"' ('~' slop)? ('^' boost)?   phrase (sloppy/boosted)
              | field ':' '"' phrase '"'        field-scoped phrase
+             | field ':' term '*'              field-scoped prefix
              | field ':' term                  field-scoped term
              | '[' lo TO hi ']'                vocabulary range
              | term '~' dist                   fuzzy (edit distance)
@@ -142,6 +143,18 @@ class FieldPhrase:
     ENTIRELY inside the named field (same positional title/body carving
     as Field). Exact-only — slop inside a field scope is rejected. The
     phrase words score document-level BM25 like Phrase words."""
+
+    field: str  # "title" | "body"
+    text: str
+
+
+@dataclass(frozen=True)
+class FieldPrefix:
+    """Field-scoped wildcard prefix (`title:spar*`): any term with the
+    prefix occurring inside the positionally-carved field. Constant-score
+    like Prefix (multi-term expansion contributes no idf); matching is a
+    StartsWith over the vocabulary AND a position predicate — the
+    composition of Prefix and Field."""
 
     field: str  # "title" | "body"
     text: str
@@ -333,8 +346,22 @@ def parse_query(q: str):
                 raise ValueError(f"unknown field {field!r} (title|body)")
             if boost != 1.0:
                 raise ValueError("boost on a field atom is not supported")
-            if "*" in body or "~" in body or ":" in body:
+            if "~" in body or ":" in body:
                 raise ValueError(f"field atom {t!r} must scope a plain term")
+            if body.endswith("*") and len(body) > 1:
+                # `title:spar*` — field-scoped wildcard prefix
+                if "*" in body[:-1]:
+                    raise ValueError(
+                        f"interior wildcard in field atom {t!r} (prefix-only)"
+                    )
+                norm = _py_tokenize(body[:-1])
+                if len(norm) != 1:
+                    raise ValueError(
+                        f"field prefix {t!r} must normalize to one token"
+                    )
+                return FieldPrefix(field, norm[0])
+            if "*" in body:
+                raise ValueError(f"interior wildcard in field atom {t!r} (prefix-only)")
             norm = _py_tokenize(body)
             if len(norm) != 1:
                 raise ValueError(f"field atom {t!r} must normalize to one term")
@@ -391,7 +418,7 @@ def positive_terms(node) -> list[str]:
         return _py_tokenize(node.text)
     if isinstance(node, Near):
         return [node.a, node.b]
-    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex)):
+    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix)):
         return []
     return [t for c in node.children for t in positive_terms(c)]
 
@@ -410,7 +437,7 @@ def term_boosts(node) -> dict[str, float]:
         return {t: node.boost for t in _py_tokenize(node.text)}
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
-    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex)):
+    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix)):
         return {}
     out: dict[str, float] = {}
     for c in node.children:
@@ -424,7 +451,7 @@ def term_boosts(node) -> dict[str, float]:
 
 def compile_matches(
     node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None,
-    field_fn=None, fphrase_fn=None,
+    field_fn=None, fphrase_fn=None, fprefix_fn=None,
 ) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
@@ -475,6 +502,10 @@ def compile_matches(
         if fphrase_fn is None:
             raise ValueError("field-phrase atom requires a fphrase_fn")
         return fphrase_fn(node.field, node.text)
+    if isinstance(node, FieldPrefix):
+        if fprefix_fn is None:
+            raise ValueError("field-prefix atom requires a fprefix_fn")
+        return fprefix_fn(node.field, node.text)
     if isinstance(node, Near):
         if near_fn is None:
             raise ValueError("NEAR atom requires a near_fn")
@@ -482,12 +513,13 @@ def compile_matches(
     if isinstance(node, And):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn,
+            fphrase_fn, fprefix_fn,
         )
         for c in node.children[1:]:
             out = out.join(
                 compile_matches(
-                    c, post, phrase_fn, universe, near_fn, field_fn, fphrase_fn
+                    c, post, phrase_fn, universe, near_fn, field_fn,
+                    fphrase_fn, fprefix_fn,
                 ),
                 "doc_id",
                 "left_semi",
@@ -496,19 +528,21 @@ def compile_matches(
     if isinstance(node, Or):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn,
+            fphrase_fn, fprefix_fn,
         )
         for c in node.children[1:]:
             out = out.union(
                 compile_matches(
-                    c, post, phrase_fn, universe, near_fn, field_fn, fphrase_fn
+                    c, post, phrase_fn, universe, near_fn, field_fn,
+                    fphrase_fn, fprefix_fn,
                 )
             )
         return out.distinct()
     if isinstance(node, Not):
         return universe.join(
             compile_matches(
-                node.child, post, phrase_fn, universe, near_fn, field_fn, fphrase_fn
+                node.child, post, phrase_fn, universe, near_fn, field_fn,
+                fphrase_fn, fprefix_fn,
             ),
             "doc_id",
             "left_anti",
@@ -525,7 +559,9 @@ def _collect_atoms(node) -> tuple[set, set, set]:
         return set(), set(), {node.text}
     if isinstance(node, Phrase):
         return set(), {(node.text, node.slop)}, set()
-    if isinstance(node, (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex)):
+    if isinstance(
+        node, (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex, FieldPrefix)
+    ):
         # collected separately via the per-kind collectors below
         return set(), set(), set()
     if isinstance(node, Not):
@@ -585,12 +621,18 @@ def collect_regexes(node) -> set:
     return _collect_kind(node, Regex, lambda n: n.pattern)
 
 
+def collect_fieldprefixes(node) -> set:
+    """All FieldPrefix atoms (field, text) in the AST."""
+    return _collect_kind(node, FieldPrefix, lambda n: (n.field, n.text))
+
+
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
     if isinstance(
         node,
-        (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase, Regex),
+        (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase,
+         Regex, FieldPrefix),
     ):
         return False
     if isinstance(node, Not):
@@ -602,7 +644,7 @@ def _eval_empty(node) -> bool:
 
 def compile_matches_flags(
     node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None,
-    fphrase_fn=None,
+    fphrase_fn=None, fprefix_fn=None,
 ) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
@@ -624,6 +666,7 @@ def compile_matches_flags(
     ranges_l = sorted(collect_ranges(node))
     regexes_l = sorted(collect_regexes(node))
     fphrases_l = sorted(collect_fieldphrases(node))
+    fprefixes_l = sorted(collect_fieldprefixes(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
     prefixes_l = sorted(prefixes)
@@ -636,6 +679,7 @@ def compile_matches_flags(
     rflag = {r: f"_r{i}" for i, r in enumerate(ranges_l)}
     xflag = {x: f"_x{i}" for i, x in enumerate(regexes_l)}
     fpflag = {f: f"_fp{i}" for i, f in enumerate(fphrases_l)}
+    fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes_l)}
 
     if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
@@ -716,6 +760,16 @@ def compile_matches_flags(
             .withColumn(fpflag[fp], F.lit(1))
         )
         flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
+    for fx in fprefixes_l:
+        if fprefix_fn is None:
+            raise ValueError("field-prefix atom requires a fprefix_fn")
+        fdf = (
+            fprefix_fn(*fx)
+            .select("doc_id")
+            .distinct()
+            .withColumn(fpxflag[fx], F.lit(1))
+        )
+        flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
     assert flags is not None  # no-atom ASTs were rejected by _eval_empty
 
     def as_col(n):
@@ -733,6 +787,8 @@ def compile_matches_flags(
             return F.coalesce(F.col(gflag[(n.field, n.text)]), F.lit(0)) == 1
         if isinstance(n, FieldPhrase):
             return F.coalesce(F.col(fpflag[(n.field, n.text)]), F.lit(0)) == 1
+        if isinstance(n, FieldPrefix):
+            return F.coalesce(F.col(fpxflag[(n.field, n.text)]), F.lit(0)) == 1
         if isinstance(n, Near):
             return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
@@ -765,7 +821,7 @@ def search(
     ast = parse_query(query)
 
     def _needs_positions(node) -> bool:
-        if isinstance(node, (Phrase, Near, Field, FieldPhrase)):
+        if isinstance(node, (Phrase, Near, Field, FieldPhrase, FieldPrefix)):
             return True  # all of these need the positional relation
         return any(_needs_positions(c) for c in getattr(node, "children", ())) or (
             isinstance(node, Not) and _needs_positions(node.child)
@@ -819,6 +875,20 @@ def search(
                 .select("doc_id")
                 .distinct()
             )
+
+        def fprefix_fn(field: str, prefix: str) -> DataFrame:
+            # Prefix ∘ Field: StartsWith over the vocabulary AND the same
+            # positional carving
+            in_field = (
+                F.col("pos") < BM25F_TITLE_LEN
+                if field == "title"
+                else F.col("pos") >= BM25F_TITLE_LEN
+            )
+            return (
+                pos_rel.filter(F.col("term").startswith(prefix) & in_field)
+                .select("doc_id")
+                .distinct()
+            )
     else:
         post = postings(docs, id_col, text_col)
         phrase_fn = lambda text, slop=0: phrase_match(  # noqa: E731
@@ -827,10 +897,11 @@ def search(
         near_fn = None  # no Near atoms on this branch by construction
         field_fn = None  # no Field atoms on this branch by construction
         fphrase_fn = None  # no FieldPhrase atoms on this branch either
+        fprefix_fn = None  # no FieldPrefix atoms on this branch either
 
     matched = compile_matches_flags(
         ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn,
-        fphrase_fn=fphrase_fn,
+        fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn,
     )
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
@@ -841,6 +912,7 @@ def search(
             near_fn=near_fn,
             field_fn=field_fn,
             fphrase_fn=fphrase_fn,
+            fprefix_fn=fprefix_fn,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

@@ -626,6 +626,9 @@ def _py_eval(node, ts):
     if isinstance(node, QL.Field):
         seg = ts[:L] if node.field == "title" else ts[L:]
         return node.text in seg
+    if isinstance(node, QL.FieldPrefix):
+        seg = ts[:L] if node.field == "title" else ts[L:]
+        return any(t.startswith(node.text) for t in seg)
     if isinstance(node, QL.FieldPhrase):
         words = node.text.split()
         n = len(words)
@@ -679,7 +682,7 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.And(kids) if op == "and" else QL.Or(kids)
     kind = rng.choice(
         ["term", "prefix", "fuzzy", "range", "field", "fphrase", "phrase",
-         "slop", "near", "regex"]
+         "slop", "near", "regex", "fprefix"]
     )
     w = rng.choice(vocab)
     if kind == "term":
@@ -699,6 +702,10 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.TermRange(a, b)
     if kind == "field":
         return QL.Field(rng.choice(["title", "body"]), w)
+    if kind == "fprefix":
+        return QL.FieldPrefix(
+            rng.choice(["title", "body"]), w[: max(1, len(w) - 1)]
+        )
     bg = rng.choice(bigrams)
     if kind == "fphrase":
         return QL.FieldPhrase(rng.choice(["title", "body"]), bg)
@@ -726,6 +733,8 @@ def _ast_to_query(node) -> str:
         return f"[{node.lo} TO {node.hi}]"
     if isinstance(node, QL.Field):
         return f"{node.field}:{node.text}"
+    if isinstance(node, QL.FieldPrefix):
+        return f"{node.field}:{node.text}*"
     if isinstance(node, QL.FieldPhrase):
         return f'{node.field}:"{node.text}"'
     if isinstance(node, QL.Phrase):

@@ -233,7 +233,7 @@ def test_parser_field_and_fuzzy_shapes():
     for bad in [
         "author:spark",      # unknown field
         "title:spark^2",     # boost on a field atom
-        "title:spar*",       # wildcard inside a field atom
+        "title:sp*rk",       # interior wildcard in a field atom
         "title:a:b",         # nested colon
         "sparc~0",           # distance out of range
         "sparc~4",           # distance out of range
@@ -547,3 +547,53 @@ def test_phrase_boost_scales_ranking(spark):
     assert set(plain) == set(boosted)
     for d, s in plain.items():
         assert abs(boosted[d] - 2 * s) < 2e-3, (d, s, boosted[d])
+
+
+def test_parser_fieldprefix_shapes():
+    """r6: `title:spar*` field-scoped wildcard prefixes (Prefix ∘ Field);
+    malformed forms reject."""
+    from sparkfulltextquery_spark.functions.querylang import FieldPrefix
+
+    assert parse_query("title:spar*") == FieldPrefix("title", "spar")
+    assert parse_query("BODY:Quer*") == FieldPrefix("body", "quer")
+    assert parse_query("title:spar* AND batch") == And(
+        (FieldPrefix("title", "spar"), Term("batch"))
+    )
+    for bad in [
+        "title:sp*ar",     # interior wildcard
+        "title:*",         # empty prefix
+        "author:spar*",    # unknown field
+        "title:spar*~1",   # fuzzy on a field prefix
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_fieldprefix_matches_naive(spark):
+    """title:spar* vs the brute-force 'any first-10-tokens term with the
+    prefix' definition, and the body complement."""
+    import re as _re
+
+    from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    L = BM25F_TITLE_LEN
+
+    def toks(s):
+        return [t for t in _re.split("[^a-z0-9]+", s.lower()) if t]
+
+    exp_t = {
+        r.doc_id
+        for r in rows
+        if any(t.startswith("spar") for t in toks(r.text)[:L])
+    }
+    got_t = {r.doc_id for r in search(docs, "title:spar*", k=10**6).collect()}
+    assert got_t == exp_t
+    exp_b = {
+        r.doc_id
+        for r in rows
+        if any(t.startswith("spar") for t in toks(r.text)[L:])
+    }
+    got_b = {r.doc_id for r in search(docs, "body:spar*", k=10**6).collect()}
+    assert got_b == exp_b
