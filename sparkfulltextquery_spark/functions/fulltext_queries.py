@@ -2245,3 +2245,58 @@ def fulltext_query_fieldprefix_indexed(spark: SparkSession, sf_dir: str) -> Data
 
     prefix = _ensure_index(spark, sf_dir)
     return search_indexed(spark, "title:spar* OR batch", k=10, table_prefix=prefix)
+
+
+# ---------------- field-scoped fuzzy (r6) ----------------
+
+_FIELDFUZZY_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    matched AS (
+      SELECT DISTINCT doc_id FROM pos
+      WHERE pos < 10 AND levenshtein(term, 'sparc') <= 1
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_fieldfuzzy", oracle=_FIELDFUZZY_ORACLE)
+def fulltext_query_fieldfuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped fuzzy `title:sparc~1 OR batch` (Lucene fielded
+    FuzzyQuery): the composition of Fuzzy (levenshtein over the
+    vocabulary, constant-score) and Field (positional title carving) —
+    completing the field-scoped atom family: term, phrase, prefix, fuzzy."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "title:sparc~1 OR batch", k=10)
+
+
+@query("fulltext_query_fieldfuzzy_indexed", oracle=_FIELDFUZZY_ORACLE)
+def fulltext_query_fieldfuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same fielded fuzzy off the PERSISTED index one-pass: the
+    levenshtein widens the pruned scan and the flag combines it with an
+    EXISTS over the stored position arrays — no explode, no join."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "title:sparc~1 OR batch", k=10, table_prefix=prefix)

@@ -612,10 +612,26 @@ def _search_indexed_build(
                 .distinct()
             )
 
+        def ffuzzy_fn(field: str, text: str, dist: int):
+            from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+            pos_pred = (
+                (lambda p: p < F.lit(BM25F_TITLE_LEN))
+                if field == "title"
+                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
+            )
+            return (
+                post.filter(F.levenshtein(F.col("term"), F.lit(text)) <= dist)
+                .filter(F.exists(F.col("positions"), pos_pred))
+                .select("doc_id")
+                .distinct()
+            )
+
         universe = spark.table(f"{table_prefix}_dl").select("doc_id")
         matched = QL.compile_matches(
             ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn,
             field_fn=field_fn, fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn,
+            ffuzzy_fn=ffuzzy_fn,
         )
         if not pos:
             return (
@@ -641,6 +657,7 @@ def _search_indexed_build(
     regexes = sorted(QL.collect_regexes(ast))
     fphrases = sorted(QL.collect_fieldphrases(ast))
     fprefixes = sorted(QL.collect_fieldprefixes(ast))
+    ffuzzies = sorted(QL.collect_fieldfuzzies(ast))
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     field_terms = {t for (_f, t) in fields}
     fphrase_toks = {fp: _py_tokenize(fp[1]) for fp in fphrases}
@@ -660,6 +677,7 @@ def _search_indexed_build(
     rflag = {r: f"_r{i}" for i, r in enumerate(ranges)}
     xflag = {x: f"_x{i}" for i, x in enumerate(regexes)}
     fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes)}
+    ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies)}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(
@@ -690,6 +708,9 @@ def _search_indexed_build(
         # field-scoped prefixes widen like plain prefixes; the position
         # predicate applies at flag time over the stored arrays
         pred = pred | F.col("term").startswith(w)
+    for _fld, zt, zd in ffuzzies:
+        # field-scoped fuzzies widen like plain fuzzies
+        pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
     pruned = post.filter(pred)
     # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
     # `term^N` boosts fold into the idf literal chain
@@ -763,6 +784,16 @@ def _search_indexed_build(
         for (fld, w), c in fpxflag.items()
     ]
     aggs += [
+        F.max(
+            F.when(
+                (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
+                & F.exists(F.col("positions"), _fpx_pos_pred(fld)),
+                1,
+            ).otherwise(0)
+        ).alias(c)
+        for (fld, zt, zd), c in ffzflag.items()
+    ]
+    aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
         for t, c in slot.items()
     ]
@@ -827,6 +858,8 @@ def _search_indexed_build(
             return F.col(xflag[n.pattern]) == 1
         if isinstance(n, QL.FieldPrefix):
             return F.col(fpxflag[(n.field, n.text)]) == 1
+        if isinstance(n, QL.FieldFuzzy):
+            return F.col(ffzflag[(n.field, n.text, n.dist)]) == 1
         if isinstance(n, QL.Field):
             return field_col(n.field, n.text)
         if isinstance(n, QL.FieldPhrase):

@@ -12,6 +12,7 @@ binds tighter than AND):
              | '"' phrase '"' ('~' slop)? ('^' boost)?   phrase (sloppy/boosted)
              | field ':' '"' phrase '"'        field-scoped phrase
              | field ':' term '*'              field-scoped prefix
+             | field ':' term '~' dist         field-scoped fuzzy
              | field ':' term                  field-scoped term
              | '[' lo TO hi ']'                vocabulary range
              | term '~' dist                   fuzzy (edit distance)
@@ -158,6 +159,17 @@ class FieldPrefix:
 
     field: str  # "title" | "body"
     text: str
+
+
+@dataclass(frozen=True)
+class FieldFuzzy:
+    """Field-scoped fuzzy (`title:sparc~1`): any vocabulary term within
+    edit distance `dist` occurring inside the positionally-carved field —
+    the composition of Fuzzy and Field. Constant-score like Fuzzy."""
+
+    field: str  # "title" | "body"
+    text: str
+    dist: int
 
 
 @dataclass(frozen=True)
@@ -346,7 +358,23 @@ def parse_query(q: str):
                 raise ValueError(f"unknown field {field!r} (title|body)")
             if boost != 1.0:
                 raise ValueError("boost on a field atom is not supported")
-            if "~" in body or ":" in body:
+            if ":" in body:
+                raise ValueError(f"field atom {t!r} must scope a plain term")
+            fm = re.fullmatch(r"(.+)~(\d)", body)
+            if fm:
+                # `title:sparc~1` — field-scoped fuzzy
+                fbody, fdist = fm.group(1), int(fm.group(2))
+                if not 1 <= fdist <= 3:
+                    raise ValueError(f"fuzzy distance must be 1-3, got {fdist}")
+                if "*" in fbody or "~" in fbody:
+                    raise ValueError(f"malformed field fuzzy atom {t!r}")
+                norm = _py_tokenize(fbody)
+                if len(norm) != 1:
+                    raise ValueError(
+                        f"field fuzzy {t!r} must normalize to one token"
+                    )
+                return FieldFuzzy(field, norm[0], fdist)
+            if "~" in body:
                 raise ValueError(f"field atom {t!r} must scope a plain term")
             if body.endswith("*") and len(body) > 1:
                 # `title:spar*` — field-scoped wildcard prefix
@@ -418,7 +446,9 @@ def positive_terms(node) -> list[str]:
         return _py_tokenize(node.text)
     if isinstance(node, Near):
         return [node.a, node.b]
-    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix)):
+    if isinstance(
+        node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy)
+    ):
         return []
     return [t for c in node.children for t in positive_terms(c)]
 
@@ -437,7 +467,9 @@ def term_boosts(node) -> dict[str, float]:
         return {t: node.boost for t in _py_tokenize(node.text)}
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
-    if isinstance(node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix)):
+    if isinstance(
+        node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy)
+    ):
         return {}
     out: dict[str, float] = {}
     for c in node.children:
@@ -451,7 +483,7 @@ def term_boosts(node) -> dict[str, float]:
 
 def compile_matches(
     node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None,
-    field_fn=None, fphrase_fn=None, fprefix_fn=None,
+    field_fn=None, fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
 ) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
@@ -506,6 +538,10 @@ def compile_matches(
         if fprefix_fn is None:
             raise ValueError("field-prefix atom requires a fprefix_fn")
         return fprefix_fn(node.field, node.text)
+    if isinstance(node, FieldFuzzy):
+        if ffuzzy_fn is None:
+            raise ValueError("field-fuzzy atom requires a ffuzzy_fn")
+        return ffuzzy_fn(node.field, node.text, node.dist)
     if isinstance(node, Near):
         if near_fn is None:
             raise ValueError("NEAR atom requires a near_fn")
@@ -513,13 +549,13 @@ def compile_matches(
     if isinstance(node, And):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn, fprefix_fn,
+            fphrase_fn, fprefix_fn, ffuzzy_fn,
         )
         for c in node.children[1:]:
             out = out.join(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
-                    fphrase_fn, fprefix_fn,
+                    fphrase_fn, fprefix_fn, ffuzzy_fn,
                 ),
                 "doc_id",
                 "left_semi",
@@ -528,13 +564,13 @@ def compile_matches(
     if isinstance(node, Or):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn, fprefix_fn,
+            fphrase_fn, fprefix_fn, ffuzzy_fn,
         )
         for c in node.children[1:]:
             out = out.union(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
-                    fphrase_fn, fprefix_fn,
+                    fphrase_fn, fprefix_fn, ffuzzy_fn,
                 )
             )
         return out.distinct()
@@ -542,7 +578,7 @@ def compile_matches(
         return universe.join(
             compile_matches(
                 node.child, post, phrase_fn, universe, near_fn, field_fn,
-                fphrase_fn, fprefix_fn,
+                fphrase_fn, fprefix_fn, ffuzzy_fn,
             ),
             "doc_id",
             "left_anti",
@@ -560,7 +596,8 @@ def _collect_atoms(node) -> tuple[set, set, set]:
     if isinstance(node, Phrase):
         return set(), {(node.text, node.slop)}, set()
     if isinstance(
-        node, (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex, FieldPrefix)
+        node,
+        (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex, FieldPrefix, FieldFuzzy),
     ):
         # collected separately via the per-kind collectors below
         return set(), set(), set()
@@ -626,13 +663,18 @@ def collect_fieldprefixes(node) -> set:
     return _collect_kind(node, FieldPrefix, lambda n: (n.field, n.text))
 
 
+def collect_fieldfuzzies(node) -> set:
+    """All FieldFuzzy atoms (field, text, dist) in the AST."""
+    return _collect_kind(node, FieldFuzzy, lambda n: (n.field, n.text, n.dist))
+
+
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
     if isinstance(
         node,
         (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase,
-         Regex, FieldPrefix),
+         Regex, FieldPrefix, FieldFuzzy),
     ):
         return False
     if isinstance(node, Not):
@@ -644,7 +686,7 @@ def _eval_empty(node) -> bool:
 
 def compile_matches_flags(
     node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None,
-    fphrase_fn=None, fprefix_fn=None,
+    fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
 ) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
@@ -667,6 +709,7 @@ def compile_matches_flags(
     regexes_l = sorted(collect_regexes(node))
     fphrases_l = sorted(collect_fieldphrases(node))
     fprefixes_l = sorted(collect_fieldprefixes(node))
+    ffuzzies_l = sorted(collect_fieldfuzzies(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
     prefixes_l = sorted(prefixes)
@@ -680,6 +723,7 @@ def compile_matches_flags(
     xflag = {x: f"_x{i}" for i, x in enumerate(regexes_l)}
     fpflag = {f: f"_fp{i}" for i, f in enumerate(fphrases_l)}
     fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes_l)}
+    ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies_l)}
 
     if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
@@ -770,6 +814,16 @@ def compile_matches_flags(
             .withColumn(fpxflag[fx], F.lit(1))
         )
         flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
+    for fz in ffuzzies_l:
+        if ffuzzy_fn is None:
+            raise ValueError("field-fuzzy atom requires a ffuzzy_fn")
+        fdf = (
+            ffuzzy_fn(*fz)
+            .select("doc_id")
+            .distinct()
+            .withColumn(ffzflag[fz], F.lit(1))
+        )
+        flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
     assert flags is not None  # no-atom ASTs were rejected by _eval_empty
 
     def as_col(n):
@@ -789,6 +843,11 @@ def compile_matches_flags(
             return F.coalesce(F.col(fpflag[(n.field, n.text)]), F.lit(0)) == 1
         if isinstance(n, FieldPrefix):
             return F.coalesce(F.col(fpxflag[(n.field, n.text)]), F.lit(0)) == 1
+        if isinstance(n, FieldFuzzy):
+            return (
+                F.coalesce(F.col(ffzflag[(n.field, n.text, n.dist)]), F.lit(0))
+                == 1
+            )
         if isinstance(n, Near):
             return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
@@ -821,7 +880,9 @@ def search(
     ast = parse_query(query)
 
     def _needs_positions(node) -> bool:
-        if isinstance(node, (Phrase, Near, Field, FieldPhrase, FieldPrefix)):
+        if isinstance(
+            node, (Phrase, Near, Field, FieldPhrase, FieldPrefix, FieldFuzzy)
+        ):
             return True  # all of these need the positional relation
         return any(_needs_positions(c) for c in getattr(node, "children", ())) or (
             isinstance(node, Not) and _needs_positions(node.child)
@@ -889,6 +950,22 @@ def search(
                 .select("doc_id")
                 .distinct()
             )
+
+        def ffuzzy_fn(field: str, text: str, dist: int) -> DataFrame:
+            # Fuzzy ∘ Field: levenshtein over the vocabulary AND the carving
+            in_field = (
+                F.col("pos") < BM25F_TITLE_LEN
+                if field == "title"
+                else F.col("pos") >= BM25F_TITLE_LEN
+            )
+            return (
+                pos_rel.filter(
+                    (F.levenshtein(F.col("term"), F.lit(text)) <= dist)
+                    & in_field
+                )
+                .select("doc_id")
+                .distinct()
+            )
     else:
         post = postings(docs, id_col, text_col)
         phrase_fn = lambda text, slop=0: phrase_match(  # noqa: E731
@@ -898,10 +975,11 @@ def search(
         field_fn = None  # no Field atoms on this branch by construction
         fphrase_fn = None  # no FieldPhrase atoms on this branch either
         fprefix_fn = None  # no FieldPrefix atoms on this branch either
+        ffuzzy_fn = None  # no FieldFuzzy atoms on this branch either
 
     matched = compile_matches_flags(
         ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn,
-        fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn,
+        fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn, ffuzzy_fn=ffuzzy_fn,
     )
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
@@ -913,6 +991,7 @@ def search(
             field_fn=field_fn,
             fphrase_fn=fphrase_fn,
             fprefix_fn=fprefix_fn,
+            ffuzzy_fn=ffuzzy_fn,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

@@ -629,6 +629,9 @@ def _py_eval(node, ts):
     if isinstance(node, QL.FieldPrefix):
         seg = ts[:L] if node.field == "title" else ts[L:]
         return any(t.startswith(node.text) for t in seg)
+    if isinstance(node, QL.FieldFuzzy):
+        seg = ts[:L] if node.field == "title" else ts[L:]
+        return any(_lev(t, node.text) <= node.dist for t in set(seg))
     if isinstance(node, QL.FieldPhrase):
         words = node.text.split()
         n = len(words)
@@ -682,7 +685,7 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.And(kids) if op == "and" else QL.Or(kids)
     kind = rng.choice(
         ["term", "prefix", "fuzzy", "range", "field", "fphrase", "phrase",
-         "slop", "near", "regex", "fprefix"]
+         "slop", "near", "regex", "fprefix", "ffuzzy"]
     )
     w = rng.choice(vocab)
     if kind == "term":
@@ -706,6 +709,8 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.FieldPrefix(
             rng.choice(["title", "body"]), w[: max(1, len(w) - 1)]
         )
+    if kind == "ffuzzy":
+        return QL.FieldFuzzy(rng.choice(["title", "body"]), w, rng.randint(1, 2))
     bg = rng.choice(bigrams)
     if kind == "fphrase":
         return QL.FieldPhrase(rng.choice(["title", "body"]), bg)
@@ -735,6 +740,8 @@ def _ast_to_query(node) -> str:
         return f"{node.field}:{node.text}"
     if isinstance(node, QL.FieldPrefix):
         return f"{node.field}:{node.text}*"
+    if isinstance(node, QL.FieldFuzzy):
+        return f"{node.field}:{node.text}~{node.dist}"
     if isinstance(node, QL.FieldPhrase):
         return f'{node.field}:"{node.text}"'
     if isinstance(node, QL.Phrase):

@@ -597,3 +597,24 @@ def test_fieldprefix_matches_naive(spark):
     }
     got_b = {r.doc_id for r in search(docs, "body:spar*", k=10**6).collect()}
     assert got_b == exp_b
+
+
+def test_parser_fieldfuzzy_shapes():
+    """r6: `title:sparc~1` field-scoped fuzzy atoms (Fuzzy ∘ Field);
+    malformed forms reject."""
+    from sparkfulltextquery_spark.functions.querylang import FieldFuzzy
+
+    assert parse_query("title:sparc~1") == FieldFuzzy("title", "sparc", 1)
+    assert parse_query("BODY:Sparc~2") == FieldFuzzy("body", "sparc", 2)
+    assert parse_query("title:sparc~1 OR batch") == Or(
+        (FieldFuzzy("title", "sparc", 1), Term("batch"))
+    )
+    for bad in [
+        "title:sparc~0",   # distance out of range
+        "title:sparc~4",   # distance out of range
+        "title:spa*c~1",   # wildcard inside a field fuzzy
+        "title:~1",        # empty body
+        "author:sparc~1",  # unknown field
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
