@@ -116,6 +116,10 @@ EXTRA = [
     "fulltext_hybrid_rrf",
     "fulltext_hybrid_rrf_indexed",
     "fulltext_min_should_match_indexed",
+    "fulltext_dismax",
+    "fulltext_query_fieldprefix_indexed",
+    "fulltext_query_fieldfuzzy_indexed",
+    "fulltext_query_phrase_boost_indexed",
 ]
 
 

@@ -814,3 +814,25 @@ def sqlt_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM wide UNPIVOT (qty FOR status IN (f_qty, o_qty))
         """
     )
+
+
+_LATERAL_SQL = """
+    SELECT o_orderkey, t.n_items, t.max_qty
+    FROM orders, LATERAL (
+      SELECT COUNT(*) AS n_items,
+             COALESCE(MAX(CAST(l_quantity AS BIGINT)), -1) AS max_qty
+      FROM lineitem WHERE l_orderkey = o_orderkey
+    ) t
+    WHERE o_orderkey % 50 = 0
+"""
+
+
+@query("sqlt_lateral_join", oracle=_LATERAL_SQL)
+def sqlt_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated derived table (SQL:1999; Spark 3.2+ LateralJoin,
+    DuckDB lateral): the per-row subquery decorrelates to an aggregate
+    left join — Catalyst's DecorrelateInnerQuery, the same rewrite the
+    reference's RewriteCorrelatedScalarSubquery applies
+    (subquery.scala:312). IDENTICAL text runs on both engines."""
+    _views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

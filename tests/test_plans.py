@@ -734,3 +734,20 @@ def test_hybrid_rrf_bounded_legs(spark):
     plan = physical_plan(df)
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_field_scoped_atoms_indexed_one_pass(spark):
+    """Field-scoped prefix and fuzzy atoms on the indexed path keep the
+    one-pass shape: the vocabulary predicate widens the scan, the field
+    membership folds into the flag aggregation as an EXISTS over stored
+    position arrays — no join anywhere."""
+    for name in (
+        "fulltext_query_fieldprefix_indexed",
+        "fulltext_query_fieldfuzzy_indexed",
+    ):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"{node} leaked into {name}"
+        assert uses_top_k(df), name
