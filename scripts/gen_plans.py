@@ -42,6 +42,12 @@ FLAGSHIPS = {
     "fulltext_query_fielded_indexed": "fielded atom: position-array exists() inside the one-pass indexed agg, bucket-pruned scan",
     "fulltext_query_fuzzy_indexed": "fuzzy atom: levenshtein widens the pruned scan, flag folds into the single agg",
     "fulltext_ngrams_sentence_agg": "Hive ngrams UDAF shape: staged token column (no expr recompute), one count shuffle, top-k heap",
+    # r6 continuation flagships
+    "fulltext_query_regex_indexed": "regexp atom: anchored RLIKE widens the pruned scan, flag folds into the single agg, no joins",
+    "fulltext_hybrid_rrf": "hybrid RRF: both retrieval legs end in TakeOrderedAndProject heaps BEFORE the 20-row fusion join",
+    "fulltext_min_should_match_indexed": "minimum_should_match: clause count + BM25 sum in ONE doc_id agg over the pruned scan, zero joins",
+    "fulltext_query_fieldprefix_indexed": "fielded prefix: StartsWith widens the scan, field test is exists() over stored position arrays",
+    "fulltext_dismax": "DisMax: per-field BM25 sub-indexes, two bounded aggs (term fuse, doc sum), broadcast stats",
 }
 
 
