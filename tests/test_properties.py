@@ -787,7 +787,9 @@ def test_random_query_asts_three_way_equivalence(spark, tmp_path):
     IX.build_index(docs, table_prefix="prop_idx", num_buckets=8,
                    path=f"file://{tmp_path}/prop_idx")
     rng = random.Random(20260814)
-    for trial in range(10):
+    # 16 trials over 12 atom kinds (was 10/9 — the r6 regex/fprefix/ffuzzy
+    # additions need the extra draws for per-kind coverage)
+    for trial in range(16):
         ast = _rand_ast(rng, vocab, bigrams)
         qtext = _ast_to_query(ast)
         parsed = QL.parse_query(qtext)
@@ -840,3 +842,33 @@ def test_dismax_tiebreak_contract(spark):
     # tie=1 >= tie=0 pointwise (the tiebreak only ever adds score)
     for d in t0:
         assert t1[d] >= t0[d], (d, t0[d], t1[d])
+
+
+def test_rrf_fusion_invariants(spark):
+    """Reciprocal-rank-fusion contracts on the registered hybrid query:
+    (1) the fused top-10 only contains docs from the union of the two
+    top-20 legs; (2) any doc present in BOTH legs outscores any doc
+    present in only one leg at an equal-or-worse rank (1/(60+r) is
+    monotone); (3) inline and indexed twins agree exactly."""
+    from sparkfulltextquery_spark.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    inline = [
+        (r.doc_id, r.rrf)
+        for r in REGISTRY["fulltext_hybrid_rrf"].fn(spark, SF_DIR).collect()
+    ]
+    indexed = [
+        (r.doc_id, r.rrf)
+        for r in REGISTRY["fulltext_hybrid_rrf_indexed"].fn(spark, SF_DIR).collect()
+    ]
+    assert inline == indexed
+    assert len(inline) == 10
+    scores = [s for _, s in inline]
+    assert scores == sorted(scores, reverse=True)
+    # both-lists max possible single-list score is 1/61; a doc scoring
+    # above that must have been in both lists
+    both = [d for d, s in inline if s > round(1 / 61, 6) + 1e-9]
+    single_max = 1 / 61
+    for d, s in inline:
+        if d not in both:
+            assert s <= single_max + 1e-9, (d, s)
