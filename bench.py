@@ -266,6 +266,11 @@ def main() -> None:
     try:
         line = _run(sf1_mode)
     except BaseException as exc:
+        # drain any Python-level output buffered during the redirected run
+        # to stderr BEFORE switching fd 1 back — otherwise it would flush
+        # into the real stdout ahead of the JSON line and break the
+        # one-line contract
+        sys.stdout.flush()
         # restore stdout BEFORE re-raising so a mid-run failure still leaves
         # the driver's capture usable (and emit a parseable breadcrumb
         # instead of an empty stdout)
@@ -279,10 +284,11 @@ def main() -> None:
             flush=True,
         )
         raise
-    # restore the real stdout and emit the one contract line
+    # drain buffered run output to stderr, THEN restore the real stdout and
+    # emit the one contract line
+    sys.stdout.flush()
     os.dup2(real_stdout_fd, 1)
     os.close(real_stdout_fd)
-    sys.stdout.flush()
     print(line, flush=True)
 
 

@@ -247,6 +247,18 @@ BM25F_W_TITLE = 2.0
 BM25F_W_BODY = 1.0
 
 
+def field_pos_pred(field: str):
+    """Element predicate for the positional title/body carving (title =
+    first BM25F_TITLE_LEN tokens): the ONE definition of field membership
+    over a position value, shared by the inline, indexed-one-pass, and
+    pure-negation query compilers (use with F.exists over stored position
+    arrays, or apply to a position Column directly). Changing the carving
+    here changes it everywhere at once."""
+    if field == "title":
+        return lambda p: p < F.lit(BM25F_TITLE_LEN)
+    return lambda p: p >= F.lit(BM25F_TITLE_LEN)
+
+
 def bm25_explain(
     docs: DataFrame,
     query: str,

@@ -552,13 +552,9 @@ def _search_indexed_build(
         def field_fn(field: str, term: str):
             # field membership from the stored position arrays — same
             # title carving as bm25f_search (first BM25F_TITLE_LEN tokens)
-            from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+            from sparkfulltextquery_spark.functions.fulltext import field_pos_pred
 
-            pos_pred = (
-                (lambda p: p < F.lit(BM25F_TITLE_LEN))
-                if field == "title"
-                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
-            )
+            pos_pred = field_pos_pred(field)
             return (
                 post.filter(F.col("term") == term)
                 .filter(F.exists(F.col("positions"), pos_pred))
@@ -598,13 +594,9 @@ def _search_indexed_build(
             return slots.filter(F.size(starts) > 0).select("doc_id")
 
         def fprefix_fn(field: str, prefix: str):
-            from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+            from sparkfulltextquery_spark.functions.fulltext import field_pos_pred
 
-            pos_pred = (
-                (lambda p: p < F.lit(BM25F_TITLE_LEN))
-                if field == "title"
-                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
-            )
+            pos_pred = field_pos_pred(field)
             return (
                 post.filter(F.col("term").startswith(prefix))
                 .filter(F.exists(F.col("positions"), pos_pred))
@@ -613,13 +605,9 @@ def _search_indexed_build(
             )
 
         def ffuzzy_fn(field: str, text: str, dist: int):
-            from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+            from sparkfulltextquery_spark.functions.fulltext import field_pos_pred
 
-            pos_pred = (
-                (lambda p: p < F.lit(BM25F_TITLE_LEN))
-                if field == "title"
-                else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
-            )
+            pos_pred = field_pos_pred(field)
             return (
                 post.filter(F.levenshtein(F.col("term"), F.lit(text)) <= dist)
                 .filter(F.exists(F.col("positions"), pos_pred))
@@ -765,13 +753,9 @@ def _search_indexed_build(
     ]
 
     def _fpx_pos_pred(field):
-        from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+        from sparkfulltextquery_spark.functions.fulltext import field_pos_pred
 
-        return (
-            (lambda p: p < F.lit(BM25F_TITLE_LEN))
-            if field == "title"
-            else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
-        )
+        return field_pos_pred(field)
 
     aggs += [
         F.max(
@@ -835,15 +819,10 @@ def _search_indexed_build(
     def field_col(field: str, term: str):
         # field membership straight off the gathered position array —
         # title = first BM25F_TITLE_LEN tokens, bm25f_search's carving
-        from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+        from sparkfulltextquery_spark.functions.fulltext import field_pos_pred
 
         arr = F.col(slot[term])
-        pos_pred = (
-            (lambda p: p < F.lit(BM25F_TITLE_LEN))
-            if field == "title"
-            else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
-        )
-        return arr.isNotNull() & F.exists(arr, pos_pred)
+        return arr.isNotNull() & F.exists(arr, field_pos_pred(field))
 
     def as_col(n):
         if isinstance(n, QL.Term):

@@ -300,6 +300,15 @@ def parse_query(q: str):
                     f"regexp atom {t!r} outside the portable subset "
                     "(letters, digits, . * + ? | ( ) [ ] -)"
                 )
+            if re.search(r"[*+?][*+?]", pat):
+                # stacked quantifiers: possessive (*+, ++) compile in Java
+                # regex but RE2-family engines reject them, and lazy (*?)
+                # differs only in group capture we don't expose — both are
+                # outside the portable contract
+                raise ValueError(
+                    f"stacked quantifiers in regexp atom {t!r} "
+                    "(possessive/lazy forms are not portable)"
+                )
             try:
                 re.compile(pat)
             except re.error as exc:
@@ -892,7 +901,7 @@ def search(
         # one corpus tokenization feeds BOTH the posting table (groupBy)
         # and every phrase/near/field atom's positional lookups
         from sparkfulltextquery_spark.functions.fulltext import (
-            BM25F_TITLE_LEN,
+            field_pos_pred,
             positional_relation,
             proximity_match,
         )
@@ -926,11 +935,7 @@ def search(
         def field_fn(field: str, term: str) -> DataFrame:
             # title = first BM25F_TITLE_LEN tokens (0-based positions),
             # exactly bm25f_search's field carving
-            in_field = (
-                F.col("pos") < BM25F_TITLE_LEN
-                if field == "title"
-                else F.col("pos") >= BM25F_TITLE_LEN
-            )
+            in_field = field_pos_pred(field)(F.col("pos"))
             return (
                 pos_rel.filter((F.col("term") == term) & in_field)
                 .select("doc_id")
@@ -940,11 +945,7 @@ def search(
         def fprefix_fn(field: str, prefix: str) -> DataFrame:
             # Prefix ∘ Field: StartsWith over the vocabulary AND the same
             # positional carving
-            in_field = (
-                F.col("pos") < BM25F_TITLE_LEN
-                if field == "title"
-                else F.col("pos") >= BM25F_TITLE_LEN
-            )
+            in_field = field_pos_pred(field)(F.col("pos"))
             return (
                 pos_rel.filter(F.col("term").startswith(prefix) & in_field)
                 .select("doc_id")
@@ -953,11 +954,7 @@ def search(
 
         def ffuzzy_fn(field: str, text: str, dist: int) -> DataFrame:
             # Fuzzy ∘ Field: levenshtein over the vocabulary AND the carving
-            in_field = (
-                F.col("pos") < BM25F_TITLE_LEN
-                if field == "title"
-                else F.col("pos") >= BM25F_TITLE_LEN
-            )
+            in_field = field_pos_pred(field)(F.col("pos"))
             return (
                 pos_rel.filter(
                     (F.levenshtein(F.col("term"), F.lit(text)) <= dist)

@@ -464,6 +464,9 @@ def test_parser_regex_shapes():
         "/(ab/",       # invalid regex (unbalanced group)
         "a/b",         # stray slash in a term atom
         "/foo",        # unterminated pattern
+        "/ab*+/",      # possessive quantifier (Java-only, RE2 rejects)
+        "/ab*?/",      # lazy quantifier (outside the portable contract)
+        "/a++b/",      # possessive quantifier
     ]:
         with pytest.raises(ValueError):
             parse_query(bad)

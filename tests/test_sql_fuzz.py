@@ -530,7 +530,16 @@ def _gen_int_expr(rng: random.Random, depth: int = 0) -> str:
     a = _gen_int_expr(rng, depth + 1)
     b = _gen_int_expr(rng, depth + 1)
     if shape == "bin":
-        return f"({a} {rng.choice(['+', '-', '*'])} {b})"
+        op = rng.choice(["+", "-", "*"])
+        if op == "*":
+            # bound each factor below 2^17 so nested products stay far
+            # inside int64 at ANY scale factor — DuckDB raises Out of Range
+            # on overflow while non-ANSI Spark silently wraps, so an
+            # unbounded product is a false "divergence" waiting on a seed
+            # or SF change (truncating % keeps the dividend's sign in both
+            # engines, so negative operands stay portable)
+            return f"(({a}) % 100003) * (({b}) % 100003)"
+        return f"({a} {op} {b})"
     if shape == "mod":
         # strictly-positive divisor: engines agree on % sign for pos divisors
         return f"({a} % {rng.randint(2, 13)})"
