@@ -711,3 +711,40 @@ def test_random_window_over_agg_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"window-over-agg query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# LIKE-pattern fuzzing: random %/_ patterns (LIKE, NOT LIKE, ILIKE) built
+# from real value fragments — wildcard-matching parity per row.
+# ---------------------------------------------------------------------------
+
+_LIKE_COLS = ["o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus"]
+_LIKE_FRAGS = ["1%", "%URGENT", "%-%", "_", "%E%", "2-H_GH", "%O%", "N", "%T"]
+
+
+def _gen_like_query(rng: random.Random) -> str:
+    preds = []
+    for _ in range(rng.randint(1, 3)):
+        col = rng.choice(_LIKE_COLS)
+        pat = rng.choice(_LIKE_FRAGS)
+        op = rng.choice(["LIKE", "NOT LIKE", "ILIKE", "NOT ILIKE"])
+        if op.endswith("ILIKE"):
+            pat = pat.lower()
+        preds.append(f"({col} {op} '{pat}')")
+    sel = ", ".join(
+        f"count_if{p} AS c{i}" for i, p in enumerate(preds)
+    )
+    return f"""
+    SELECT l_returnflag AS k, COUNT(*) AS n, {sel}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY k"""
+
+
+def test_random_like_patterns_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 13)
+    for i in range(15):
+        sql = _gen_like_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"like query #{i} diverged:\n{sql}"
