@@ -2300,3 +2300,80 @@ def fulltext_query_fieldfuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataF
 
     prefix = _ensure_index(spark, sf_dir)
     return search_indexed(spark, "title:sparc~1 OR batch", k=10, table_prefix=prefix)
+
+
+# ---------------- match positions / highlighting offsets (r6) ----------------
+
+_MATCHPOS_ORACLE = f"""
+    WITH pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    hits AS (
+      SELECT doc_id, term, list(pos ORDER BY pos) AS positions
+      FROM pos WHERE term IN ('join', 'spark')
+      GROUP BY doc_id, term
+    ),
+    both_docs AS (
+      SELECT doc_id FROM hits GROUP BY doc_id HAVING count(*) = 2
+    )
+    SELECT h.doc_id, h.term, h.positions
+    FROM hits h JOIN both_docs USING (doc_id)
+    ORDER BY h.doc_id, h.term
+"""
+
+
+@query("fulltext_match_positions", oracle=_MATCHPOS_ORACLE)
+def fulltext_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-term position retrieval (the Lucene TermPositions /
+    PostingsEnum surface highlighters are built on): for docs containing
+    ALL query terms, the sorted token offsets of each term — exactly what
+    a highlighter needs to place <em> marks without re-analyzing the
+    document text. Inline form: one tokenization, one (doc, term)
+    aggregation, a count-filter for the all-terms constraint."""
+    d = load_table(spark, sf_dir, "documents")
+    from sparkfulltextquery_spark.functions.fulltext import positional_relation
+
+    terms = ["join", "spark"]
+    pos = positional_relation(d)
+    hits = (
+        pos.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+    both = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt")).filter(
+        F.col("nt") == len(terms)
+    )
+    return (
+        hits.join(both.select("doc_id"), "doc_id")
+        .select("doc_id", "term", "positions")
+        .orderBy("doc_id", "term")
+    )
+
+
+@query("fulltext_match_positions_indexed", oracle=_MATCHPOS_ORACLE)
+def fulltext_match_positions_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same position retrieval off the PERSISTED index: the stored
+    sorted position arrays come straight out of the bucket-pruned postings
+    scan — zero tokenization, zero explode; the all-terms constraint is
+    one count aggregation over the pruned rows. This is why the index
+    stores positions: phrase matching, proximity, AND highlighting all
+    read them without touching the corpus."""
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    terms = ["join", "spark"]
+    post = (
+        spark.table(f"{prefix}_postings")
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "positions")
+    )
+    both = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt")).filter(
+        F.col("nt") == len(terms)
+    )
+    return (
+        post.join(both.select("doc_id"), "doc_id")
+        .select("doc_id", "term", "positions")
+        .orderBy("doc_id", "term")
+    )
