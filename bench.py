@@ -120,6 +120,7 @@ EXTRA = [
     "fulltext_query_fieldprefix_indexed",
     "fulltext_query_fieldfuzzy_indexed",
     "fulltext_query_phrase_boost_indexed",
+    "fulltext_match_positions_indexed",
 ]
 
 
