@@ -8,3 +8,9 @@ in the text pipeline.
 
 from sparkfulltextquery_spark.functions import fulltext, hashes, text  # noqa: F401
 from sparkfulltextquery_spark.functions import fulltext_queries  # noqa: F401  (registers)
+# the r7 split of fulltext_queries.py (file-size hygiene): these import
+# AFTER fulltext_queries — the indexed twins reuse inline rows' oracles via
+# the registry, so the inline rows must already be registered
+from sparkfulltextquery_spark.functions import fulltext_indexed  # noqa: E402,F401
+from sparkfulltextquery_spark.functions import fulltext_atoms  # noqa: E402,F401
+from sparkfulltextquery_spark.functions import fulltext_fusion  # noqa: E402,F401

@@ -519,118 +519,6 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 @query(
-    "fulltext_bm25_search_indexed",
-    oracle=f"""
-    WITH {_POSTINGS_CTE},
-    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl)
-    SELECT doc_id,
-           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                     * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-    FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-    GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
-def fulltext_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same BM25 top-10 as fulltext_bm25_search, answered from the PERSISTED
-    bucketed index: the query terms' postings come from bucket-pruned reads
-    (SelectedBucketsCount in the plan — tests/test_index.py), corpus stats
-    from the precomputed stats table; the corpus itself is never
-    re-tokenized. This is the benched headline path — the inline twin
-    remains the from-scratch oracle shape (reference bucketed reads,
-    DataFrameWriter.scala:170 + top-k limit.scala:114)."""
-    from sparkfulltextquery_spark.functions.index import bm25_search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return bm25_search_indexed(spark, " ".join(_BM25_QUERY_TERMS), k=10, table_prefix=prefix)
-
-
-@query(
-    "fulltext_phrase_search_indexed",
-    oracle=f"""
-    WITH pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    )
-    SELECT a.doc_id, count(*) AS n_occurrences
-    FROM      (SELECT doc_id, pos     FROM pos WHERE term = 'batch') a
-    JOIN      (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'batch') b
-      USING (doc_id, pos)
-    GROUP BY a.doc_id
-    """,
-)
-def fulltext_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase "batch batch" answered from the persisted positional index:
-    bucket-pruned postings lookup (SelectedBucketsCount in the plan) →
-    explode stored positions → (doc_id, pos-i) equi-join. Same result as
-    fulltext_phrase_search but NO corpus re-tokenization — the 100 TB-safe
-    phrase plan (VERDICT r1 weak item; reference bucketed reads,
-    DataFrameWriter.scala:170)."""
-    from sparkfulltextquery_spark.functions.index import phrase_match_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return phrase_match_indexed(spark, "batch batch", table_prefix=prefix)
-
-
-@query(
-    "fulltext_query_language_indexed",
-    oracle=f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    phrase_docs AS (
-      SELECT DISTINCT a.doc_id
-      FROM (SELECT doc_id, pos FROM pos WHERE term = 'batch') a
-      JOIN (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'batch') b
-        USING (doc_id, pos)
-    ),
-    matched AS (
-      SELECT doc_id FROM tfs WHERE term = 'spark'
-      INTERSECT
-      SELECT doc_id FROM tfs WHERE term = 'join'
-      UNION
-      (SELECT doc_id FROM phrase_docs
-       EXCEPT
-       SELECT doc_id FROM tfs WHERE term = 'vector')
-    ),
-    qt    AS (SELECT unnest(['batch', 'join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-    """,
-)
-def fulltext_query_language_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The boolean query language evaluated entirely off the persisted
-    positional index — term atoms are bucket-pruned lookups, the phrase atom
-    joins stored positions, BM25 comes from the precomputed df/dl/stats
-    tables. Identical semantics (and oracle) to fulltext_query_language."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(
-        spark, '(spark AND join) OR ("batch batch" AND NOT vector)', k=10,
-        table_prefix=prefix,
-    )
-
-
-@query(
     "fulltext_hashing_tf",
     oracle=f"""
     WITH post AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents
@@ -649,6 +537,7 @@ def fulltext_hashing_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return hashing_tf(d)
+
 
 
 @query(
@@ -713,6 +602,7 @@ def fulltext_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
 @query(
     "fulltext_spell_suggest",
     oracle=f"""
@@ -743,94 +633,6 @@ def fulltext_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
 
-
-@query(
-    "fulltext_proximity_search_indexed",
-    oracle=f"""
-    WITH pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    a AS (SELECT doc_id, pos FROM pos WHERE term = 'spark'),
-    b AS (SELECT doc_id, pos FROM pos WHERE term = 'join'),
-    j AS (
-      SELECT a.doc_id, abs(a.pos - b.pos) AS d
-      FROM a JOIN b USING (doc_id)
-      WHERE abs(a.pos - b.pos) <= 5
-    )
-    SELECT doc_id, count(*) AS n_pairs, min(d) AS min_distance
-    FROM j GROUP BY doc_id
-    """,
-)
-def fulltext_proximity_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same NEAR/5 relation as fulltext_proximity_search but answered from
-    the persisted positional index: two pruned term buckets, no corpus
-    re-tokenization (functions/index.py::proximity_match_indexed)."""
-    from sparkfulltextquery_spark.functions.index import proximity_match_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return proximity_match_indexed(spark, "spark", "join", window=5, table_prefix=prefix)
-
-
-@query(
-    "fulltext_autocomplete",
-    oracle=f"""
-    WITH {_POSTINGS_CTE}
-    SELECT term, count(*) AS df
-    FROM tfs WHERE term LIKE 'qu%'
-    GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
-    """,
-)
-def fulltext_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typeahead: top-10 vocabulary completions of 'qu', ranked by document
-    frequency, from the persisted posting vocabulary (StartsWith range scan
-    + bounded top-k heap — no corpus access at query time)."""
-    from sparkfulltextquery_spark.functions.index import suggest_terms
-
-    prefix = _ensure_index(spark, sf_dir)
-    return suggest_terms(spark, "qu", top=10, table_prefix=prefix)
-
-
-@query(
-    "fulltext_bm25f_weighted",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-    fields AS (
-      SELECT doc_id, 'title' AS field, toks[1:10] AS ftoks FROM toks
-      UNION ALL
-      SELECT doc_id, 'body' AS field, toks[11:] AS ftoks FROM toks
-    ),
-    dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM fields),
-    avgdl AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
-    fpost AS (SELECT doc_id, field, unnest(ftoks) AS term FROM fields),
-    qpost AS (
-      SELECT doc_id, field, term, count(*) AS tf FROM fpost
-      WHERE term IN ('data', 'query', 'spark', 'window')
-      GROUP BY doc_id, field, term
-    ),
-    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM qpost GROUP BY term),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    tfw AS (
-      SELECT doc_id, term,
-             sum((CASE WHEN field = 'title' THEN 2.0 ELSE 1.0 END) * tf
-                 / (1 - 0.75 + 0.75 * dl / avgdl)) AS tfw
-      FROM qpost JOIN dl USING (doc_id, field) JOIN avgdl USING (field)
-      GROUP BY doc_id, term
-    )
-    SELECT doc_id,
-           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                     * tfw / (1.2 + tfw)), 4) AS score
-    FROM tfw JOIN dfreq USING (term) CROSS JOIN n
-    GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
-def fulltext_bm25f_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25F: multi-field search with per-field weights (title boosted 2×) —
-    the field-weighted ranking every search engine ships; fields carved
-    deterministically (title = first 10 tokens) so the oracle agrees."""
-    d = load_table(spark, sf_dir, "documents")
-    return FT.bm25f_search(d, "data query spark window", k=10)
 
 
 @query(
@@ -886,349 +688,6 @@ def fulltext_collapse_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return best.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
 
-
-@query(
-    "fulltext_query_prefix",
-    oracle=f"""
-    WITH {_POSTINGS_CTE},
-    matched AS (
-      SELECT doc_id FROM tfs WHERE term LIKE 'spar%'
-      INTERSECT
-      SELECT doc_id FROM tfs WHERE term = 'join'
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch', 'join']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-    """,
-)
-def fulltext_query_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wildcard-prefix atoms in the query language (r5):
-    '(spar* AND join) OR batch' — `spar*` matches any term with the
-    prefix (Lucene prefix-query semantics; unscored, like Lucene's
-    constant-score wildcard rewrite). The oracle phrases the prefix atom
-    as a LIKE set over the posting relation."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "(spar* AND join) OR batch", k=10)
-
-
-@query(
-    "fulltext_query_prefix_indexed",
-    oracle=f"""
-    WITH {_POSTINGS_CTE},
-    matched AS (
-      SELECT doc_id FROM tfs WHERE term LIKE 'spar%'
-      INTERSECT
-      SELECT doc_id FROM tfs WHERE term = 'join'
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch', 'join']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-    """,
-)
-def fulltext_query_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same prefix query answered from the PERSISTED index in the
-    one-pass form: term atoms stay bucket-pruned; the prefix atom widens
-    the scan with a StartsWith filter (hash bucketing is equality-only —
-    wildcards can't prune, the standard trade in bucketed inverted
-    indexes)."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(
-        spark, "(spar* AND join) OR batch", k=10, table_prefix=prefix
-    )
-
-
-@query(
-    "fulltext_query_boost",
-    oracle=f"""
-    WITH {_POSTINGS_CTE},
-    matched AS (
-      SELECT doc_id FROM tfs WHERE term = 'spark'
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'join'
-    ),
-    qt    AS (SELECT unnest(['join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum((CASE term WHEN 'spark' THEN 3.0 ELSE 1.0 END)
-                       * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-    """,
-)
-def fulltext_query_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term boosts in the query language (r5): 'spark^3 OR join' — the
-    boost scales the term's BM25 contribution (Lucene `^N` semantics),
-    reordering results toward boosted matches. The oracle carries the
-    boost as a CASE multiplier on the per-term score."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "spark^3 OR join", k=10)
-
-
-_NEAR_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    near_docs AS (
-      SELECT DISTINCT a.doc_id
-      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
-      JOIN (SELECT doc_id, pos FROM pos WHERE term = 'join') b USING (doc_id)
-      WHERE abs(a.pos - b.pos) <= 5
-    ),
-    matched AS (
-      SELECT doc_id FROM near_docs
-      EXCEPT
-      SELECT doc_id FROM tfs WHERE term = 'vector'
-    ),
-    qt    AS (SELECT unnest(['join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-    """
-
-
-@query("fulltext_query_near", oracle=_NEAR_ORACLE)
-def fulltext_query_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The NEAR/k operator inside the query language (r5):
-    'spark NEAR/5 join AND NOT vector' — proximity as a first-class atom
-    composable with the boolean algebra (previously only a standalone
-    function). NEAR binds tighter than AND; both operands score in
-    BM25."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "spark NEAR/5 join AND NOT vector", k=10)
-
-
-@query("fulltext_query_near_indexed", oracle=_NEAR_ORACLE)
-def fulltext_query_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same NEAR query answered from the PERSISTED index one-pass:
-    both operands' stored position arrays gather as slots in the single
-    doc_id aggregation and the pair-distance test is an array expression
-    — no explode, no positional join, bucket-pruned scan."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(
-        spark, "spark NEAR/5 join AND NOT vector", k=10, table_prefix=prefix
-    )
-
-
-# ---------------- fielded + fuzzy atoms (r6) ----------------
-
-_FIELDED_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    matched AS (
-      SELECT DISTINCT doc_id FROM pos WHERE term = 'spark' AND pos < 10
-      INTERSECT
-      SELECT doc_id FROM tfs WHERE term = 'join'
-    ),
-    qt    AS (SELECT unnest(['join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_fielded", oracle=_FIELDED_ORACLE)
-def fulltext_query_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field-scoped atom `title:spark AND join` (Lucene fielded-search
-    surface; VERDICT r05 #5): the title field is carved positionally from
-    the text column exactly as bm25f_search does (first BM25F_TITLE_LEN=10
-    tokens), so `title:term` compiles to a position-bounded lookup in the
-    positional relation; the term still scores document-level BM25. The
-    field-WEIGHTED scoring composition is fulltext_bm25f_weighted."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "title:spark AND join", k=10)
-
-
-@query("fulltext_query_fielded_indexed", oracle=_FIELDED_ORACLE)
-def fulltext_query_fielded_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same fielded query answered from the PERSISTED index one-pass:
-    the field term's stored position array gathers as a slot in the single
-    doc_id aggregation and field membership is an array `exists` over it —
-    no posexplode, bucket-pruned scan."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(spark, "title:spark AND join", k=10, table_prefix=prefix)
-
-
-_FUZZY_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    matched AS (
-      SELECT DISTINCT doc_id FROM tfs WHERE levenshtein(term, 'sparc') <= 1
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-_REGEX_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    matched AS (
-      SELECT DISTINCT doc_id FROM tfs WHERE regexp_matches(term, '^(?:qu.r(y|ies))$')
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_regex", oracle=_REGEX_ORACLE)
-def fulltext_query_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regexp atom `/qu.r(y|ies)/ OR batch` (Lucene RegexpQuery surface,
-    ref RegexpExpression family `regexpExpressions.scala`): `/pattern/`
-    matches any vocabulary term the pattern matches entirely (implicitly
-    anchored, as Lucene regexps are) via an RLIKE predicate over the
-    posting vocabulary — the same constant-score multi-term expansion
-    discipline as prefix and fuzzy atoms; the plain `batch` branch still
-    scores BM25. The pattern subset (literals, ., quantifiers, |, groups,
-    char classes — no anchors, no escapes) is portable between Java regex
-    and RE2-family engines, so the oracle runs the IDENTICAL pattern."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "/qu.r(y|ies)/ OR batch", k=10)
-
-
-@query("fulltext_query_regex_indexed", oracle=_REGEX_ORACLE)
-def fulltext_query_regex_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same regexp query answered from the PERSISTED index one-pass:
-    the anchored RLIKE widens the pruned scan (a regexp can't bucket-prune,
-    exactly like prefix/fuzzy atoms) and the regex flag folds into the
-    single doc_id aggregation."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(spark, "/qu.r(y|ies)/ OR batch", k=10, table_prefix=prefix)
-
-
-@query("fulltext_query_fuzzy", oracle=_FUZZY_ORACLE)
-def fulltext_query_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy atom `sparc~1 OR batch` (Lucene fuzzy-search surface; VERDICT
-    r05 #5): `term~N` matches any vocabulary term within edit distance N
-    via a levenshtein predicate over the posting vocabulary — the
-    fulltext_fuzzy_vocab machinery as a first-class boolean-algebra atom.
-    Constant-score like prefix atoms (expanded terms contribute no idf);
-    the un-fuzzied `batch` branch still scores BM25."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "sparc~1 OR batch", k=10)
-
-
-@query("fulltext_query_fuzzy_indexed", oracle=_FUZZY_ORACLE)
-def fulltext_query_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same fuzzy query answered from the PERSISTED index one-pass:
-    the levenshtein predicate widens the pruned scan (edit distance can't
-    bucket-prune, exactly like prefix atoms) and the fuzzy flag folds into
-    the single doc_id aggregation."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(spark, "sparc~1 OR batch", k=10, table_prefix=prefix)
 
 
 # ---------------- Hive n-gram aggregate compositions (r6) ----------------
@@ -1347,1033 +806,3 @@ def fulltext_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
 
-
-# ---------------- sloppy phrase atoms (r6) ----------------
-
-_SLOP_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    slop_docs AS (
-      -- ordered sloppy phrase "spark join"~2: join after spark with at
-      -- most 2 extra tokens between (window = pos_join - pos_spark <= 3);
-      -- SQL states the exists-assignment semantics directly as a join
-      SELECT DISTINCT a.doc_id
-      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
-      JOIN (SELECT doc_id, pos FROM pos WHERE term = 'join') b
-        USING (doc_id)
-      WHERE b.pos > a.pos AND b.pos - a.pos <= 3
-    ),
-    matched AS (
-      SELECT doc_id FROM slop_docs
-      EXCEPT
-      SELECT doc_id FROM tfs WHERE term = 'vector'
-    ),
-    qt    AS (SELECT unnest(['join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_slop", oracle=_SLOP_ORACLE)
-def fulltext_query_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sloppy-phrase atom `"spark join"~2 AND NOT vector` (Lucene phrase
-    slop, restricted to in-order matches; VERDICT r05 #5 family): the
-    phrase words must appear in order with at most `slop` extra tokens
-    interleaved in total — slop=0 degenerates to the exact phrase. The
-    inline compiler gathers each term's position array per doc in one
-    aggregation and runs the greedy minimal-next-position chain as array
-    expressions (exists-semantics; greedy provably minimizes the window
-    for a fixed start). Phrase words score document-level BM25."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, '"spark join"~2 AND NOT vector', k=10)
-
-
-@query("fulltext_query_slop_indexed", oracle=_SLOP_ORACLE)
-def fulltext_query_slop_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same sloppy-phrase query answered from the PERSISTED index
-    one-pass: the stored position arrays gather as slots in the single
-    doc_id aggregation and the greedy chain runs over them — bucket-pruned
-    scan, no positional joins, no explode."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(
-        spark, '"spark join"~2 AND NOT vector', k=10, table_prefix=prefix
-    )
-
-
-# ---------------- range + field-phrase atoms (r6) ----------------
-
-_RANGE_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    matched AS (
-      SELECT doc_id FROM tfs WHERE term BETWEEN 'spark' AND 'sparl'
-      INTERSECT
-      SELECT doc_id FROM tfs WHERE term = 'join'
-    ),
-    qt    AS (SELECT unnest(['join']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_range", oracle=_RANGE_ORACLE)
-def fulltext_query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vocabulary range atom `[spark TO sparl] AND join` (Lucene range
-    query): matches any term lexicographically inside the inclusive
-    bounds. Constant-score like prefix atoms (the expanded terms
-    contribute no idf; the plain `join` conjunct still scores BM25);
-    unprunable by hash bucketing — the scan filters a range band over
-    the posting vocabulary."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "[spark TO sparl] AND join", k=10)
-
-
-@query("fulltext_query_range_indexed", oracle=_RANGE_ORACLE)
-def fulltext_query_range_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same range query off the PERSISTED index one-pass: the range
-    band widens the pruned scan (like prefix/fuzzy) and its flag folds
-    into the single doc_id aggregation."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(spark, "[spark TO sparl] AND join", k=10, table_prefix=prefix)
-
-
-_FIELDPHRASE_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    fp_docs AS (
-      -- exact phrase 'spark join' entirely within the 10-token title:
-      -- start p has spark, p+1 has join, p+1 <= 9
-      SELECT DISTINCT a.doc_id
-      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
-      JOIN (SELECT doc_id, pos - 1 AS pos FROM pos WHERE term = 'join') b
-        USING (doc_id, pos)
-      WHERE a.pos <= 8
-    ),
-    matched AS (
-      SELECT doc_id FROM fp_docs
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch', 'join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_fieldphrase", oracle=_FIELDPHRASE_ORACLE)
-def fulltext_query_fieldphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field-scoped phrase `title:"spark join" OR batch` (Lucene fielded
-    phrase): the exact phrase must occur ENTIRELY inside the positionally
-    carved title field (first BM25F_TITLE_LEN tokens) — the
-    array_contains start chain bounded by the field window. Phrase words
-    score document-level BM25 alongside the OR branch."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, 'title:"spark join" OR batch', k=10)
-
-
-@query("fulltext_query_fieldphrase_indexed", oracle=_FIELDPHRASE_ORACLE)
-def fulltext_query_fieldphrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same fielded phrase off the PERSISTED index one-pass: the
-    phrase terms' stored position arrays gather as slots and the bounded
-    start chain runs as array expressions — bucket-pruned, no explode."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(
-        spark, 'title:"spark join" OR batch', k=10, table_prefix=prefix
-    )
-
-
-# ---------------- forward-index-served twins (r6) ----------------
-
-from sparkfulltextquery_spark.registry import REGISTRY as _REG
-
-
-@query(
-    "fulltext_more_like_this_indexed",
-    oracle=_REG["fulltext_more_like_this"].oracle,
-)
-def fulltext_more_like_this_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """More-like-this served ENTIRELY off the persisted index (r6 forward
-    index): the query doc's term vector reads from the doc-bucketed tvec
-    table (one pruned bucket), candidates from the term-bucketed postings
-    pruned to its terms, and BOTH norms from the build-time norms table —
-    the Lucene term-vectors+norms design. Same TF-IDF-cosine semantics
-    (and oracle) as fulltext_more_like_this, with no corpus tokenization
-    and no full forward scan at query time."""
-    from sparkfulltextquery_spark.functions.index import more_like_this_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return more_like_this_indexed(spark, 7, k=10, table_prefix=prefix)
-
-
-@query(
-    "fulltext_autocomplete_indexed",
-    oracle=_REG["fulltext_autocomplete"].oracle,
-)
-def fulltext_autocomplete_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typeahead served off the persisted index: a StartsWith band over
-    the posting vocabulary + a bounded top-k heap
-    (functions/index.py::suggest_terms) — no corpus tokenization. Same
-    ranking (and oracle) as fulltext_autocomplete."""
-    from sparkfulltextquery_spark.functions.index import suggest_terms
-
-    prefix = _ensure_index(spark, sf_dir)
-    return suggest_terms(spark, "qu", top=10, table_prefix=prefix)
-
-
-@query(
-    "fulltext_faceted_search_indexed",
-    oracle=_REG["fulltext_faceted_search"].oracle,
-)
-def fulltext_faceted_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Faceted search with the match set resolved from the persisted
-    index (two pruned term buckets) instead of an inline tokenization;
-    facet values still come from the documents table (the index stores
-    postings, not source metadata — same split as any search engine's
-    doc-store lookup). Same result (and oracle) as
-    fulltext_faceted_search."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    d = load_table(spark, sf_dir, "documents")
-    matched = (
-        spark.table(f"{prefix}_postings")
-        .filter(F.col("term").isin(["join", "spark"]))
-        .select("doc_id")
-        .distinct()
-    )
-    hits = d.join(matched, "doc_id", "left_semi")
-    pairs = hits.select(
-        F.explode(
-            F.array(
-                F.struct(F.lit("source").alias("facet"), F.col("source").alias("value")),
-                F.struct(F.lit("lang").alias("facet"), F.col("lang").alias("value")),
-            )
-        ).alias("fv")
-    )
-    return (
-        pairs.select("fv.facet", "fv.value")
-        .groupBy("facet", "value")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-@query(
-    "fulltext_spell_suggest_indexed",
-    oracle=_REG["fulltext_spell_suggest"].oracle,
-)
-def fulltext_spell_suggest_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Did-you-mean served off the persisted index: the vocabulary IS the
-    precomputed df table — one |vocab|-sized scan, a levenshtein filter,
-    and a bounded top-k heap; no postings scan, no corpus tokenization.
-    Same ranking (and oracle) as fulltext_spell_suggest."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    vocab = spark.table(f"{prefix}_df")
-    dist = F.levenshtein("term", F.lit("qery"))
-    return (
-        vocab.select("term", dist.cast("long").alias("dist"), "df")
-        .filter(F.col("dist") <= 2)
-        .orderBy("dist", F.col("df").desc(), "term")
-        .limit(5)
-    )
-
-
-@query(
-    "fulltext_tfidf_top_terms_indexed",
-    oracle=_REG["fulltext_tfidf_top_terms"].oracle,
-)
-def fulltext_tfidf_top_terms_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc top TF-IDF terms served off the persisted forward index:
-    term vectors from the doc-bucketed tvec table, idf from the broadcast
-    df table, n_docs as a literal — no tokenization, no posting groupBy.
-    Same result (and oracle) as fulltext_tfidf_top_terms."""
-    from pyspark.sql import Window
-
-    from sparkfulltextquery_spark.functions.index import (
-        _df_stats_literals,
-        _force_bucketed_scan,
-    )
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    n_docs, _a, _ = _df_stats_literals(spark, prefix, [])
-    tv = spark.table(f"{prefix}_tvec").filter(F.col("doc_id") < 100)
-    dfreq = spark.table(f"{prefix}_df")
-    scored = tv.join(F.broadcast(dfreq), "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf")
-            * F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1.0))),
-            4,
-        ).alias("tfidf"),
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tfidf")
-    )
-
-
-@query(
-    "fulltext_collapse_by_source_indexed",
-    oracle=_REG["fulltext_collapse_by_source"].oracle,
-)
-def fulltext_collapse_by_source_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collapse-by-source with scoring served off the persisted index
-    (bm25_scores_indexed: pruned term buckets, literal df/stats, zero
-    scoring joins), then one doc-store join for the collapse dimension —
-    the same split as fulltext_faceted_search_indexed. Same result (and
-    oracle) as fulltext_collapse_by_source."""
-    from pyspark.sql import Window
-
-    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    scored = bm25_scores_indexed(spark, "data query spark window", table_prefix=prefix)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        scored.join(d, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("source", "doc_id", "score")
-        .orderBy(F.col("score").desc(), "doc_id")
-        .limit(10)
-    )
-
-
-@query(
-    "fulltext_prefix_search_indexed",
-    oracle=_REG["fulltext_prefix_search"].oracle,
-)
-def fulltext_prefix_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix search off the persisted index: a StartsWith band over the
-    term-bucketed postings (hash bucketing can't prune a range, but the
-    scan stays postings-sized with no tokenization), per-doc distinct-term
-    and tf totals. Same result (and oracle) as fulltext_prefix_search."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    post = spark.table(f"{prefix}_postings").filter(F.col("term").startswith("quer"))
-    return post.groupBy("doc_id").agg(
-        F.countDistinct("term").alias("n_terms"),
-        F.sum("tf").cast("long").alias("total_tf"),
-    )
-
-
-@query(
-    "fulltext_score_explain",
-    oracle=f"""
-    WITH {_POSTINGS_CTE},
-    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    ts AS (
-      SELECT doc_id, term, tf, df,
-             ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf_raw,
-             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS ts_raw
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-    ),
-    top AS (
-      SELECT doc_id, round(sum(ts_raw), 4) AS score
-      FROM ts GROUP BY doc_id
-      ORDER BY score DESC, doc_id LIMIT 3
-    )
-    SELECT ts.doc_id, score, term, tf, df,
-           round(idf_raw, 4) AS idf, round(ts_raw, 4) AS tscore
-    FROM ts JOIN top USING (doc_id)
-    """,
-)
-def fulltext_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lucene-style score explain (BM25Similarity.explain): the per-term
-    breakdown — tf, df, idf, contribution — for the top-3 BM25 docs of the
-    standard query. The 3-row top-k broadcasts back into the term-score
-    relation, so explain costs one broadcast join over plain search."""
-    d = load_table(spark, sf_dir, "documents")
-    return FT.bm25_explain(d, " ".join(_BM25_QUERY_TERMS), k=3)
-
-
-@query(
-    "fulltext_score_explain_indexed",
-    oracle=_REG["fulltext_score_explain"].oracle,
-)
-def fulltext_score_explain_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same top-3 BM25 explain, served from the persisted index: pruned
-    term buckets, df/idf as constant-folded literals, denormalized doc
-    lengths — zero joins before the k-row broadcast-back. Shares
-    fulltext_score_explain's oracle."""
-    from sparkfulltextquery_spark.functions.index import bm25_explain_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return bm25_explain_indexed(
-        spark, " ".join(_BM25_QUERY_TERMS), k=3, table_prefix=prefix
-    )
-
-
-@query(
-    "fulltext_search_after_indexed",
-    oracle=f"""
-    WITH {_POSTINGS_CTE},
-    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    ),
-    cursor AS (
-      SELECT score AS c_score, doc_id AS c_doc
-      FROM scored ORDER BY score DESC, doc_id LIMIT 1 OFFSET 9
-    )
-    SELECT doc_id, score
-    FROM scored CROSS JOIN cursor
-    WHERE score < c_score OR (score = c_score AND doc_id > c_doc)
-    ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
-def fulltext_search_after_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keyset pagination ("search after", the Lucene/Elasticsearch
-    searchAfter cursor): page 2 of the standard BM25 query, fetched as
-    WHERE (score, doc_id) < page-1-boundary instead of OFFSET. OFFSET k
-    at depth makes every executor heap carry offset+k rows; the keyset
-    predicate keeps per-partition heaps at k forever — the only correct
-    deep-paging shape at 100 TB. Served off the persisted index; the
-    1-row cursor (computed here from page 1's boundary to stay
-    self-contained; a real client passes it back) broadcasts into the
-    scoring relation."""
-    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    scored = bm25_scores_indexed(spark, " ".join(_BM25_QUERY_TERMS), table_prefix=prefix)
-    cursor = (
-        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(10)
-        .orderBy(F.col("score").asc(), F.col("doc_id").desc())
-        .limit(1)
-        .select(F.col("score").alias("c_score"), F.col("doc_id").alias("c_doc"))
-    )
-    return (
-        scored.join(F.broadcast(cursor))
-        .filter(
-            (F.col("score") < F.col("c_score"))
-            | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
-        )
-        .select("doc_id", "score")
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(10)
-    )
-
-
-# ---------------- hybrid search: BM25 + vector RRF (r6) ----------------
-
-_RRF_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    qt    AS (SELECT unnest(['join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    ),
-    lex AS (
-      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lr
-      FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 20)
-    ),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-    semtop AS (
-      SELECT vec_id,
-             round(list_inner_product(v, qv) /
-                   (sqrt(list_sum(list_transform(v, x -> x * x))) *
-                    sqrt(list_sum(list_transform(qv, x -> x * x)))), 6) AS cosine
-      FROM e CROSS JOIN q
-      ORDER BY cosine DESC, vec_id LIMIT 20
-    ),
-    sem AS (
-      SELECT vec_id AS doc_id,
-             row_number() OVER (ORDER BY cosine DESC, vec_id) AS sr
-      FROM semtop
-    )
-    SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
-           round(coalesce(1.0::DOUBLE / (60 + lr), 0)
-                 + coalesce(1.0::DOUBLE / (60 + sr), 0), 6) AS rrf
-    FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
-    ORDER BY rrf DESC, doc_id LIMIT 10
-"""
-
-
-@query("fulltext_hybrid_rrf", oracle=_RRF_ORACLE)
-def fulltext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al. 2009; the
-    Elasticsearch/OpenSearch hybrid-search default): fuse the lexical BM25
-    top-20 for 'spark join' with the semantic cosine top-20 against the
-    vec_id=0 embedding (doc_id aligned with vec_id) as
-    rrf = Σ 1/(60 + rank), full-outer over the two bounded rank lists,
-    top-10 by fused score.
-
-    Scale shape: each leg ends in a global top-20 heap (per-partition
-    heaps merged on the driver — O(k) whatever the corpus size); the
-    row_number windows and the full-outer join run over the two 20-row
-    lists, so the fusion itself is constant-cost. The unpartitioned
-    windows are safe by construction — they see ≤20 rows. Rank literals
-    are exact integers; the only floats are the two IEEE divisions, summed
-    once and rounded at 6dp."""
-    from sparkfulltextquery_spark.functions.fulltext import bm25_scores
-    from sparkfulltextquery_spark.similarity import cosine_topk
-
-    d = load_table(spark, sf_dir, "documents")
-    e = load_table(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    lex = (
-        bm25_scores(d, "spark join")
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(20)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
-            .alias("lr"),
-        )
-    )
-    sem = (
-        cosine_topk(e, [float(x) for x in qvec], k=20)
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            F.row_number()
-            .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id")))
-            .alias("sr"),
-        )
-    )
-    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0)) + F.coalesce(
-        F.lit(1.0) / (F.lit(60) + F.col("sr")), F.lit(0.0)
-    )
-    return (
-        lex.join(sem, "doc_id", "full_outer")
-        .select("doc_id", F.round(rrf, 6).alias("rrf"))
-        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
-        .limit(10)
-    )
-
-
-# ---------------- minimum_should_match (r6) ----------------
-
-_MSM_TERMS = ["batch", "join", "spark", "vector"]
-
-_MSM_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    qt    AS (SELECT unnest(['batch', 'join', 'spark', 'vector']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    perdoc AS (
-      SELECT doc_id, count(DISTINCT term) AS n_matched,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT doc_id, n_matched, score
-    FROM perdoc WHERE n_matched >= 2
-    ORDER BY score DESC, doc_id LIMIT 10
-"""
-
-
-@query("fulltext_min_should_match", oracle=_MSM_ORACLE)
-def fulltext_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lucene/Elasticsearch `minimum_should_match`: an OR of should-clauses
-    that only matches documents satisfying at least m of them (here m=2 of
-    4 terms), ranked by BM25 summed over the MATCHED clauses. One postings
-    scan, one doc_id aggregation computing the distinct-clause count and
-    the BM25 sum together, a HAVING-style filter, top-k heap — the same
-    single-shuffle shape as plain BM25 search."""
-    from sparkfulltextquery_spark.functions.fulltext import bm25_term_scores
-
-    d = load_table(spark, sf_dir, "documents")
-    ts = bm25_term_scores(d, " ".join(_MSM_TERMS))
-    return (
-        ts.groupBy("doc_id")
-        .agg(
-            F.countDistinct("term").alias("n_matched"),
-            F.round(F.sum("tscore"), 4).alias("score"),
-        )
-        .filter(F.col("n_matched") >= 2)
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(10)
-    )
-
-
-@query("fulltext_min_should_match_indexed", oracle=_MSM_ORACLE)
-def fulltext_min_should_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minimum_should_match served off the PERSISTED index: the pruned
-    per-(doc, term) score relation (bucket-pruned scan, df/idf as
-    constant-folded literals) aggregates clause count and BM25 sum in ONE
-    doc_id groupBy — zero joins, corpus-size-independent driver state."""
-    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    ts = bm25_scores_indexed(spark, " ".join(_MSM_TERMS), table_prefix=prefix, explain=True)
-    return (
-        ts.groupBy("doc_id")
-        .agg(
-            F.countDistinct("term").alias("n_matched"),
-            F.round(F.sum("tscore"), 4).alias("score"),
-        )
-        .filter(F.col("n_matched") >= 2)
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(10)
-    )
-
-
-# ---------------- DisMax multi-field scoring (r6) ----------------
-
-
-@query(
-    "fulltext_dismax",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_TOK} AS toks FROM documents),
-    fields AS (
-      SELECT doc_id, 'title' AS field, toks[1:10] AS ftoks FROM toks
-      UNION ALL
-      SELECT doc_id, 'body' AS field, toks[11:] AS ftoks FROM toks
-    ),
-    dl AS (SELECT doc_id, field, len(ftoks) AS dl FROM fields),
-    avgdl AS (SELECT field, avg(dl) AS avgdl FROM dl GROUP BY field),
-    fpost AS (SELECT doc_id, field, unnest(ftoks) AS term FROM fields),
-    qpost AS (
-      SELECT doc_id, field, term, count(*) AS tf FROM fpost
-      WHERE term IN ('data', 'query', 'spark', 'window')
-      GROUP BY doc_id, field, term
-    ),
-    dfreq AS (
-      SELECT field, term, count(DISTINCT doc_id) AS df
-      FROM qpost GROUP BY field, term
-    ),
-    n AS (SELECT count(*) AS n_docs FROM documents),
-    s AS (
-      SELECT doc_id, term,
-             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
-      FROM qpost JOIN dl USING (doc_id, field)
-      JOIN avgdl USING (field) JOIN dfreq USING (field, term) CROSS JOIN n
-    ),
-    fused AS (
-      SELECT doc_id, term, max(s) + 0.3 * (sum(s) - max(s)) AS dm
-      FROM s GROUP BY doc_id, term
-    )
-    SELECT doc_id, round(sum(dm), 4) AS score
-    FROM fused GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
-def fulltext_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjunction-max multi-field ranking (Lucene DisjunctionMaxQuery,
-    tie_breaker=0.3): each field scores as an independent BM25 sub-index
-    (per-field df/dl/avgdl) and per (doc, term) the fused score is the best
-    field's score plus tie x the rest — rewarding the best single field
-    rather than cross-field accumulation (the complement of
-    fulltext_bm25f_weighted, which fuses tf BEFORE saturation). Same
-    deterministic title/body carving and query as the BM25F row so the two
-    scorers' rankings are directly comparable."""
-    d = load_table(spark, sf_dir, "documents")
-    return FT.dismax_search(d, "data query spark window", k=10)
-
-
-@query("fulltext_hybrid_rrf_indexed", oracle=_RRF_ORACLE)
-def fulltext_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid RRF with the lexical leg served off the PERSISTED index:
-    bm25_scores_indexed is bit-identical to the inline scorer (same
-    formula, df/avgdl as constant-folded literals), so the fused ranking —
-    and the oracle — are unchanged while the corpus tokenization drops out
-    of the plan (one bucket-pruned postings scan instead). The semantic
-    leg is the same bounded cosine top-20."""
-    from sparkfulltextquery_spark.functions.index import bm25_scores_indexed
-    from sparkfulltextquery_spark.similarity import cosine_topk
-
-    prefix = _ensure_index(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    lex = (
-        bm25_scores_indexed(spark, "spark join", table_prefix=prefix)
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(20)
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(W.orderBy(F.col("score").desc(), F.col("doc_id")))
-            .alias("lr"),
-        )
-    )
-    sem = cosine_topk(e, [float(x) for x in qvec], k=20).select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number()
-        .over(W.orderBy(F.col("cosine").desc(), F.col("vec_id")))
-        .alias("sr"),
-    )
-    rrf = F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0)) + F.coalesce(
-        F.lit(1.0) / (F.lit(60) + F.col("sr")), F.lit(0.0)
-    )
-    return (
-        lex.join(sem, "doc_id", "full_outer")
-        .select("doc_id", F.round(rrf, 6).alias("rrf"))
-        .orderBy(F.col("rrf").desc(), F.col("doc_id"))
-        .limit(10)
-    )
-
-
-@query(
-    "fulltext_index_stats",
-    oracle=f"""
-    WITH {_POSTINGS_CTE}
-    SELECT (SELECT count(*) FROM documents) AS n_docs,
-           count(DISTINCT term) AS n_terms,
-           count(*) AS n_postings,
-           CAST(sum(tf) AS BIGINT) AS total_tokens
-    FROM tfs
-    """,
-)
-def fulltext_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Index integrity/statistics surface (the Lucene CheckIndex /
-    Elasticsearch _stats analogue): doc count, vocabulary size, posting
-    count and total token instances — served ENTIRELY off the persisted
-    index tables while the oracle re-derives every number from the raw
-    corpus, so this query IS the end-to-end build-integrity check: a lost
-    posting, a dropped doc, or a miscounted tf in build_index breaks it.
-
-    Plan: two bounded single-row aggregates (postings scan + dl scan)
-    crossJoined — no shuffle beyond the partial+final agg pair each."""
-    prefix = _ensure_index(spark, sf_dir)
-    post_stats = (
-        spark.table(f"{prefix}_postings").agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.count(F.lit(1)).alias("n_postings"),
-            F.sum("tf").cast("long").alias("total_tokens"),
-        )
-    )
-    doc_stats = spark.table(f"{prefix}_dl").agg(F.count(F.lit(1)).alias("n_docs"))
-    return doc_stats.crossJoin(post_stats).select(
-        "n_docs", "n_terms", "n_postings", "total_tokens"
-    )
-
-
-# ---------------- phrase boost (r6) ----------------
-
-_PBOOST_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    phrase_docs AS (
-      SELECT DISTINCT a.doc_id
-      FROM (SELECT doc_id, pos FROM pos WHERE term = 'spark') a
-      JOIN (SELECT doc_id, pos FROM pos WHERE term = 'join') b USING (doc_id)
-      WHERE b.pos = a.pos + 1
-    ),
-    matched AS (
-      SELECT doc_id FROM phrase_docs
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch', 'join', 'spark']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum((CASE WHEN term IN ('join', 'spark') THEN 2.0 ELSE 1.0 END)
-                       * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_phrase_boost", oracle=_PBOOST_ORACLE)
-def fulltext_query_phrase_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase boost `"spark join"^2 OR batch` (Lucene phrase boosting):
-    the boost scales the phrase words' BM25 shares exactly like a term
-    boost while leaving MATCHING untouched (a boosted phrase matches the
-    same docs as the plain phrase). Completes the boost surface: terms
-    (r5), phrases (r6)."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, '"spark join"^2 OR batch', k=10)
-
-
-@query("fulltext_query_phrase_boost_indexed", oracle=_PBOOST_ORACLE)
-def fulltext_query_phrase_boost_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same boosted phrase off the PERSISTED index one-pass: the boost
-    folds into the constant-folded idf literal chain (bm25_scores_indexed
-    boosts), the phrase match runs as stored-position array expressions."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(spark, '"spark join"^2 OR batch', k=10, table_prefix=prefix)
-
-
-# ---------------- field-scoped prefix (r6) ----------------
-
-_FIELDPREFIX_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    matched AS (
-      SELECT DISTINCT doc_id FROM pos
-      WHERE pos < 10 AND starts_with(term, 'spar')
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_fieldprefix", oracle=_FIELDPREFIX_ORACLE)
-def fulltext_query_fieldprefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field-scoped wildcard prefix `title:spar* OR batch` (Lucene fielded
-    PrefixQuery): the composition of Prefix (StartsWith over the
-    vocabulary, constant-score) and Field (positional title carving) as
-    one atom. The prefix branch contributes no idf — standard multi-term
-    rewrite — while the OR'd plain term still scores BM25."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "title:spar* OR batch", k=10)
-
-
-@query("fulltext_query_fieldprefix_indexed", oracle=_FIELDPREFIX_ORACLE)
-def fulltext_query_fieldprefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same fielded prefix off the PERSISTED index one-pass: the
-    StartsWith widens the pruned scan (prefixes can't bucket-prune) and
-    the flag combines the vocabulary test with an EXISTS over the stored
-    position arrays — no positional explode, no join."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(spark, "title:spar* OR batch", k=10, table_prefix=prefix)
-
-
-# ---------------- field-scoped fuzzy (r6) ----------------
-
-_FIELDFUZZY_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    matched AS (
-      SELECT DISTINCT doc_id FROM pos
-      WHERE pos < 10 AND levenshtein(term, 'sparc') <= 1
-      UNION
-      SELECT doc_id FROM tfs WHERE term = 'batch'
-    ),
-    qt    AS (SELECT unnest(['batch']) AS term),
-    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
-    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
-    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-    scored AS (
-      SELECT doc_id,
-             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
-                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-      GROUP BY doc_id
-    )
-    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
-    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
-    ORDER BY score DESC, m.doc_id LIMIT 10
-"""
-
-
-@query("fulltext_query_fieldfuzzy", oracle=_FIELDFUZZY_ORACLE)
-def fulltext_query_fieldfuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field-scoped fuzzy `title:sparc~1 OR batch` (Lucene fielded
-    FuzzyQuery): the composition of Fuzzy (levenshtein over the
-    vocabulary, constant-score) and Field (positional title carving) —
-    completing the field-scoped atom family: term, phrase, prefix, fuzzy."""
-    from sparkfulltextquery_spark.functions.querylang import search
-
-    d = load_table(spark, sf_dir, "documents")
-    return search(d, "title:sparc~1 OR batch", k=10)
-
-
-@query("fulltext_query_fieldfuzzy_indexed", oracle=_FIELDFUZZY_ORACLE)
-def fulltext_query_fieldfuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same fielded fuzzy off the PERSISTED index one-pass: the
-    levenshtein widens the pruned scan and the flag combines it with an
-    EXISTS over the stored position arrays — no explode, no join."""
-    from sparkfulltextquery_spark.functions.index import search_indexed
-
-    prefix = _ensure_index(spark, sf_dir)
-    return search_indexed(spark, "title:sparc~1 OR batch", k=10, table_prefix=prefix)
-
-
-# ---------------- match positions / highlighting offsets (r6) ----------------
-
-_MATCHPOS_ORACLE = f"""
-    WITH pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    hits AS (
-      SELECT doc_id, term, list(pos ORDER BY pos) AS positions
-      FROM pos WHERE term IN ('join', 'spark')
-      GROUP BY doc_id, term
-    ),
-    both_docs AS (
-      SELECT doc_id FROM hits GROUP BY doc_id HAVING count(*) = 2
-    )
-    SELECT h.doc_id, h.term, h.positions
-    FROM hits h JOIN both_docs USING (doc_id)
-    ORDER BY h.doc_id, h.term
-"""
-
-
-@query("fulltext_match_positions", oracle=_MATCHPOS_ORACLE)
-def fulltext_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matched-term position retrieval (the Lucene TermPositions /
-    PostingsEnum surface highlighters are built on): for docs containing
-    ALL query terms, the sorted token offsets of each term — exactly what
-    a highlighter needs to place <em> marks without re-analyzing the
-    document text. Inline form: one tokenization, one (doc, term)
-    aggregation, a count-filter for the all-terms constraint."""
-    d = load_table(spark, sf_dir, "documents")
-    from sparkfulltextquery_spark.functions.fulltext import positional_relation
-
-    terms = ["join", "spark"]
-    pos = positional_relation(d)
-    hits = (
-        pos.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-    )
-    both = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt")).filter(
-        F.col("nt") == len(terms)
-    )
-    return (
-        hits.join(both.select("doc_id"), "doc_id")
-        .select("doc_id", "term", "positions")
-        .orderBy("doc_id", "term")
-    )
-
-
-@query("fulltext_match_positions_indexed", oracle=_MATCHPOS_ORACLE)
-def fulltext_match_positions_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same position retrieval off the PERSISTED index: the stored
-    sorted position arrays come straight out of the bucket-pruned postings
-    scan — zero tokenization, zero explode; the all-terms constraint is
-    one count aggregation over the pruned rows. This is why the index
-    stores positions: phrase matching, proximity, AND highlighting all
-    read them without touching the corpus."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    terms = ["join", "spark"]
-    post = (
-        spark.table(f"{prefix}_postings")
-        .filter(F.col("term").isin(terms))
-        .select("doc_id", "term", "positions")
-    )
-    both = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt")).filter(
-        F.col("nt") == len(terms)
-    )
-    return (
-        post.join(both.select("doc_id"), "doc_id")
-        .select("doc_id", "term", "positions")
-        .orderBy("doc_id", "term")
-    )
