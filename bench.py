@@ -121,6 +121,8 @@ EXTRA = [
     "fulltext_query_fieldfuzzy_indexed",
     "fulltext_query_phrase_boost_indexed",
     "fulltext_match_positions_indexed",
+    # r07 additions
+    "fulltext_dismax_indexed",
 ]
 
 

@@ -415,7 +415,16 @@ def dismax_search(
 
     Fields carve deterministically like bm25f_search (title = first
     `title_len` tokens). Same plan shape: IN-list prune before joins,
-    per-field stats broadcast, two bounded aggregations, top-k heap."""
+    per-field stats broadcast, two bounded aggregations, top-k heap.
+
+    Deviation from Lucene (documented per ADVICE r06): idf uses the GLOBAL
+    document count for every field while honoring per-field df/dl/avgdl;
+    Lucene's DisjunctionMaxQuery uses each field's own docCount, so idf
+    here is slightly inflated for sparse fields relative to Lucene. With
+    the deterministic title/body carving every doc has both fields, making
+    per-field docCount equal to n_docs anyway — the shared-n_docs choice
+    is exact for this carving and only approximate for naturally-sparse
+    fields."""
     q_terms = sorted(set(_py_tokenize(query)))
     if not q_terms:
         raise ValueError("empty query after tokenization")

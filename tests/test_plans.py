@@ -751,3 +751,16 @@ def test_field_scoped_atoms_indexed_one_pass(spark):
                      "CartesianProduct", "BroadcastNestedLoopJoin"):
             assert node not in plan, f"{node} leaked into {name}"
         assert uses_top_k(df), name
+
+
+def test_dismax_indexed_zero_join(spark):
+    """Indexed DisMax (VERDICT r06 #2): per-field tf/dl derive per posting
+    row from stored positions and the denormalized dl, per-field df/avgdl
+    are driver literals — the whole query must stay ONE pruned scan + one
+    doc_id aggregation with no join, ending in a bounded top-k heap."""
+    df = _q(spark, "fulltext_dismax_indexed")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-pass plan"
+    assert uses_top_k(df)
