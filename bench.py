@@ -123,6 +123,7 @@ EXTRA = [
     "fulltext_match_positions_indexed",
     # r07 additions
     "fulltext_dismax_indexed",
+    "fulltext_query_wildcard_indexed",
 ]
 
 

@@ -808,6 +808,7 @@ def _search_indexed_build(
     fuzzies = sorted(QL.collect_fuzzies(ast))
     ranges = sorted(QL.collect_ranges(ast))
     regexes = sorted(QL.collect_regexes(ast))
+    wildcards = sorted(QL.collect_wildcards(ast))
     fphrases = sorted(QL.collect_fieldphrases(ast))
     fprefixes = sorted(QL.collect_fieldprefixes(ast))
     ffuzzies = sorted(QL.collect_fieldfuzzies(ast))
@@ -829,6 +830,7 @@ def _search_indexed_build(
     zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies)}
     rflag = {r: f"_r{i}" for i, r in enumerate(ranges)}
     xflag = {x: f"_x{i}" for i, x in enumerate(regexes)}
+    vflag = {v: f"_v{i}" for i, v in enumerate(wildcards)}
     fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes)}
     ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies)}
     slot = {
@@ -857,6 +859,9 @@ def _search_indexed_build(
     for pat in regexes:
         # regexp atoms likewise: an anchored RLIKE over the vocabulary
         pred = pred | F.col("term").rlike(QL.Regex(pat).anchored())
+    for pat in wildcards:
+        # general wildcards likewise: a LIKE predicate over the vocabulary
+        pred = pred | F.col("term").like(QL.Wildcard(pat).like_pattern())
     for _fld, w in fprefixes:
         # field-scoped prefixes widen like plain prefixes; the position
         # predicate applies at flag time over the stored arrays
@@ -915,6 +920,14 @@ def _search_indexed_build(
             F.when(F.col("term").rlike(QL.Regex(pat).anchored()), 1).otherwise(0)
         ).alias(c)
         for pat, c in xflag.items()
+    ]
+    aggs += [
+        F.max(
+            F.when(
+                F.col("term").like(QL.Wildcard(pat).like_pattern()), 1
+            ).otherwise(0)
+        ).alias(c)
+        for pat, c in vflag.items()
     ]
 
     def _fpx_pos_pred(field):
@@ -1000,6 +1013,8 @@ def _search_indexed_build(
             return F.col(rflag[(n.lo, n.hi)]) == 1
         if isinstance(n, QL.Regex):
             return F.col(xflag[n.pattern]) == 1
+        if isinstance(n, QL.Wildcard):
+            return F.col(vflag[n.pattern]) == 1
         if isinstance(n, QL.FieldPrefix):
             return F.col(fpxflag[(n.field, n.text)]) == 1
         if isinstance(n, QL.FieldFuzzy):

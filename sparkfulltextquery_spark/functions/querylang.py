@@ -17,6 +17,8 @@ binds tighter than AND):
              | '[' lo TO hi ']'                vocabulary range
              | term '~' dist                   fuzzy (edit distance)
              | term '*'                        wildcard prefix
+             | pattern with '*' / '?'          general wildcard (infix/suffix/
+                                               single-char: s*rk, *ark, sp?rk)
              | '/' pattern '/'                 regexp over the vocabulary
              | term ('^' boost)?               term, optionally boosted
 
@@ -68,6 +70,23 @@ class Prefix:
     idf), and unprunable by bucketing — the scan filters StartsWith."""
 
     text: str
+
+
+@dataclass(frozen=True)
+class Wildcard:
+    """General wildcard atom (Lucene WildcardQuery): `*` matches any run of
+    characters (including empty), `?` exactly one — so `s*rk`, `*ark`, and
+    `sp?rk` are all wildcards, while a lone trailing `*` stays the Prefix
+    atom (whose StartsWith predicate range-scans a sorted vocabulary;
+    leading/infix wildcards cannot). Constant-score like Prefix (expanded
+    terms contribute no idf); matching is a LIKE predicate over the
+    vocabulary (`*`→`%`, `?`→`_` — no other LIKE metacharacters can occur:
+    the pattern alphabet is [a-z0-9*?])."""
+
+    pattern: str
+
+    def like_pattern(self) -> str:
+        return self.pattern.replace("*", "%").replace("?", "_")
 
 
 @dataclass(frozen=True)
@@ -300,11 +319,14 @@ def parse_query(q: str):
                     f"regexp atom {t!r} outside the portable subset "
                     "(letters, digits, . * + ? | ( ) [ ] -)"
                 )
-            if re.search(r"[*+?][*+?]", pat):
-                # stacked quantifiers: possessive (*+, ++) compile in Java
-                # regex but RE2-family engines reject them, and lazy (*?)
-                # differs only in group capture we don't expose — both are
-                # outside the portable contract
+            # stacked quantifiers: possessive (*+, ++) compile in Java
+            # regex but RE2-family engines reject them, and lazy (*?)
+            # differs only in group capture we don't expose — both are
+            # outside the portable contract. Scan with character classes
+            # stripped (ADVICE r06): inside [...] those chars are literals,
+            # so /a[+?]/ is portable and must not be rejected. The subset
+            # has no backslash escapes, so classes end at the first ']'.
+            if re.search(r"[*+?][*+?]", re.sub(r"\[[^\]]*\]", "", pat)):
                 raise ValueError(
                     f"stacked quantifiers in regexp atom {t!r} "
                     "(possessive/lazy forms are not portable)"
@@ -369,6 +391,14 @@ def parse_query(q: str):
                 raise ValueError("boost on a field atom is not supported")
             if ":" in body:
                 raise ValueError(f"field atom {t!r} must scope a plain term")
+            if "[" in body or "]" in body:
+                # fail loud (ADVICE r06): `title:[a TO b]` would otherwise
+                # tokenize-strip the bracket and silently score 'to'/'b' as
+                # required terms; field-scoped ranges are not supported
+                raise ValueError(
+                    f"brackets in field atom {t!r} "
+                    "(field-scoped ranges are not supported)"
+                )
             fm = re.fullmatch(r"(.+)~(\d)", body)
             if fm:
                 # `title:sparc~1` — field-scoped fuzzy
@@ -416,19 +446,34 @@ def parse_query(q: str):
             if len(norm) != 1:
                 raise ValueError(f"fuzzy atom {t!r} must normalize to one term")
             return Fuzzy(norm[0], dist)
-        if "~" in t or ":" in t or "/" in t:
+        if "~" in t or ":" in t or "/" in t or "[" in t or "]" in t:
+            # brackets fail loud (ADVICE r06): a stray ']' would otherwise
+            # tokenize-strip silently into a plain term
             raise ValueError(f"malformed atom {t!r}")
-        if t.endswith("*") and len(t) > 1:
-            if "*" in t[:-1]:
-                raise ValueError(f"interior wildcard in atom {t!r} (prefix-only)")
+        if t.endswith("*") and len(t) > 1 and "*" not in t[:-1] and "?" not in t:
+            # a SINGLE trailing `*` stays the Prefix atom — its StartsWith
+            # predicate range-scans a sorted vocabulary, which general
+            # wildcards can't
             norm = _py_tokenize(t[:-1])
             if len(norm) != 1:
                 raise ValueError(f"prefix {t!r} must normalize to one token")
             if boost != 1.0:
                 raise ValueError("boost on a prefix atom is meaningless (unscored)")
             return Prefix(norm[0])
-        if "*" in t:
-            raise ValueError(f"interior wildcard in atom {t!r} (prefix-only)")
+        if "*" in t or "?" in t:
+            # general wildcard: leading/infix `*`, single-char `?` (r7)
+            pat = t.lower()
+            if boost != 1.0:
+                raise ValueError(
+                    "boost on a wildcard atom is meaningless (unscored)"
+                )
+            if not re.fullmatch(r"[a-z0-9*?]+", pat):
+                raise ValueError(f"malformed wildcard atom {t!r}")
+            if not re.search(r"[a-z0-9]", pat):
+                raise ValueError(
+                    f"wildcard atom {t!r} needs at least one literal character"
+                )
+            return Wildcard(re.sub(r"\*{2,}", "*", pat))
         norm = _py_tokenize(t)
         if len(norm) != 1:
             raise ValueError(f"term {t!r} must normalize to one token")
@@ -456,7 +501,8 @@ def positive_terms(node) -> list[str]:
     if isinstance(node, Near):
         return [node.a, node.b]
     if isinstance(
-        node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy)
+        node,
+        (Not, Prefix, Wildcard, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy),
     ):
         return []
     return [t for c in node.children for t in positive_terms(c)]
@@ -465,7 +511,16 @@ def positive_terms(node) -> list[str]:
 def term_boosts(node) -> dict[str, float]:
     """{term: boost} over the scoring (positive) terms; a term appearing
     with several boosts takes the max. Phrase words carry the phrase's
-    boost (`"a b"^2`); field-phrase words score unboosted."""
+    boost (`"a b"^2`); field-phrase words score unboosted.
+
+    DOCUMENTED DEVIATION from Lucene (ADVICE r06): boosts max-merge
+    ACROSS clauses — in `"spark join"^2 OR spark` the 2x boost applies to
+    every doc's 'spark' contribution, including docs matching only the
+    bare `spark` clause, whereas Lucene scopes a phrase boost to the
+    phrase clause's own matches. Per-document per-clause scoring would
+    need a score column per clause; the max-merge keeps ranking monotone
+    in the boosted terms and is the documented contract here (the oracles
+    mirror it)."""
     if isinstance(node, Term):
         return {node.text: node.boost}
     if isinstance(node, Field):
@@ -477,7 +532,8 @@ def term_boosts(node) -> dict[str, float]:
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
     if isinstance(
-        node, (Not, Prefix, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy)
+        node,
+        (Not, Prefix, Wildcard, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy),
     ):
         return {}
     out: dict[str, float] = {}
@@ -507,6 +563,13 @@ def compile_matches(
     if isinstance(node, Prefix):
         return (
             post.filter(F.col("term").startswith(node.text))
+            .select("doc_id")
+            .distinct()
+        )
+    if isinstance(node, Wildcard):
+        # vocabulary LIKE scan (`*`→`%`, `?`→`_`) — unprunable, like Prefix
+        return (
+            post.filter(F.col("term").like(node.like_pattern()))
             .select("doc_id")
             .distinct()
         )
@@ -606,7 +669,8 @@ def _collect_atoms(node) -> tuple[set, set, set]:
         return set(), {(node.text, node.slop)}, set()
     if isinstance(
         node,
-        (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex, FieldPrefix, FieldFuzzy),
+        (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex, FieldPrefix,
+         FieldFuzzy, Wildcard),
     ):
         # collected separately via the per-kind collectors below
         return set(), set(), set()
@@ -677,13 +741,18 @@ def collect_fieldfuzzies(node) -> set:
     return _collect_kind(node, FieldFuzzy, lambda n: (n.field, n.text, n.dist))
 
 
+def collect_wildcards(node) -> set:
+    """All Wildcard atom patterns in the AST."""
+    return _collect_kind(node, Wildcard, lambda n: n.pattern)
+
+
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
     if isinstance(
         node,
         (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase,
-         Regex, FieldPrefix, FieldFuzzy),
+         Regex, FieldPrefix, FieldFuzzy, Wildcard),
     ):
         return False
     if isinstance(node, Not):
@@ -716,6 +785,7 @@ def compile_matches_flags(
     fuzzies_l = sorted(collect_fuzzies(node))
     ranges_l = sorted(collect_ranges(node))
     regexes_l = sorted(collect_regexes(node))
+    wildcards_l = sorted(collect_wildcards(node))
     fphrases_l = sorted(collect_fieldphrases(node))
     fprefixes_l = sorted(collect_fieldprefixes(node))
     ffuzzies_l = sorted(collect_fieldfuzzies(node))
@@ -730,11 +800,12 @@ def compile_matches_flags(
     zflag = {z: f"_z{i}" for i, z in enumerate(fuzzies_l)}
     rflag = {r: f"_r{i}" for i, r in enumerate(ranges_l)}
     xflag = {x: f"_x{i}" for i, x in enumerate(regexes_l)}
+    vflag = {v: f"_v{i}" for i, v in enumerate(wildcards_l)}
     fpflag = {f: f"_fp{i}" for i, f in enumerate(fphrases_l)}
     fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes_l)}
     ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies_l)}
 
-    if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l:
+    if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l or wildcards_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
         for w in prefixes_l:
             pred = pred | F.col("term").startswith(w)
@@ -744,6 +815,8 @@ def compile_matches_flags(
             pred = pred | F.col("term").between(lo, hi)
         for pat in regexes_l:
             pred = pred | F.col("term").rlike(Regex(pat).anchored())
+        for pat in wildcards_l:
+            pred = pred | F.col("term").like(Wildcard(pat).like_pattern())
         flags = (
             post.filter(pred)
             .groupBy("doc_id")
@@ -779,6 +852,14 @@ def compile_matches_flags(
                         ).otherwise(0)
                     ).alias(xflag[pat])
                     for pat in regexes_l
+                ],
+                *[
+                    F.max(
+                        F.when(
+                            F.col("term").like(Wildcard(pat).like_pattern()), 1
+                        ).otherwise(0)
+                    ).alias(vflag[pat])
+                    for pat in wildcards_l
                 ],
             )
         )
@@ -846,6 +927,8 @@ def compile_matches_flags(
             return F.coalesce(F.col(rflag[(n.lo, n.hi)]), F.lit(0)) == 1
         if isinstance(n, Regex):
             return F.coalesce(F.col(xflag[n.pattern]), F.lit(0)) == 1
+        if isinstance(n, Wildcard):
+            return F.coalesce(F.col(vflag[n.pattern]), F.lit(0)) == 1
         if isinstance(n, Field):
             return F.coalesce(F.col(gflag[(n.field, n.text)]), F.lit(0)) == 1
         if isinstance(n, FieldPhrase):

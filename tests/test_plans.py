@@ -764,3 +764,15 @@ def test_dismax_indexed_zero_join(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, f"{node} leaked into the one-pass plan"
     assert uses_top_k(df)
+
+
+def test_wildcard_indexed_one_pass(spark):
+    """General wildcard atoms (r7) on the indexed path must stay the
+    one-pass shape: LIKE predicates widen the pruned scan, flags fold into
+    the single doc_id aggregation — no join anywhere, bounded top-k."""
+    df = _q(spark, "fulltext_query_wildcard_indexed")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-pass plan"
+    assert uses_top_k(df)

@@ -623,6 +623,10 @@ def _py_eval(node, ts):
     if isinstance(node, QL.Regex):
         pat = re.compile(node.pattern)
         return any(pat.fullmatch(t) for t in set(ts))
+    if isinstance(node, QL.Wildcard):
+        # pattern alphabet is [a-z0-9*?] — no other regex metacharacters
+        pat = re.compile(node.pattern.replace("*", ".*").replace("?", "."))
+        return any(pat.fullmatch(t) for t in set(ts))
     if isinstance(node, QL.Field):
         seg = ts[:L] if node.field == "title" else ts[L:]
         return node.text in seg
@@ -685,13 +689,23 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.And(kids) if op == "and" else QL.Or(kids)
     kind = rng.choice(
         ["term", "prefix", "fuzzy", "range", "field", "fphrase", "phrase",
-         "slop", "near", "regex", "fprefix", "ffuzzy"]
+         "slop", "near", "regex", "fprefix", "ffuzzy", "wild1", "wild2"]
     )
     w = rng.choice(vocab)
     if kind == "term":
         return QL.Term(w)
     if kind == "prefix":
         return QL.Prefix(w[: max(1, len(w) - 1)])
+    if kind == "wild1":
+        # atom kind 13 (r7): single-char `?` substituted into a vocab word
+        i = rng.randrange(len(w))
+        return QL.Wildcard(w[:i] + "?" + w[i + 1 :])
+    if kind == "wild2":
+        # atom kind 14 (r7): suffix (`*ark`) or infix (`s*rk`) wildcard
+        if rng.random() < 0.5 and len(w) >= 2:
+            return QL.Wildcard("*" + w[len(w) // 2 :])
+        i = rng.randint(1, len(w) - 1)
+        return QL.Wildcard(w[:i] + "*" + w[i + 1 :])
     if kind == "fuzzy":
         return QL.Fuzzy(w, rng.randint(1, 2))
     if kind == "regex":
@@ -730,6 +744,10 @@ def _ast_to_query(node) -> str:
         return node.text
     if isinstance(node, QL.Prefix):
         return f"{node.text}*"
+    if isinstance(node, QL.Wildcard):
+        # a trailing-`*`-only pattern re-parses as Prefix — identical LIKE
+        # vs StartsWith match semantics, so equivalence still holds
+        return node.pattern
     if isinstance(node, QL.Fuzzy):
         return f"{node.text}~{node.dist}"
     if isinstance(node, QL.Regex):

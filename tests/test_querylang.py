@@ -38,9 +38,13 @@ def test_parser_precedence_and_shapes():
     [
         "", "AND spark", "spark AND", "(spark", "spark)", '""', "spark OR",
         # ADVICE r05: atoms that previously mis-parsed by silently dropping
-        # pieces must reject instead — interior wildcards, double boosts,
-        # and multi-token atoms
-        "foo*bar", "foo*bar*", "a^2^3", "can't", "a^2*",
+        # pieces must reject instead — double boosts and multi-token atoms
+        # (interior wildcards became the Wildcard atom in r7)
+        "a^2^3", "can't", "a^2*",
+        # r7 wildcard degenerates: no literal character at all
+        "*", "?", "?*", "**",
+        # ADVICE r06: brackets must fail loud, never tokenize-strip silently
+        "a]b", "spark]", "[spark", "title:[a TO b]", "title:[a", "body:a]",
     ],
 )
 def test_parser_rejects_malformed(bad):
@@ -455,6 +459,10 @@ def test_parser_regex_shapes():
     assert parse_query("/qu.+y/ OR batch") == Or((Regex("qu.+y"), Term("batch")))
     assert parse_query("NOT /a[bc]d/") == Not(Regex("a[bc]d"))
     assert Regex("sp.rk").anchored() == "^(?:sp.rk)$"
+    # ADVICE r06: quantifier chars INSIDE a character class are literals —
+    # the stacked-quantifier gate must not reject them
+    assert parse_query("/a[+?]/") == Regex("a[+?]")
+    assert parse_query("/a[*+]b*/") == Regex("a[*+]b*")
     for bad in [
         "//",          # empty pattern
         "/a\\d/",      # escapes are not portable
@@ -621,3 +629,48 @@ def test_parser_fieldfuzzy_shapes():
     ]:
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_parser_wildcard_shapes():
+    """r7: general wildcard atoms (Lucene WildcardQuery) — `?` single-char,
+    leading/infix `*`; a single trailing `*` stays the Prefix atom."""
+    from sparkfulltextquery_spark.functions.querylang import Prefix, Wildcard
+
+    assert parse_query("sp?rk") == Wildcard("sp?rk")
+    assert parse_query("*ark") == Wildcard("*ark")
+    assert parse_query("s*rk") == Wildcard("s*rk")
+    assert parse_query("SP?RK") == Wildcard("sp?rk")  # normalized
+    assert parse_query("s**rk") == Wildcard("s*rk")  # ** collapses to *
+    assert parse_query("sp?r*") == Wildcard("sp?r*")
+    assert parse_query("spar*") == Prefix("spar")  # trailing-only stays Prefix
+    assert parse_query("s?rk OR batch") == Or((Wildcard("s?rk"), Term("batch")))
+    assert Wildcard("s*r?k").like_pattern() == "s%r_k"
+    # whitespace splits atoms — "s*r k*" is TWO atoms under implicit AND
+    assert parse_query("s*r k*") == And((Wildcard("s*r"), Prefix("k")))
+    with pytest.raises(ValueError):
+        parse_query("sp?rk^2")  # boost on an unscored wildcard
+
+
+def test_wildcard_matches_naive_like(spark):
+    """Wildcard retrieval equals naive per-doc fnmatch over token lists,
+    through BOTH compilers (flag path via search; join path via
+    compile_matches is covered by the AST fuzzer)."""
+    toks = _token_sets(spark)
+    pat = re.compile("sp.rk")  # sp?rk
+    suf = re.compile(".*indow")  # *indow
+    inf = re.compile("qu.*ry")  # qu*ry
+    expected = {
+        d
+        for d, ts in toks.items()
+        if (any(pat.fullmatch(t) for t in ts) and "join" in ts)
+        or any(suf.fullmatch(t) for t in ts)
+        or any(inf.fullmatch(t) for t in ts)
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        r.doc_id
+        for r in search(
+            docs, "(sp?rk AND join) OR *indow OR qu*ry", k=10**6
+        ).collect()
+    }
+    assert got == expected
