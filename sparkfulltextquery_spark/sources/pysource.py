@@ -93,3 +93,99 @@ class SynthCorpusDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SynthCorpusDataSource)
+
+
+# ---------------- streaming twin (r7, VERDICT r06 #6) ----------------
+
+from datetime import datetime, timedelta, timezone  # noqa: E402
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+_TS_BASE = datetime(2024, 1, 1, tzinfo=timezone.utc)
+_EVENT_TYPES = ("click", "view", "purchase", "scroll")
+
+
+def _event_row(i: int):
+    """Deterministic event i — the same row for the same index on every
+    call, every process. This determinism IS the recovery contract:
+    readBetweenOffsets(start, end) can replay any committed range
+    bit-identically after a restart (the reference seam: a file stream
+    source's immutable files, FileStreamSource.scala:35 — here the
+    'files' are a pure function of the offset range)."""
+    return (
+        i,
+        _EVENT_TYPES[i % len(_EVENT_TYPES)],
+        _TS_BASE + timedelta(seconds=(i * 37) % 86_400),
+        ((i * 7919) % 1_000) / 100.0,
+    )
+
+
+class SynthEventStreamReader(SimpleDataSourceStreamReader):
+    """Rate-like deterministic stream: offsets are row indexes
+    ({"index": N}); each micro-batch emits the next `rows_per_batch` rows
+    until `max_rows`, then reports no-new-data (same offset back) so
+    processAllAvailable()/AvailableNow can drain and stop. The planner
+    drives the same three-method contract as any streaming source:
+    initialOffset (checkpoint origin), read (advance + plan), and
+    readBetweenOffsets (deterministic replay on recovery)."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def read(self, start: dict):
+        lo = int(start["index"])
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        # list ITERATORS, not generators or bare lists: the driver-side
+        # prefetch cache (datasource_internal.py) both next()s the returned
+        # object and copy.copy()s it on replay — list_iterator satisfies
+        # both, generators can't be copied, lists aren't iterators
+        return iter([_event_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_event_row(i) for i in range(int(start["index"]), int(end["index"]))]
+        )
+
+
+class SynthEventStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "syntheventstream"
+
+    def schema(self) -> str:
+        return "event_id bigint, event_type string, ts timestamp, value double"
+
+    def simpleStreamReader(self, schema) -> SynthEventStreamReader:
+        return SynthEventStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SynthEventStreamDataSource)
+
+
+def synth_events_batch(spark, max_rows: int = 1000):
+    """The batch twin: the exact rows the stream emits for offsets
+    [0, max_rows) — what any windowed aggregation over the full stream
+    must equal."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([_event_row(i) for i in range(max_rows)], schema)
