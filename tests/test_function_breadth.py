@@ -1180,3 +1180,120 @@ def test_function_tail_r6(spark, expr, expected):
         assert v == pytest.approx(expected), f"{expr} -> {v!r}"
     else:
         assert v == expected, f"{expr} -> {v!r}"
+
+
+# ---------------------------------------------------------------------------
+# r7 batch (VERDICT r06 #4): the last portable HiveCompatibilitySuite
+# families — multi-partition windowing (windowing_multipartitioning.q,
+# windowing_ordering.q), grouping_id / grouping-sets edge shapes
+# (groupby_grouping_id2.q, groupby_cube1.q, groupby_rollup1.q), and
+# LATERAL VIEW [OUTER] (lateral_view.q, lateral_view_outer.q,
+# lateral_view_noalias.q). Remaining whitelist families after this batch
+# are serde/DDL-only Hive behaviors with no modern PySpark surface.
+# ---------------------------------------------------------------------------
+
+_MP = "FROM VALUES ('a','p',1),('a','q',2),('b','p',4) t(g, h, x)"
+_GH = "FROM VALUES ('a','u',1),('a','v',2),('b','u',4) t(a, b, x)"
+
+CASES_R7 = [
+    # ---- multi-partition windowing ----
+    # two DIFFERENT partition specs in one projection (one extra shuffle
+    # per distinct spec — windowing_multipartitioning.q's core shape)
+    (f"(SELECT sum(pa + pb) FROM (SELECT sum(x) OVER (PARTITION BY g) pa, sum(x) OVER (PARTITION BY h) pb {_MP}))", (3 + 3 + 4) + (5 + 2 + 5)),
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (PARTITION BY g, h) v FROM VALUES ('a','p',1),('a','p',2),('a','q',4) t(g, h, x)))", 3 + 3 + 4),
+    # mixed-direction multi-key ordering (windowing_ordering.q)
+    (f"(SELECT sum(rn * x) FROM (SELECT x, row_number() OVER (ORDER BY g ASC, x DESC) rn FROM VALUES ('a',1),('a',2),('b',3) t(g, x)))", 1 * 2 + 2 * 1 + 3 * 3),
+    # expression partition key
+    ("(SELECT sum(v) FROM (SELECT sum(x) OVER (PARTITION BY x % 2) v FROM VALUES (1),(2),(3),(4),(5) t(x)))", 9 * 3 + 6 * 2),
+    (f"(SELECT sum(v) FROM (SELECT rank() OVER (PARTITION BY g ORDER BY h) v {_MP}))", (1 + 2) + 1),
+    (f"(SELECT sum(v) FROM (SELECT ntile(2) OVER (PARTITION BY g ORDER BY x) v {_MP}))", (1 + 2) + 1),
+    (f"(SELECT sum(v) FROM (SELECT lead(x, 1, -9) OVER (PARTITION BY g ORDER BY x) v {_MP}))", (2 - 9) + (-9)),
+    (f"(SELECT sum(v) FROM (SELECT lag(x, 1, -9) OVER (PARTITION BY g ORDER BY x) v {_MP}))", (-9 + 1) + (-9)),
+    # rank over a running sum (window over window — two ordered passes)
+    (f"(SELECT sum(r) FROM (SELECT rank() OVER (ORDER BY rs) r FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) rs {_MP})))", 1 + 2 + 3),
+    (f"(SELECT round(sum(v), 4) FROM (SELECT percent_rank() OVER (PARTITION BY g ORDER BY x) v {_MP}))", 0.0 + 1.0 + 0.0),
+    (f"(SELECT sum(v) FROM (SELECT first_value(x) OVER (PARTITION BY g ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v {_MP}))", (2 + 2) + 4),
+    (f"(SELECT sum(v) FROM (SELECT last_value(x) OVER (PARTITION BY g ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v {_MP}))", (1 + 1) + 4),
+    # forward-only frame
+    (f"(SELECT sum(v) FROM (SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) v FROM VALUES (10),(20),(30) t(x)))", (20 + 30) + 30),
+    # NULLS FIRST ordering under dense_rank
+    ("(SELECT sum(v) FROM (SELECT dense_rank() OVER (ORDER BY x NULLS FIRST) v FROM VALUES (NULL),(1),(2) t(x)))", 1 + 2 + 3),
+    # RANGE frame with duplicate keys inside a partition
+    (f"(SELECT sum(v) FROM (SELECT count(*) OVER (PARTITION BY g ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v FROM VALUES ('a',1),('a',1),('a',2) t(g, x)))", 2 + 2 + 3),
+    # lag default in a 1-row partition
+    (f"(SELECT v FROM (SELECT lag(x, 1, 77) OVER (PARTITION BY g ORDER BY x) v {_MP} ) WHERE v = 77 LIMIT 1)", 77),
+    # two NAMED windows with different partitioning
+    (f"(SELECT sum(a + b) FROM (SELECT sum(x) OVER w1 a, rank() OVER w2 b {_MP} WINDOW w1 AS (PARTITION BY g), w2 AS (ORDER BY x)))", (3 + 3 + 4) + (1 + 2 + 3)),
+    (f"(SELECT sum(v) FROM (SELECT max(x) OVER (PARTITION BY g ORDER BY x RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) v {_MP}))", (2 + 2) + 4),
+    # ---- grouping_id / grouping sets edge shapes ----
+    # grouping_id values across cube levels: (a,b)=0, (a)=1, (b)=2, ()=3
+    ("(SELECT sum(gid) FROM (SELECT grouping_id() gid FROM VALUES ('x','y',1) t(a, b, x) GROUP BY CUBE(a, b)))", 0 + 1 + 2 + 3),
+    ("(SELECT sum(gid) FROM (SELECT grouping_id() gid FROM VALUES ('x','y',1) t(a, b, x) GROUP BY ROLLUP(a, b)))", 0 + 1 + 3),
+    ("(SELECT sum(gid) FROM (SELECT grouping_id() gid FROM VALUES ('x','y',1) t(a, b, x) GROUP BY GROUPING SETS ((a), (b))))", 1 + 2),
+    # bit order: FIRST grouping column = MOST significant bit
+    ("(SELECT grouping_id() FROM VALUES ('x','y') t(a, b) GROUP BY a, b GROUPING SETS ((a)))", 1),
+    ("(SELECT grouping_id() FROM VALUES ('x','y') t(a, b) GROUP BY a, b GROUPING SETS ((b)))", 2),
+    ("(SELECT grouping(a) + 10 * grouping(b) FROM VALUES ('x','y') t(a, b) GROUP BY a, b GROUPING SETS ((b)))", 1),
+    # grouping-NULL vs data-NULL disambiguation (groupby_grouping_id2.q)
+    (f"(SELECT count(*) FROM (SELECT a, grouping(a) ga FROM VALUES (NULL, 1),('x', 2) t(a, x) GROUP BY CUBE(a)) WHERE a IS NULL AND ga = 0)", 1),
+    (f"(SELECT count(*) FROM (SELECT a, grouping(a) ga FROM VALUES (NULL, 1),('x', 2) t(a, x) GROUP BY CUBE(a)) WHERE a IS NULL AND ga = 1)", 1),
+    # HAVING on grouping_id
+    (f"(SELECT sum(s) FROM (SELECT grouping_id() gid, sum(x) s {_GH} GROUP BY CUBE(a, b) HAVING grouping_id() = 3))", 7),
+    # expression key under rollup
+    ("(SELECT sum(gid) FROM (SELECT grouping_id() gid FROM VALUES (1),(2),(3) t(x) GROUP BY ROLLUP(x % 2)))", 0 + 0 + 1),
+    # three-key cube: 8 distinct grouping_ids, 0..7
+    ("(SELECT count(DISTINCT gid) FROM (SELECT grouping_id() gid FROM VALUES (1,2,3) t(a, b, c) GROUP BY CUBE(a, b, c)))", 8),
+    ("(SELECT sum(DISTINCT gid) FROM (SELECT grouping_id() gid FROM VALUES (1,2,3) t(a, b, c) GROUP BY CUBE(a, b, c)))", 28),
+    # per-level aggregates: the () level carries the global sum
+    (f"(SELECT max(s) FROM (SELECT sum(x) s {_GH} GROUP BY CUBE(a, b)))", 7),
+    (f"(SELECT count(*) FROM (SELECT 1 one {_GH} GROUP BY ROLLUP(a, b)))", 3 + 2 + 1),
+    # grouping() steering a conditional aggregate
+    (f"(SELECT sum(CASE WHEN ga = 1 THEN s ELSE 0 END) FROM (SELECT grouping(a) ga, sum(x) s {_GH} GROUP BY ROLLUP(a)))", 7),
+    # explicit empty grouping set
+    (f"(SELECT count(*) FROM (SELECT grouping(a) ga {_GH} GROUP BY GROUPING SETS ((), (a))) t2 WHERE ga = 0)", 2),
+    ("(SELECT sum(gid) FROM (SELECT grouping_id() gid FROM VALUES ('x') t(a) GROUP BY GROUPING SETS ((), (a))))", 1),
+    # Hive WITH CUBE / WITH ROLLUP syntax variants
+    ("(SELECT sum(gid) FROM (SELECT grouping_id() gid FROM VALUES ('x','y') t(a, b) GROUP BY a, b WITH CUBE))", 6),
+    ("(SELECT sum(gid) FROM (SELECT grouping_id() gid FROM VALUES ('x','y') t(a, b) GROUP BY a, b WITH ROLLUP))", 4),
+    # count(*) at every cube level over multi-row data
+    (f"(SELECT sum(c) FROM (SELECT count(*) c {_GH} GROUP BY CUBE(a, b)))", 12),
+    # ---- LATERAL VIEW [OUTER] ----
+    ("(SELECT sum(c) FROM (SELECT 1 one) x LATERAL VIEW explode(array(1, 2, 3)) t AS c)", 6),
+    # OUTER preserves the row with a NULL when the generator is empty
+    ("(SELECT count(*) FROM (SELECT 1 one) x LATERAL VIEW OUTER explode(array()) t AS c)", 1),
+    ("(SELECT max(c IS NULL) FROM (SELECT 1 one) x LATERAL VIEW OUTER explode(array()) t AS c)", True),
+    # non-OUTER drops the row entirely
+    ("(SELECT count(*) FROM (SELECT 1 one) x LATERAL VIEW explode(array()) t AS c)", 0),
+    ("(SELECT sum(p * c) FROM (SELECT 1 one) x LATERAL VIEW posexplode(array(10, 20, 30)) t AS p, c)", 0 * 10 + 1 * 20 + 2 * 30),
+    # stacked lateral views: cartesian of the two generators
+    ("(SELECT count(*) FROM (SELECT 1 one) x LATERAL VIEW explode(array(1, 2)) t1 AS a LATERAL VIEW explode(array(10, 20)) t2 AS b)", 4),
+    ("(SELECT sum(a + b) FROM (SELECT 1 one) x LATERAL VIEW explode(array(1, 2)) t1 AS a LATERAL VIEW explode(array(10, 20)) t2 AS b)", (1 + 10) + (1 + 20) + (2 + 10) + (2 + 20)),
+    # second lateral view over the FIRST one's output column
+    ("(SELECT sum(e) FROM (SELECT array(array(1, 2), array(3)) aa) x LATERAL VIEW explode(aa) t1 AS inner_a LATERAL VIEW explode(inner_a) t2 AS e)", 6),
+    # map generator: two output aliases
+    ("(SELECT sum(v) FROM (SELECT 1 one) x LATERAL VIEW explode(map('a', 1, 'b', 2)) t AS k, v)", 3),
+    ("(SELECT concat_ws(',', sort_array(collect_list(k))) FROM (SELECT 1 one) x LATERAL VIEW explode(map('a', 1, 'b', 2)) t AS k, v)", "a,b"),
+    ("(SELECT count(*) FROM (SELECT 1 one) x LATERAL VIEW OUTER posexplode(CAST(NULL AS ARRAY<INT>)) t AS p, c)", 1),
+    # predicate on the generated column
+    ("(SELECT sum(c) FROM (SELECT 1 one) x LATERAL VIEW explode(array(1, 2, 3, 4)) t AS c WHERE c % 2 = 0)", 6),
+    # generator argument referencing the outer row (lateral_view.q core)
+    ("(SELECT sum(c) FROM VALUES ('1 2 3'), ('4 5') t(s) LATERAL VIEW explode(split(s, ' ')) v AS c)", 15),
+    # json_tuple lateral view (Hive json_tuple.q)
+    ("""(SELECT concat(ja, '/', jb) FROM (SELECT 1 one) x LATERAL VIEW json_tuple('{"a": 1, "b": "x"}', 'a', 'b') t AS ja, jb)""", "1/x"),
+    # inline() lateral view over an array of structs
+    ("(SELECT sum(n) FROM (SELECT 1 one) x LATERAL VIEW inline(array(struct(1, 'a'), struct(2, 'b'))) t AS n, s)", 3),
+    # stack() lateral view
+    ("(SELECT sum(v) FROM (SELECT 1 one) x LATERAL VIEW stack(2, 'k1', 10, 'k2', 20) t AS k, v)", 30),
+    ("(SELECT max(b IS NULL) FROM (SELECT 1 one) x LATERAL VIEW stack(3, 'p', 1, 'q', 2, 'r') t AS a, b)", True),
+]
+
+
+@pytest.mark.parametrize("expr,expected", CASES_R7, ids=[c[0][:40] for c in CASES_R7])
+def test_function_tail_r7(spark, expr, expected):
+    v = spark.sql(f"SELECT {expr} AS v").head().v
+    if callable(expected):
+        assert expected(v), f"{expr} -> {v!r}"
+    elif isinstance(expected, float):
+        assert v == pytest.approx(expected), f"{expr} -> {v!r}"
+    else:
+        assert v == expected, f"{expr} -> {v!r}"
