@@ -124,6 +124,8 @@ EXTRA = [
     # r07 additions
     "fulltext_dismax_indexed",
     "fulltext_query_wildcard_indexed",
+    "fulltext_query_fieldrange_indexed",
+    "fulltext_query_fieldwildcard_indexed",
 ]
 
 

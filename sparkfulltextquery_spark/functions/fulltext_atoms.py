@@ -876,3 +876,115 @@ def fulltext_query_wildcard_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     return search_indexed(
         spark, "(sp?rk AND join) OR *indow OR qu*ry", k=10, table_prefix=prefix
     )
+
+
+# ---------------- field-scoped range + wildcard atoms (r7) ----------------
+
+_FIELDRANGE_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    matched AS (
+      SELECT DISTINCT doc_id FROM pos WHERE term BETWEEN 'q' AND 'quick' AND pos < 10
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'batch'
+    ),
+    qt    AS (SELECT unnest(['batch']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_fieldrange", oracle=_FIELDRANGE_ORACLE)
+def fulltext_query_fieldrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped vocabulary range `title:[q TO quick] OR batch` (r7 —
+    ADVICE r06 flagged the silent misparse of this exact shape; it is now
+    a first-class atom): any term lexicographically in [q, quick]
+    occurring inside the positionally-carved title field. Constant-score
+    like the plain range atom, so only 'batch' contributes BM25."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "title:[q TO quick] OR batch", k=10)
+
+
+@query("fulltext_query_fieldrange_indexed", oracle=_FIELDRANGE_ORACLE)
+def fulltext_query_fieldrange_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same field-range query off the PERSISTED index one-pass: the
+    lexicographic band widens the pruned scan, field membership folds into
+    the flag aggregation as an EXISTS over the stored position arrays —
+    no join anywhere (same mechanism as field-prefix/field-fuzzy)."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "title:[q TO quick] OR batch", k=10, table_prefix=prefix)
+
+
+_FIELDWILD_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    matched AS (
+      SELECT DISTINCT doc_id FROM pos WHERE term LIKE 'sp_rk' AND pos < 10
+      INTERSECT
+      SELECT doc_id FROM tfs WHERE term = 'join'
+      UNION
+      SELECT DISTINCT doc_id FROM pos WHERE term LIKE '%indow' AND pos >= 10
+    ),
+    qt    AS (SELECT unnest(['join']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_fieldwildcard", oracle=_FIELDWILD_ORACLE)
+def fulltext_query_fieldwildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-scoped general wildcard `(title:sp?rk AND join) OR
+    body:*indow` (r7): the LIKE vocabulary predicate composed with the
+    positional field carving — `?` single-char in title, leading `*` in
+    body. Constant-score; only 'join' contributes BM25."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, "(title:sp?rk AND join) OR body:*indow", k=10)
+
+
+@query("fulltext_query_fieldwildcard_indexed", oracle=_FIELDWILD_ORACLE)
+def fulltext_query_fieldwildcard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same field-wildcard query off the PERSISTED index one-pass:
+    LIKE widens the pruned scan, field membership is an EXISTS over stored
+    position arrays inside the flag aggregation — no join anywhere."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(
+        spark, "(title:sp?rk AND join) OR body:*indow", k=10, table_prefix=prefix
+    )

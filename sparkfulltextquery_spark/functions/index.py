@@ -780,11 +780,34 @@ def _search_indexed_build(
                 .distinct()
             )
 
+        def frange_fn(field: str, lo: str, hi: str):
+            from sparkfulltextquery_spark.functions.fulltext import field_pos_pred
+
+            pos_pred = field_pos_pred(field)
+            return (
+                post.filter(F.col("term").between(lo, hi))
+                .filter(F.exists(F.col("positions"), pos_pred))
+                .select("doc_id")
+                .distinct()
+            )
+
+        def fwild_fn(field: str, pattern: str):
+            from sparkfulltextquery_spark.functions.fulltext import field_pos_pred
+
+            like = QL.FieldWildcard(field, pattern).like_pattern()
+            pos_pred = field_pos_pred(field)
+            return (
+                post.filter(F.col("term").like(like))
+                .filter(F.exists(F.col("positions"), pos_pred))
+                .select("doc_id")
+                .distinct()
+            )
+
         universe = spark.table(f"{table_prefix}_dl").select("doc_id")
         matched = QL.compile_matches(
             ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn,
             field_fn=field_fn, fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn,
-            ffuzzy_fn=ffuzzy_fn,
+            ffuzzy_fn=ffuzzy_fn, frange_fn=frange_fn, fwild_fn=fwild_fn,
         )
         if not pos:
             return (
@@ -812,6 +835,8 @@ def _search_indexed_build(
     fphrases = sorted(QL.collect_fieldphrases(ast))
     fprefixes = sorted(QL.collect_fieldprefixes(ast))
     ffuzzies = sorted(QL.collect_fieldfuzzies(ast))
+    franges = sorted(QL.collect_fieldranges(ast))
+    fwilds = sorted(QL.collect_fieldwildcards(ast))
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     field_terms = {t for (_f, t) in fields}
     fphrase_toks = {fp: _py_tokenize(fp[1]) for fp in fphrases}
@@ -833,6 +858,8 @@ def _search_indexed_build(
     vflag = {v: f"_v{i}" for i, v in enumerate(wildcards)}
     fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes)}
     ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies)}
+    frgflag = {f: f"_fr{i}" for i, f in enumerate(franges)}
+    fwdflag = {f: f"_fw{i}" for i, f in enumerate(fwilds)}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(
@@ -869,6 +896,12 @@ def _search_indexed_build(
     for _fld, zt, zd in ffuzzies:
         # field-scoped fuzzies widen like plain fuzzies
         pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
+    for _fld, lo, hi in franges:
+        # field-scoped ranges widen like plain ranges
+        pred = pred | F.col("term").between(lo, hi)
+    for _fld, w in fwilds:
+        # field-scoped wildcards widen like plain wildcards
+        pred = pred | F.col("term").like(QL.FieldWildcard(_fld, w).like_pattern())
     pruned = post.filter(pred)
     # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
     # `term^N` boosts fold into the idf literal chain
@@ -956,6 +989,26 @@ def _search_indexed_build(
         for (fld, zt, zd), c in ffzflag.items()
     ]
     aggs += [
+        F.max(
+            F.when(
+                F.col("term").between(lo, hi)
+                & F.exists(F.col("positions"), _fpx_pos_pred(fld)),
+                1,
+            ).otherwise(0)
+        ).alias(c)
+        for (fld, lo, hi), c in frgflag.items()
+    ]
+    aggs += [
+        F.max(
+            F.when(
+                F.col("term").like(QL.FieldWildcard(fld, w).like_pattern())
+                & F.exists(F.col("positions"), _fpx_pos_pred(fld)),
+                1,
+            ).otherwise(0)
+        ).alias(c)
+        for (fld, w), c in fwdflag.items()
+    ]
+    aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
         for t, c in slot.items()
     ]
@@ -1019,6 +1072,10 @@ def _search_indexed_build(
             return F.col(fpxflag[(n.field, n.text)]) == 1
         if isinstance(n, QL.FieldFuzzy):
             return F.col(ffzflag[(n.field, n.text, n.dist)]) == 1
+        if isinstance(n, QL.FieldRange):
+            return F.col(frgflag[(n.field, n.lo, n.hi)]) == 1
+        if isinstance(n, QL.FieldWildcard):
+            return F.col(fwdflag[(n.field, n.pattern)]) == 1
         if isinstance(n, QL.Field):
             return field_col(n.field, n.text)
         if isinstance(n, QL.FieldPhrase):

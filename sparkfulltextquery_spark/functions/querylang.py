@@ -13,6 +13,8 @@ binds tighter than AND):
              | field ':' '"' phrase '"'        field-scoped phrase
              | field ':' term '*'              field-scoped prefix
              | field ':' term '~' dist         field-scoped fuzzy
+             | field ':' '[' lo TO hi ']'      field-scoped vocabulary range
+             | field ':' pattern with '*'/'?'  field-scoped general wildcard
              | field ':' term                  field-scoped term
              | '[' lo TO hi ']'                vocabulary range
              | term '~' dist                   fuzzy (edit distance)
@@ -192,6 +194,32 @@ class FieldFuzzy:
 
 
 @dataclass(frozen=True)
+class FieldRange:
+    """Field-scoped lexicographic range (`title:[alpha TO beta]`, r7 — the
+    composition of TermRange and Field): any vocabulary term in
+    [lo, hi] occurring inside the positionally-carved field.
+    Constant-score like TermRange."""
+
+    field: str  # "title" | "body"
+    lo: str
+    hi: str
+
+
+@dataclass(frozen=True)
+class FieldWildcard:
+    """Field-scoped general wildcard (`title:sp?rk`, `body:*ark`, r7 — the
+    composition of Wildcard and Field): the LIKE vocabulary predicate AND
+    the position carving. A single trailing `*` stays FieldPrefix.
+    Constant-score like Wildcard."""
+
+    field: str  # "title" | "body"
+    pattern: str
+
+    def like_pattern(self) -> str:
+        return self.pattern.replace("*", "%").replace("?", "_")
+
+
+@dataclass(frozen=True)
 class Near:
     """Proximity atom `a NEAR/k b`: both terms within k token positions
     (unordered). Operands are plain terms; both score in BM25."""
@@ -294,9 +322,9 @@ def parse_query(q: str):
             return node
         if t == ")":
             raise ValueError("unexpected ')'")
-        if t.startswith("["):
+        def parse_range_bounds(first: str) -> tuple[str, str]:
             # `[alpha TO beta]` — three tokens: '[alpha', 'TO', 'beta]'
-            parts = [t]
+            parts = [first]
             while not parts[-1].endswith("]") and len(parts) < 4:
                 if peek() is None or peek() in ("(", ")"):
                     raise ValueError("unterminated range atom (expected ']')")
@@ -307,11 +335,14 @@ def parse_query(q: str):
             lo_n, hi_n = _py_tokenize(lo_raw), _py_tokenize(hi_raw)
             if len(lo_n) != 1 or len(hi_n) != 1:
                 raise ValueError(
-                    f"range bounds must normalize to one term each: {t!r}"
+                    f"range bounds must normalize to one term each: {first!r}"
                 )
             if lo_n[0] > hi_n[0]:
                 raise ValueError(f"empty range: {lo_n[0]!r} > {hi_n[0]!r}")
-            return TermRange(lo_n[0], hi_n[0])
+            return lo_n[0], hi_n[0]
+
+        if t.startswith("["):
+            return TermRange(*parse_range_bounds(t))
         if t.startswith("/") and t.endswith("/") and len(t) >= 3:
             pat = t[1:-1].lower()
             if not _REGEX_ATOM_OK.fullmatch(pat):
@@ -391,14 +422,14 @@ def parse_query(q: str):
                 raise ValueError("boost on a field atom is not supported")
             if ":" in body:
                 raise ValueError(f"field atom {t!r} must scope a plain term")
+            if body.startswith("["):
+                # `title:[alpha TO beta]` — field-scoped vocabulary range
+                # (r7; ADVICE r06 flagged the silent misparse, now a real atom)
+                return FieldRange(field, *parse_range_bounds(body))
             if "[" in body or "]" in body:
-                # fail loud (ADVICE r06): `title:[a TO b]` would otherwise
-                # tokenize-strip the bracket and silently score 'to'/'b' as
-                # required terms; field-scoped ranges are not supported
-                raise ValueError(
-                    f"brackets in field atom {t!r} "
-                    "(field-scoped ranges are not supported)"
-                )
+                # fail loud (ADVICE r06): a stray bracket would otherwise
+                # tokenize-strip silently into a plain term
+                raise ValueError(f"brackets in field atom {t!r}")
             fm = re.fullmatch(r"(.+)~(\d)", body)
             if fm:
                 # `title:sparc~1` — field-scoped fuzzy
@@ -415,20 +446,30 @@ def parse_query(q: str):
                 return FieldFuzzy(field, norm[0], fdist)
             if "~" in body:
                 raise ValueError(f"field atom {t!r} must scope a plain term")
-            if body.endswith("*") and len(body) > 1:
-                # `title:spar*` — field-scoped wildcard prefix
-                if "*" in body[:-1]:
-                    raise ValueError(
-                        f"interior wildcard in field atom {t!r} (prefix-only)"
-                    )
+            if (
+                body.endswith("*")
+                and len(body) > 1
+                and "*" not in body[:-1]
+                and "?" not in body
+            ):
+                # `title:spar*` — field-scoped wildcard prefix (a single
+                # trailing `*` stays the range-scannable prefix form)
                 norm = _py_tokenize(body[:-1])
                 if len(norm) != 1:
                     raise ValueError(
                         f"field prefix {t!r} must normalize to one token"
                     )
                 return FieldPrefix(field, norm[0])
-            if "*" in body:
-                raise ValueError(f"interior wildcard in field atom {t!r} (prefix-only)")
+            if "*" in body or "?" in body:
+                # `title:sp?rk` / `body:*ark` — field-scoped general wildcard
+                pat = body.lower()
+                if not re.fullmatch(r"[a-z0-9*?]+", pat):
+                    raise ValueError(f"malformed field wildcard atom {t!r}")
+                if not re.search(r"[a-z0-9]", pat):
+                    raise ValueError(
+                        f"field wildcard {t!r} needs at least one literal character"
+                    )
+                return FieldWildcard(field, re.sub(r"\*{2,}", "*", pat))
             norm = _py_tokenize(body)
             if len(norm) != 1:
                 raise ValueError(f"field atom {t!r} must normalize to one term")
@@ -502,7 +543,8 @@ def positive_terms(node) -> list[str]:
         return [node.a, node.b]
     if isinstance(
         node,
-        (Not, Prefix, Wildcard, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy),
+        (Not, Prefix, Wildcard, Fuzzy, TermRange, Regex, FieldPrefix,
+         FieldFuzzy, FieldRange, FieldWildcard),
     ):
         return []
     return [t for c in node.children for t in positive_terms(c)]
@@ -533,7 +575,8 @@ def term_boosts(node) -> dict[str, float]:
         return {node.a: 1.0, node.b: 1.0}
     if isinstance(
         node,
-        (Not, Prefix, Wildcard, Fuzzy, TermRange, Regex, FieldPrefix, FieldFuzzy),
+        (Not, Prefix, Wildcard, Fuzzy, TermRange, Regex, FieldPrefix,
+         FieldFuzzy, FieldRange, FieldWildcard),
     ):
         return {}
     out: dict[str, float] = {}
@@ -549,6 +592,7 @@ def term_boosts(node) -> dict[str, float]:
 def compile_matches(
     node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None,
     field_fn=None, fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
+    frange_fn=None, fwild_fn=None,
 ) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
@@ -614,6 +658,14 @@ def compile_matches(
         if ffuzzy_fn is None:
             raise ValueError("field-fuzzy atom requires a ffuzzy_fn")
         return ffuzzy_fn(node.field, node.text, node.dist)
+    if isinstance(node, FieldRange):
+        if frange_fn is None:
+            raise ValueError("field-range atom requires a frange_fn")
+        return frange_fn(node.field, node.lo, node.hi)
+    if isinstance(node, FieldWildcard):
+        if fwild_fn is None:
+            raise ValueError("field-wildcard atom requires a fwild_fn")
+        return fwild_fn(node.field, node.pattern)
     if isinstance(node, Near):
         if near_fn is None:
             raise ValueError("NEAR atom requires a near_fn")
@@ -621,13 +673,13 @@ def compile_matches(
     if isinstance(node, And):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn, fprefix_fn, ffuzzy_fn,
+            fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
         )
         for c in node.children[1:]:
             out = out.join(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
-                    fphrase_fn, fprefix_fn, ffuzzy_fn,
+                    fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
                 ),
                 "doc_id",
                 "left_semi",
@@ -636,13 +688,13 @@ def compile_matches(
     if isinstance(node, Or):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn, fprefix_fn, ffuzzy_fn,
+            fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
         )
         for c in node.children[1:]:
             out = out.union(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
-                    fphrase_fn, fprefix_fn, ffuzzy_fn,
+                    fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
                 )
             )
         return out.distinct()
@@ -650,7 +702,7 @@ def compile_matches(
         return universe.join(
             compile_matches(
                 node.child, post, phrase_fn, universe, near_fn, field_fn,
-                fphrase_fn, fprefix_fn, ffuzzy_fn,
+                fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
             ),
             "doc_id",
             "left_anti",
@@ -670,7 +722,7 @@ def _collect_atoms(node) -> tuple[set, set, set]:
     if isinstance(
         node,
         (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex, FieldPrefix,
-         FieldFuzzy, Wildcard),
+         FieldFuzzy, Wildcard, FieldRange, FieldWildcard),
     ):
         # collected separately via the per-kind collectors below
         return set(), set(), set()
@@ -746,13 +798,23 @@ def collect_wildcards(node) -> set:
     return _collect_kind(node, Wildcard, lambda n: n.pattern)
 
 
+def collect_fieldranges(node) -> set:
+    """All FieldRange atoms (field, lo, hi) in the AST."""
+    return _collect_kind(node, FieldRange, lambda n: (n.field, n.lo, n.hi))
+
+
+def collect_fieldwildcards(node) -> set:
+    """All FieldWildcard atoms (field, pattern) in the AST."""
+    return _collect_kind(node, FieldWildcard, lambda n: (n.field, n.pattern))
+
+
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
     if isinstance(
         node,
         (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase,
-         Regex, FieldPrefix, FieldFuzzy, Wildcard),
+         Regex, FieldPrefix, FieldFuzzy, Wildcard, FieldRange, FieldWildcard),
     ):
         return False
     if isinstance(node, Not):
@@ -765,6 +827,7 @@ def _eval_empty(node) -> bool:
 def compile_matches_flags(
     node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None,
     fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
+    frange_fn=None, fwild_fn=None,
 ) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
@@ -789,6 +852,8 @@ def compile_matches_flags(
     fphrases_l = sorted(collect_fieldphrases(node))
     fprefixes_l = sorted(collect_fieldprefixes(node))
     ffuzzies_l = sorted(collect_fieldfuzzies(node))
+    franges_l = sorted(collect_fieldranges(node))
+    fwilds_l = sorted(collect_fieldwildcards(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
     prefixes_l = sorted(prefixes)
@@ -804,6 +869,8 @@ def compile_matches_flags(
     fpflag = {f: f"_fp{i}" for i, f in enumerate(fphrases_l)}
     fpxflag = {f: f"_fx{i}" for i, f in enumerate(fprefixes_l)}
     ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies_l)}
+    frgflag = {f: f"_fr{i}" for i, f in enumerate(franges_l)}
+    fwdflag = {f: f"_fw{i}" for i, f in enumerate(fwilds_l)}
 
     if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l or wildcards_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
@@ -914,6 +981,26 @@ def compile_matches_flags(
             .withColumn(ffzflag[fz], F.lit(1))
         )
         flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
+    for fr in franges_l:
+        if frange_fn is None:
+            raise ValueError("field-range atom requires a frange_fn")
+        fdf = (
+            frange_fn(*fr)
+            .select("doc_id")
+            .distinct()
+            .withColumn(frgflag[fr], F.lit(1))
+        )
+        flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
+    for fw in fwilds_l:
+        if fwild_fn is None:
+            raise ValueError("field-wildcard atom requires a fwild_fn")
+        fdf = (
+            fwild_fn(*fw)
+            .select("doc_id")
+            .distinct()
+            .withColumn(fwdflag[fw], F.lit(1))
+        )
+        flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
     assert flags is not None  # no-atom ASTs were rejected by _eval_empty
 
     def as_col(n):
@@ -940,6 +1027,10 @@ def compile_matches_flags(
                 F.coalesce(F.col(ffzflag[(n.field, n.text, n.dist)]), F.lit(0))
                 == 1
             )
+        if isinstance(n, FieldRange):
+            return F.coalesce(F.col(frgflag[(n.field, n.lo, n.hi)]), F.lit(0)) == 1
+        if isinstance(n, FieldWildcard):
+            return F.coalesce(F.col(fwdflag[(n.field, n.pattern)]), F.lit(0)) == 1
         if isinstance(n, Near):
             return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
@@ -973,7 +1064,9 @@ def search(
 
     def _needs_positions(node) -> bool:
         if isinstance(
-            node, (Phrase, Near, Field, FieldPhrase, FieldPrefix, FieldFuzzy)
+            node,
+            (Phrase, Near, Field, FieldPhrase, FieldPrefix, FieldFuzzy,
+             FieldRange, FieldWildcard),
         ):
             return True  # all of these need the positional relation
         return any(_needs_positions(c) for c in getattr(node, "children", ())) or (
@@ -1046,6 +1139,25 @@ def search(
                 .select("doc_id")
                 .distinct()
             )
+
+        def frange_fn(field: str, lo: str, hi: str) -> DataFrame:
+            # TermRange ∘ Field: lexicographic band AND the carving
+            in_field = field_pos_pred(field)(F.col("pos"))
+            return (
+                pos_rel.filter(F.col("term").between(lo, hi) & in_field)
+                .select("doc_id")
+                .distinct()
+            )
+
+        def fwild_fn(field: str, pattern: str) -> DataFrame:
+            # Wildcard ∘ Field: LIKE over the vocabulary AND the carving
+            like = FieldWildcard(field, pattern).like_pattern()
+            in_field = field_pos_pred(field)(F.col("pos"))
+            return (
+                pos_rel.filter(F.col("term").like(like) & in_field)
+                .select("doc_id")
+                .distinct()
+            )
     else:
         post = postings(docs, id_col, text_col)
         phrase_fn = lambda text, slop=0: phrase_match(  # noqa: E731
@@ -1056,10 +1168,13 @@ def search(
         fphrase_fn = None  # no FieldPhrase atoms on this branch either
         fprefix_fn = None  # no FieldPrefix atoms on this branch either
         ffuzzy_fn = None  # no FieldFuzzy atoms on this branch either
+        frange_fn = None  # no FieldRange atoms on this branch either
+        fwild_fn = None  # no FieldWildcard atoms on this branch either
 
     matched = compile_matches_flags(
         ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn,
         fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn, ffuzzy_fn=ffuzzy_fn,
+        frange_fn=frange_fn, fwild_fn=fwild_fn,
     )
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
@@ -1072,6 +1187,8 @@ def search(
             fphrase_fn=fphrase_fn,
             fprefix_fn=fprefix_fn,
             ffuzzy_fn=ffuzzy_fn,
+            frange_fn=frange_fn,
+            fwild_fn=fwild_fn,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

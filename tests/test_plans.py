@@ -776,3 +776,20 @@ def test_wildcard_indexed_one_pass(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, f"{node} leaked into the one-pass plan"
     assert uses_top_k(df)
+
+
+def test_fieldrange_fieldwildcard_indexed_one_pass(spark):
+    """Field-scoped range and wildcard atoms (r7) on the indexed path keep
+    the one-pass shape: the vocabulary predicate widens the scan, field
+    membership folds into the flag aggregation as an EXISTS over stored
+    position arrays — no join anywhere."""
+    for name in (
+        "fulltext_query_fieldrange_indexed",
+        "fulltext_query_fieldwildcard_indexed",
+    ):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"{node} leaked into {name}"
+        assert uses_top_k(df), name

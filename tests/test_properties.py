@@ -636,6 +636,13 @@ def _py_eval(node, ts):
     if isinstance(node, QL.FieldFuzzy):
         seg = ts[:L] if node.field == "title" else ts[L:]
         return any(_lev(t, node.text) <= node.dist for t in set(seg))
+    if isinstance(node, QL.FieldRange):
+        seg = ts[:L] if node.field == "title" else ts[L:]
+        return any(node.lo <= t <= node.hi for t in seg)
+    if isinstance(node, QL.FieldWildcard):
+        seg = ts[:L] if node.field == "title" else ts[L:]
+        pat = re.compile(node.pattern.replace("*", ".*").replace("?", "."))
+        return any(pat.fullmatch(t) for t in set(seg))
     if isinstance(node, QL.FieldPhrase):
         words = node.text.split()
         n = len(words)
@@ -689,7 +696,8 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         return QL.And(kids) if op == "and" else QL.Or(kids)
     kind = rng.choice(
         ["term", "prefix", "fuzzy", "range", "field", "fphrase", "phrase",
-         "slop", "near", "regex", "fprefix", "ffuzzy", "wild1", "wild2"]
+         "slop", "near", "regex", "fprefix", "ffuzzy", "wild1", "wild2",
+         "frange", "fwild"]
     )
     w = rng.choice(vocab)
     if kind == "term":
@@ -725,6 +733,15 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         )
     if kind == "ffuzzy":
         return QL.FieldFuzzy(rng.choice(["title", "body"]), w, rng.randint(1, 2))
+    if kind == "frange":
+        # atom kind 15 (r7): field-scoped lexicographic range
+        a, b = sorted([w, rng.choice(vocab)])
+        return QL.FieldRange(rng.choice(["title", "body"]), a, b)
+    if kind == "fwild":
+        # atom kind 16 (r7): field-scoped wildcard (? or infix *)
+        i = rng.randrange(len(w))
+        ch = "?" if rng.random() < 0.5 else "*"
+        return QL.FieldWildcard(rng.choice(["title", "body"]), w[:i] + ch + w[i + 1 :])
     bg = rng.choice(bigrams)
     if kind == "fphrase":
         return QL.FieldPhrase(rng.choice(["title", "body"]), bg)
@@ -760,6 +777,12 @@ def _ast_to_query(node) -> str:
         return f"{node.field}:{node.text}*"
     if isinstance(node, QL.FieldFuzzy):
         return f"{node.field}:{node.text}~{node.dist}"
+    if isinstance(node, QL.FieldRange):
+        return f"{node.field}:[{node.lo} TO {node.hi}]"
+    if isinstance(node, QL.FieldWildcard):
+        # a trailing-`*`-only pattern re-parses as FieldPrefix — identical
+        # match semantics, so equivalence still holds
+        return f"{node.field}:{node.pattern}"
     if isinstance(node, QL.FieldPhrase):
         return f'{node.field}:"{node.text}"'
     if isinstance(node, QL.Phrase):

@@ -44,7 +44,8 @@ def test_parser_precedence_and_shapes():
         # r7 wildcard degenerates: no literal character at all
         "*", "?", "?*", "**",
         # ADVICE r06: brackets must fail loud, never tokenize-strip silently
-        "a]b", "spark]", "[spark", "title:[a TO b]", "title:[a", "body:a]",
+        # (title:[a TO b] became the FieldRange atom in r7)
+        "a]b", "spark]", "[spark", "title:[a", "body:a]",
     ],
 )
 def test_parser_rejects_malformed(bad):
@@ -237,7 +238,7 @@ def test_parser_field_and_fuzzy_shapes():
     for bad in [
         "author:spark",      # unknown field
         "title:spark^2",     # boost on a field atom
-        "title:sp*rk",       # interior wildcard in a field atom
+        # (interior wildcards in field atoms became FieldWildcard in r7)
         "title:a:b",         # nested colon
         "sparc~0",           # distance out of range
         "sparc~4",           # distance out of range
@@ -571,7 +572,7 @@ def test_parser_fieldprefix_shapes():
         (FieldPrefix("title", "spar"), Term("batch"))
     )
     for bad in [
-        "title:sp*ar",     # interior wildcard
+        # (interior wildcards became FieldWildcard in r7)
         "title:*",         # empty prefix
         "author:spar*",    # unknown field
         "title:spar*~1",   # fuzzy on a field prefix
@@ -674,3 +675,30 @@ def test_wildcard_matches_naive_like(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_parser_fieldrange_and_fieldwildcard_shapes():
+    """r7: field-scoped range `title:[a TO b]` (the ADVICE r06 misparse,
+    now a real atom) and field-scoped general wildcard `title:sp?rk`."""
+    from sparkfulltextquery_spark.functions.querylang import (
+        FieldPrefix,
+        FieldRange,
+        FieldWildcard,
+    )
+
+    assert parse_query("title:[alpha TO beta]") == FieldRange("title", "alpha", "beta")
+    assert parse_query("BODY:[Q TO Quick]") == FieldRange("body", "q", "quick")
+    assert parse_query("title:sp?rk") == FieldWildcard("title", "sp?rk")
+    assert parse_query("body:*ark") == FieldWildcard("body", "*ark")
+    assert parse_query("title:s*rk") == FieldWildcard("title", "s*rk")
+    assert parse_query("title:spar*") == FieldPrefix("title", "spar")  # stays prefix
+    for bad in [
+        "title:[beta TO alpha]",   # empty range
+        "title:[a TO",             # unterminated
+        "title:[a b TO c]",        # multi-token bound
+        "name:[a TO b]",           # unknown field
+        "title:?",                 # no literal character
+        "title:*",                 # no literal character
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
