@@ -748,3 +748,46 @@ def test_random_like_patterns_two_engine_parity(fuzz_views, duck_con):
         got = _norm([tuple(r) for r in spark.sql(sql).collect()])
         want = _norm(duck_con.execute(sql).fetchall())
         assert got == want, f"like query #{i} diverged:\n{sql}"
+
+
+# ---------------------------------------------------------------------------
+# GROUPING_ID fuzzing (r7, round 16): multi-argument GROUPING_ID over
+# 3-key CUBE/ROLLUP/GROUPING SETS — same text in both engines (probed:
+# identical first-arg-is-MSB bit order), optionally filtered by a HAVING
+# on the id. Complements the single-column GROUPING() round (SEED+3) and
+# the Hive grouping_id literal pins (test_function_breadth CASES_R7).
+# ---------------------------------------------------------------------------
+
+
+def _gen_grouping_id_query(rng: random.Random) -> str:
+    keys = rng.sample(
+        ["l_returnflag", "l_linestatus", "l_orderkey % 3", "CAST(l_quantity >= 25 AS INT)"],
+        3,
+    )
+    spec = rng.choice(
+        [
+            "ROLLUP (k1, k2, k3)",
+            "CUBE (k1, k2, k3)",
+            "GROUPING SETS ((k1, k2, k3), (k1), (k2, k3), ())",
+            "GROUPING SETS ((k1), (k2), (k3))",
+        ]
+    )
+    having = ""
+    if rng.random() < 0.5:
+        having = f"\n    HAVING GROUPING_ID(k1, k2, k3) {rng.choice(['<', '>=', '='])} {rng.randint(0, 7)}"
+    return f"""
+    SELECT k1, k2, k3, GROUPING_ID(k1, k2, k3) AS gid,
+           count(*) AS n, sum(CAST(l_quantity AS BIGINT)) AS qty
+    FROM (SELECT {keys[0]} AS k1, {keys[1]} AS k2, {keys[2]} AS k3, l_quantity
+          FROM lineitem WHERE l_orderkey % {rng.randint(2, 6)} = 0)
+    GROUP BY {spec}{having}"""
+
+
+def test_random_grouping_id_two_engine_parity(fuzz_views, duck_con):
+    spark = fuzz_views
+    rng = random.Random(SEED + 14)
+    for i in range(15):
+        sql = _gen_grouping_id_query(rng)
+        got = _norm([tuple(r) for r in spark.sql(sql).collect()])
+        want = _norm(duck_con.execute(sql).fetchall())
+        assert got == want, f"grouping_id query #{i} diverged:\n{sql}"
