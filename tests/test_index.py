@@ -408,3 +408,32 @@ def test_index_store_root_rejects_insecure_base(tmp_path, monkeypatch):
     base.symlink_to(real)
     with _pytest.raises(RuntimeError, match="not a directory"):
         S.index_store_root("text", "/some/sf")
+
+
+def test_indexed_dismax_equals_inline_full_list(spark, index_tables):
+    """r7: dismax_scores_indexed must reproduce the inline DisMax scorer
+    EXACTLY (4dp-rounded scores, FULL score list — not just top-10): same
+    per-field tf/dl/df/avgdl values and the same fusion arithmetic, so the
+    two paths are interchangeable. Also pins the one-pass plan properties:
+    bucket-pruned scan, no corpus access, no joins."""
+    from sparkfulltextquery_spark.functions.fulltext import dismax_search
+    from sparkfulltextquery_spark.functions.index import dismax_scores_indexed
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    inline = {
+        (r.doc_id, r.score)
+        for r in dismax_search(docs, "data query spark window", k=n).collect()
+    }
+    indexed_df = dismax_scores_indexed(
+        spark, "data query spark window", table_prefix="t_idx"
+    )
+    indexed = {(r.doc_id, r.score) for r in indexed_df.collect()}
+    assert inline == indexed and len(indexed) > 10
+
+    plan = physical_plan(indexed_df)
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, plan
