@@ -97,6 +97,8 @@ def build_index(
     skey = (spark.sparkContext.applicationId, table_prefix)
     _INDEX_STATS_CACHE.pop(skey, None)
     _INDEX_DF_CACHE.pop(skey, None)
+    for ck in [k for k in _FIELD_STATS_CACHE if k[:2] == skey]:
+        _FIELD_STATS_CACHE.pop(ck, None)
     for ck in [k for k in _COMPILED_QUERY_CACHE if k[:2] == skey]:
         _COMPILED_QUERY_CACHE.pop(ck, None)
     names = {
@@ -219,6 +221,8 @@ def refresh_index_caches(spark: SparkSession, table_prefix: str = "sftq_index") 
             pass
     _INDEX_STATS_CACHE.pop(skey, None)
     _INDEX_DF_CACHE.pop(skey, None)
+    for ck in [k for k in _FIELD_STATS_CACHE if k[:2] == skey]:
+        _FIELD_STATS_CACHE.pop(ck, None)
     _INDEX_GEN_CACHE[skey] = current
     for ck in [k for k in _COMPILED_QUERY_CACHE if k[:2] == skey]:
         _COMPILED_QUERY_CACHE.pop(ck, None)

@@ -437,3 +437,35 @@ def test_indexed_dismax_equals_inline_full_list(spark, index_tables):
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, plan
+
+
+def test_rebuild_invalidates_dismax_field_stats_cache(spark, tmp_path):
+    """r7 self-review fix: rebuilding an index under the same prefix must
+    also drop the cached per-field avgdl/df literals that
+    dismax_scores_indexed folds into its plan (the same ADVICE r04 bug
+    class the scalar stats cache already guards against)."""
+    from sparkfulltextquery_spark.functions import index as IX
+    from sparkfulltextquery_spark.functions.fulltext import BM25F_TITLE_LEN
+
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id int, text string"
+    )
+    IX.build_index(docs1, table_prefix="t_fsrebuild", num_buckets=2,
+                   path=f"file://{tmp_path}/g1")
+    n1, avg1, df1 = IX._dismax_field_stats(
+        spark, "t_fsrebuild", ["alpha"], BM25F_TITLE_LEN
+    )
+    assert (n1, df1[("title", "alpha")]) == (2, 2)
+
+    docs2 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta"),
+         (4, "epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    IX.build_index(docs2, table_prefix="t_fsrebuild", num_buckets=2,
+                   path=f"file://{tmp_path}/g2")
+    n2, avg2, df2 = IX._dismax_field_stats(
+        spark, "t_fsrebuild", ["alpha"], BM25F_TITLE_LEN
+    )
+    assert (n2, df2[("title", "alpha")]) == (4, 2)
+    assert avg2["title"] != avg1["title"]  # stale avgdl would reuse avg1
