@@ -126,6 +126,7 @@ EXTRA = [
     "fulltext_query_wildcard_indexed",
     "fulltext_query_fieldrange_indexed",
     "fulltext_query_fieldwildcard_indexed",
+    "fulltext_query_phrase_prefix_indexed",
 ]
 
 

@@ -731,3 +731,51 @@ def _py_tokenize(s: str) -> list[str]:
     import re
 
     return [t for t in re.split("[^a-z0-9]+", s.lower()) if t]
+
+
+def phrase_prefix_match(
+    docs: DataFrame,
+    exact: list[str],
+    prefix: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pos: DataFrame | None = None,
+) -> DataFrame:
+    """Documents matching a PHRASE-PREFIX query (`"spark jo*"` — the
+    Elasticsearch match_phrase_prefix / Lucene MatchPhrasePrefixQuery
+    surface): the `exact` words consecutively in order, immediately
+    followed by ANY term with the given prefix. Returns distinct
+    (doc_id).
+
+    Plan: the positional relation filtered to the exact words OR the
+    prefix band, ONE groupBy(doc_id) gathering a position array per exact
+    word plus the union of prefix-matching positions, then the usual
+    array_contains start chain ending in an EXISTS against the prefix
+    positions — the same no-theta-join shape as phrase_match. Pass
+    ``pos`` to reuse an existing tokenization."""
+    if not exact:
+        raise ValueError("phrase-prefix needs at least one exact lead word")
+    if pos is None:
+        pos = positional_relation(docs, id_col, text_col)
+    uniq = sorted(set(exact))
+    hit = pos.filter(
+        F.col("term").isin(uniq) | F.col("term").startswith(prefix)
+    )
+    slots = hit.groupBy("doc_id").agg(
+        *[
+            F.collect_list(F.when(F.col("term") == t, F.col("pos"))).alias(f"_e{i}")
+            for i, t in enumerate(uniq)
+        ],
+        F.collect_list(
+            F.when(F.col("term").startswith(prefix), F.col("pos"))
+        ).alias("_pp"),
+    )
+    arr_of = {t: F.col(f"_e{i}") for i, t in enumerate(uniq)}
+    n_lead = len(exact)
+    for t in uniq:
+        slots = slots.filter(F.size(arr_of[t]) > 0)
+    starts = F.filter(
+        exact_starts_expr(arr_of, list(exact)),
+        lambda p: F.exists(F.col("_pp"), lambda q: q == p + F.lit(n_lead)),
+    )
+    return slots.filter(F.size(starts) > 0).select("doc_id")

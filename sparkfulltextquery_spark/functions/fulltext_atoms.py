@@ -988,3 +988,68 @@ def fulltext_query_fieldwildcard_indexed(spark: SparkSession, sf_dir: str) -> Da
     return search_indexed(
         spark, "(title:sp?rk AND join) OR body:*indow", k=10, table_prefix=prefix
     )
+
+
+# ---------------- phrase-prefix atom (r7) ----------------
+
+_PPFX_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    pos AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
+      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+    ),
+    pp AS (
+      SELECT DISTINCT a.doc_id
+      FROM (SELECT doc_id, pos FROM pos WHERE term = 'batch') a
+      JOIN (SELECT doc_id, pos FROM pos WHERE term LIKE 'bat%') b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    matched AS (
+      SELECT doc_id FROM pp
+      UNION
+      SELECT doc_id FROM tfs WHERE term = 'vector'
+    ),
+    qt    AS (SELECT unnest(['batch', 'vector']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_query_phrase_prefix", oracle=_PPFX_ORACLE)
+def fulltext_query_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-prefix atom '"batch bat*" OR vector' (r7 — the Elasticsearch
+    match_phrase_prefix / Lucene MatchPhrasePrefixQuery surface): 'batch'
+    immediately followed by any term with prefix 'bat'. The lead word
+    scores BM25 like a phrase word; the prefix expansion is constant-score.
+    Inline plan: ONE positional groupBy gathering the lead word's position
+    array plus the union of prefix-matching positions, then the
+    array_contains start chain ending in an EXISTS — no theta join."""
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    d = load_table(spark, sf_dir, "documents")
+    return search(d, '"batch bat*" OR vector', k=10)
+
+
+@query("fulltext_query_phrase_prefix_indexed", oracle=_PPFX_ORACLE)
+def fulltext_query_phrase_prefix_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same phrase-prefix query off the PERSISTED index one-pass: the
+    final prefix widens the pruned scan (StartsWith over the vocabulary),
+    the lead word's stored position array gathers as a slot and the
+    prefix-matching arrays flatten into a second slot inside the SINGLE
+    doc_id aggregation — adjacency is an array expression, no join."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, '"batch bat*" OR vector', k=10, table_prefix=prefix)

@@ -807,11 +807,48 @@ def _search_indexed_build(
                 .distinct()
             )
 
+        def ppfx_fn(text: str, prefix: str):
+            from sparkfulltextquery_spark.functions.fulltext import (
+                exact_starts_expr,
+            )
+
+            exact = _py_tokenize(text)
+            uniq = sorted(set(exact))
+            slots = (
+                post.filter(
+                    F.col("term").isin(uniq) | F.col("term").startswith(prefix)
+                )
+                .groupBy("doc_id")
+                .agg(
+                    *[
+                        F.max(F.when(F.col("term") == t, F.col("positions"))).alias(
+                            f"_e{i}"
+                        )
+                        for i, t in enumerate(uniq)
+                    ],
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col("term").startswith(prefix), F.col("positions"))
+                        )
+                    ).alias("_pp"),
+                )
+            )
+            arr_of = {t: F.col(f"_e{i}") for i, t in enumerate(uniq)}
+            for t in uniq:
+                slots = slots.filter(arr_of[t].isNotNull())
+            n_lead = len(exact)
+            starts = F.filter(
+                exact_starts_expr(arr_of, exact),
+                lambda pp: F.exists(F.col("_pp"), lambda q: q == pp + F.lit(n_lead)),
+            )
+            return slots.filter(F.size(starts) > 0).select("doc_id")
+
         universe = spark.table(f"{table_prefix}_dl").select("doc_id")
         matched = QL.compile_matches(
             ast, post, phrase_fn=phrase_fn, universe=universe, near_fn=near_fn,
             field_fn=field_fn, fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn,
             ffuzzy_fn=ffuzzy_fn, frange_fn=frange_fn, fwild_fn=fwild_fn,
+            ppfx_fn=ppfx_fn,
         )
         if not pos:
             return (
@@ -841,6 +878,9 @@ def _search_indexed_build(
     ffuzzies = sorted(QL.collect_fieldfuzzies(ast))
     franges = sorted(QL.collect_fieldranges(ast))
     fwilds = sorted(QL.collect_fieldwildcards(ast))
+    ppfxs = sorted(QL.collect_phraseprefixes(ast))
+    ppfx_toks = {pp: _py_tokenize(pp[0]) for pp in ppfxs}
+    ppfx_terms = {t for ts in ppfx_toks.values() for t in ts}
     near_terms = {t for (a, b, _k) in nears for t in (a, b)}
     field_terms = {t for (_f, t) in fields}
     fphrase_toks = {fp: _py_tokenize(fp[1]) for fp in fphrases}
@@ -852,6 +892,7 @@ def _search_indexed_build(
         | near_terms
         | field_terms
         | fphrase_terms
+        | ppfx_terms
         | set(pos)
     )
     flag = {t: f"_t{i}" for i, t in enumerate(sorted(terms))}
@@ -864,6 +905,7 @@ def _search_indexed_build(
     ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies)}
     frgflag = {f: f"_fr{i}" for i, f in enumerate(franges)}
     fwdflag = {f: f"_fw{i}" for i, f in enumerate(fwilds)}
+    ppslot = {pp: f"_px{i}" for i, pp in enumerate(ppfxs)}
     slot = {
         t: f"_s{i}"
         for i, t in enumerate(
@@ -872,6 +914,7 @@ def _search_indexed_build(
                 | near_terms
                 | field_terms
                 | fphrase_terms
+                | ppfx_terms
             )
         )
     }
@@ -906,6 +949,9 @@ def _search_indexed_build(
     for _fld, w in fwilds:
         # field-scoped wildcards widen like plain wildcards
         pred = pred | F.col("term").like(QL.FieldWildcard(_fld, w).like_pattern())
+    for _lead, ppx in ppfxs:
+        # phrase-prefix final prefixes widen like plain prefixes
+        pred = pred | F.col("term").startswith(ppx)
     pruned = post.filter(pred)
     # df/n_docs/avgdl as driver literals — no broadcast joins in the plan;
     # `term^N` boosts fold into the idf literal chain
@@ -1016,6 +1062,14 @@ def _search_indexed_build(
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
         for t, c in slot.items()
     ]
+    aggs += [
+        F.flatten(
+            F.collect_list(
+                F.when(F.col("term").startswith(ppx), F.col("positions"))
+            )
+        ).alias(c)
+        for (_lead, ppx), c in ppslot.items()
+    ]
     per_doc = pruned.groupBy("doc_id").agg(*aggs)
 
     def phrase_col(p):
@@ -1098,6 +1152,22 @@ def _search_indexed_build(
                 else (lambda p: p >= F.lit(BM25F_TITLE_LEN))
             )
             starts = F.filter(exact_starts_expr(arr_of, toks), in_field)
+            return present & (F.size(starts) > 0)
+        if isinstance(n, QL.PhrasePrefix):
+            from sparkfulltextquery_spark.functions.fulltext import (
+                exact_starts_expr,
+            )
+
+            toks = ppfx_toks[(n.text, n.prefix)]
+            arr_of = {t: F.col(slot[t]) for t in set(toks)}
+            present = reduce_and([arr_of[t].isNotNull() for t in set(toks)])
+            pp_arr = F.col(ppslot[(n.text, n.prefix)])
+            starts = F.filter(
+                exact_starts_expr(arr_of, toks),
+                lambda p: F.exists(
+                    pp_arr, lambda q: q == p + F.lit(len(toks))
+                ),
+            )
             return present & (F.size(starts) > 0)
         if isinstance(n, QL.Near):
             return near_col(n.a, n.b, n.k)

@@ -10,6 +10,7 @@ binds tighter than AND):
     proximity := atom (NEAR/k atom)?
     atom    := '(' query ')'
              | '"' phrase '"' ('~' slop)? ('^' boost)?   phrase (sloppy/boosted)
+             | '"' words last'*' '"'       phrase-prefix ("spark jo*")
              | field ':' '"' phrase '"'        field-scoped phrase
              | field ':' term '*'              field-scoped prefix
              | field ':' term '~' dist         field-scoped fuzzy
@@ -103,6 +104,19 @@ class Phrase:
     text: str
     slop: int = 0
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class PhrasePrefix:
+    """Phrase-prefix atom (`"spark jo*"` — Elasticsearch
+    match_phrase_prefix / Lucene MatchPhrasePrefixQuery): the lead words
+    consecutively in order, immediately followed by ANY term with the
+    final prefix. The lead words score document-level BM25 like Phrase
+    words; the prefix expansion is constant-score like the Prefix atom.
+    No slop or boost (reject, like field-scoped phrases)."""
+
+    text: str  # the exact lead words, space-joined
+    prefix: str  # the final-word prefix
 
 
 @dataclass(frozen=True)
@@ -371,6 +385,31 @@ def parse_query(q: str):
             body = t.strip('"')
             if not _py_tokenize(body):
                 raise ValueError("empty phrase")
+            if body.endswith("*"):
+                # `"spark jo*"` — phrase-prefix (r7)
+                if "*" in body[:-1] or "?" in body:
+                    raise ValueError(
+                        f"wildcards inside a phrase are prefix-final-only: {t!r}"
+                    )
+                words = _py_tokenize(body[:-1])
+                if len(words) < 2:
+                    raise ValueError(
+                        f"phrase-prefix {t!r} needs at least one lead word "
+                        "(use a plain prefix atom otherwise)"
+                    )
+                if peek() and re.fullmatch(
+                    r"(?:~\d+)(?:\^\d+(?:\.\d+)?)?|(?:\^\d+(?:\.\d+)?)", peek()
+                ):
+                    raise ValueError(
+                        "slop/boost on a phrase-prefix is not supported"
+                    )
+                return PhrasePrefix(" ".join(words[:-1]), words[-1])
+            if "*" in body or "?" in body:
+                # fail loud: a non-final wildcard inside a phrase would
+                # otherwise tokenize-strip silently ("sp*rk" -> "sp rk")
+                raise ValueError(
+                    f"wildcards inside a phrase are prefix-final-only: {t!r}"
+                )
             nxt = peek()
             # `"a b"~k` (ordered sloppy phrase), `"a b"^N` (phrase boost),
             # or both combined as one token `~k^N`
@@ -539,6 +578,8 @@ def positive_terms(node) -> list[str]:
         return _py_tokenize(node.text)  # like Phrase words
     if isinstance(node, Phrase):
         return _py_tokenize(node.text)
+    if isinstance(node, PhrasePrefix):
+        return _py_tokenize(node.text)  # lead words score; prefix doesn't
     if isinstance(node, Near):
         return [node.a, node.b]
     if isinstance(
@@ -571,6 +612,8 @@ def term_boosts(node) -> dict[str, float]:
         return {t: 1.0 for t in _py_tokenize(node.text)}
     if isinstance(node, Phrase):
         return {t: node.boost for t in _py_tokenize(node.text)}
+    if isinstance(node, PhrasePrefix):
+        return {t: 1.0 for t in _py_tokenize(node.text)}
     if isinstance(node, Near):
         return {node.a: 1.0, node.b: 1.0}
     if isinstance(
@@ -592,7 +635,7 @@ def term_boosts(node) -> dict[str, float]:
 def compile_matches(
     node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None,
     field_fn=None, fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
-    frange_fn=None, fwild_fn=None,
+    frange_fn=None, fwild_fn=None, ppfx_fn=None,
 ) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
@@ -666,6 +709,10 @@ def compile_matches(
         if fwild_fn is None:
             raise ValueError("field-wildcard atom requires a fwild_fn")
         return fwild_fn(node.field, node.pattern)
+    if isinstance(node, PhrasePrefix):
+        if ppfx_fn is None:
+            raise ValueError("phrase-prefix atom requires a ppfx_fn")
+        return ppfx_fn(node.text, node.prefix)
     if isinstance(node, Near):
         if near_fn is None:
             raise ValueError("NEAR atom requires a near_fn")
@@ -673,13 +720,13 @@ def compile_matches(
     if isinstance(node, And):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
+            fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
         )
         for c in node.children[1:]:
             out = out.join(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
-                    fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
+                    fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
                 ),
                 "doc_id",
                 "left_semi",
@@ -688,13 +735,13 @@ def compile_matches(
     if isinstance(node, Or):
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
-            fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
+            fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
         )
         for c in node.children[1:]:
             out = out.union(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
-                    fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
+                    fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
                 )
             )
         return out.distinct()
@@ -702,7 +749,7 @@ def compile_matches(
         return universe.join(
             compile_matches(
                 node.child, post, phrase_fn, universe, near_fn, field_fn,
-                fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn,
+                fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
             ),
             "doc_id",
             "left_anti",
@@ -722,7 +769,7 @@ def _collect_atoms(node) -> tuple[set, set, set]:
     if isinstance(
         node,
         (Near, Field, Fuzzy, TermRange, FieldPhrase, Regex, FieldPrefix,
-         FieldFuzzy, Wildcard, FieldRange, FieldWildcard),
+         FieldFuzzy, Wildcard, FieldRange, FieldWildcard, PhrasePrefix),
     ):
         # collected separately via the per-kind collectors below
         return set(), set(), set()
@@ -808,13 +855,19 @@ def collect_fieldwildcards(node) -> set:
     return _collect_kind(node, FieldWildcard, lambda n: (n.field, n.pattern))
 
 
+def collect_phraseprefixes(node) -> set:
+    """All PhrasePrefix atoms (lead-words text, prefix) in the AST."""
+    return _collect_kind(node, PhrasePrefix, lambda n: (n.text, n.prefix))
+
+
 def _eval_empty(node) -> bool:
     """Truth value of the AST for a document containing NO atom at all —
     True means pure-negation semantics need the full doc universe."""
     if isinstance(
         node,
         (Term, Phrase, Prefix, Near, Field, Fuzzy, TermRange, FieldPhrase,
-         Regex, FieldPrefix, FieldFuzzy, Wildcard, FieldRange, FieldWildcard),
+         Regex, FieldPrefix, FieldFuzzy, Wildcard, FieldRange, FieldWildcard,
+         PhrasePrefix),
     ):
         return False
     if isinstance(node, Not):
@@ -827,7 +880,7 @@ def _eval_empty(node) -> bool:
 def compile_matches_flags(
     node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None,
     fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
-    frange_fn=None, fwild_fn=None,
+    frange_fn=None, fwild_fn=None, ppfx_fn=None,
 ) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
@@ -854,6 +907,7 @@ def compile_matches_flags(
     ffuzzies_l = sorted(collect_fieldfuzzies(node))
     franges_l = sorted(collect_fieldranges(node))
     fwilds_l = sorted(collect_fieldwildcards(node))
+    ppfx_l = sorted(collect_phraseprefixes(node))
     terms_l = sorted(terms)
     phrases_l = sorted(phrases)
     prefixes_l = sorted(prefixes)
@@ -871,6 +925,7 @@ def compile_matches_flags(
     ffzflag = {f: f"_fz{i}" for i, f in enumerate(ffuzzies_l)}
     frgflag = {f: f"_fr{i}" for i, f in enumerate(franges_l)}
     fwdflag = {f: f"_fw{i}" for i, f in enumerate(fwilds_l)}
+    ppxflag = {f: f"_px{i}" for i, f in enumerate(ppfx_l)}
 
     if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l or wildcards_l:
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
@@ -1001,6 +1056,16 @@ def compile_matches_flags(
             .withColumn(fwdflag[fw], F.lit(1))
         )
         flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
+    for pp in ppfx_l:
+        if ppfx_fn is None:
+            raise ValueError("phrase-prefix atom requires a ppfx_fn")
+        fdf = (
+            ppfx_fn(*pp)
+            .select("doc_id")
+            .distinct()
+            .withColumn(ppxflag[pp], F.lit(1))
+        )
+        flags = fdf if flags is None else flags.join(fdf, "doc_id", "full_outer")
     assert flags is not None  # no-atom ASTs were rejected by _eval_empty
 
     def as_col(n):
@@ -1031,6 +1096,8 @@ def compile_matches_flags(
             return F.coalesce(F.col(frgflag[(n.field, n.lo, n.hi)]), F.lit(0)) == 1
         if isinstance(n, FieldWildcard):
             return F.coalesce(F.col(fwdflag[(n.field, n.pattern)]), F.lit(0)) == 1
+        if isinstance(n, PhrasePrefix):
+            return F.coalesce(F.col(ppxflag[(n.text, n.prefix)]), F.lit(0)) == 1
         if isinstance(n, Near):
             return F.coalesce(F.col(nflag[(n.a, n.b, n.k)]), F.lit(0)) == 1
         if isinstance(n, Phrase):
@@ -1066,7 +1133,7 @@ def search(
         if isinstance(
             node,
             (Phrase, Near, Field, FieldPhrase, FieldPrefix, FieldFuzzy,
-             FieldRange, FieldWildcard),
+             FieldRange, FieldWildcard, PhrasePrefix),
         ):
             return True  # all of these need the positional relation
         return any(_needs_positions(c) for c in getattr(node, "children", ())) or (
@@ -1158,6 +1225,15 @@ def search(
                 .select("doc_id")
                 .distinct()
             )
+
+        def ppfx_fn(text: str, prefix: str) -> DataFrame:
+            from sparkfulltextquery_spark.functions.fulltext import (
+                phrase_prefix_match,
+            )
+
+            return phrase_prefix_match(
+                docs, _py_tokenize(text), prefix, id_col, text_col, pos=pos_rel
+            )
     else:
         post = postings(docs, id_col, text_col)
         phrase_fn = lambda text, slop=0: phrase_match(  # noqa: E731
@@ -1170,11 +1246,12 @@ def search(
         ffuzzy_fn = None  # no FieldFuzzy atoms on this branch either
         frange_fn = None  # no FieldRange atoms on this branch either
         fwild_fn = None  # no FieldWildcard atoms on this branch either
+        ppfx_fn = None  # no PhrasePrefix atoms on this branch either
 
     matched = compile_matches_flags(
         ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn,
         fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn, ffuzzy_fn=ffuzzy_fn,
-        frange_fn=frange_fn, fwild_fn=fwild_fn,
+        frange_fn=frange_fn, fwild_fn=fwild_fn, ppfx_fn=ppfx_fn,
     )
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
@@ -1189,6 +1266,7 @@ def search(
             ffuzzy_fn=ffuzzy_fn,
             frange_fn=frange_fn,
             fwild_fn=fwild_fn,
+            ppfx_fn=ppfx_fn,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

@@ -793,3 +793,16 @@ def test_fieldrange_fieldwildcard_indexed_one_pass(spark):
                      "CartesianProduct", "BroadcastNestedLoopJoin"):
             assert node not in plan, f"{node} leaked into {name}"
         assert uses_top_k(df), name
+
+
+def test_phrase_prefix_indexed_one_pass(spark):
+    """Phrase-prefix (r7) on the indexed path keeps the one-pass shape:
+    the final prefix widens the pruned scan, the lead word's position
+    array and the flattened prefix-match positions gather as slots in the
+    single doc_id aggregation, adjacency is an array expression — no join."""
+    df = _q(spark, "fulltext_query_phrase_prefix_indexed")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-pass plan"
+    assert uses_top_k(df)

@@ -671,6 +671,15 @@ def _py_eval(node, ts):
             if ok and cur - p <= span:
                 return True
         return False
+    if isinstance(node, QL.PhrasePrefix):
+        words = node.text.split()
+        n = len(words)
+        return any(
+            ts[i : i + n] == words
+            and i + n < len(ts)
+            and ts[i + n].startswith(node.prefix)
+            for i in range(len(ts) - n)
+        )
     if isinstance(node, QL.Near):
         pa = [i for i, t in enumerate(ts) if t == node.a]
         pb = [i for i, t in enumerate(ts) if t == node.b]
@@ -697,7 +706,7 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
     kind = rng.choice(
         ["term", "prefix", "fuzzy", "range", "field", "fphrase", "phrase",
          "slop", "near", "regex", "fprefix", "ffuzzy", "wild1", "wild2",
-         "frange", "fwild"]
+         "frange", "fwild", "ppfx"]
     )
     w = rng.choice(vocab)
     if kind == "term":
@@ -743,6 +752,10 @@ def _rand_ast(rng, vocab, bigrams, depth=0):
         ch = "?" if rng.random() < 0.5 else "*"
         return QL.FieldWildcard(rng.choice(["title", "body"]), w[:i] + ch + w[i + 1 :])
     bg = rng.choice(bigrams)
+    if kind == "ppfx":
+        # atom kind 17 (r7): phrase-prefix from a real corpus bigram
+        w1, w2 = bg.split()
+        return QL.PhrasePrefix(w1, w2[: max(1, len(w2) - 1)])
     if kind == "fphrase":
         return QL.FieldPhrase(rng.choice(["title", "body"]), bg)
     if kind == "phrase":
@@ -787,6 +800,8 @@ def _ast_to_query(node) -> str:
         return f'{node.field}:"{node.text}"'
     if isinstance(node, QL.Phrase):
         return f'"{node.text}"' + (f"~{node.slop}" if node.slop else "")
+    if isinstance(node, QL.PhrasePrefix):
+        return f'"{node.text} {node.prefix}*"'
     if isinstance(node, QL.Near):
         return f"({node.a} NEAR/{node.k} {node.b})"
     if isinstance(node, QL.Not):

@@ -702,3 +702,51 @@ def test_parser_fieldrange_and_fieldwildcard_shapes():
     ]:
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_parser_phrase_prefix_shapes():
+    """r7: '"spark jo*"' phrase-prefix atoms (Elasticsearch
+    match_phrase_prefix); non-final wildcards inside phrases fail loud."""
+    from sparkfulltextquery_spark.functions.querylang import PhrasePrefix
+
+    assert parse_query('"spark jo*"') == PhrasePrefix("spark", "jo")
+    assert parse_query('"batch batch bat*"') == PhrasePrefix("batch batch", "bat")
+    assert parse_query('"SPARK Jo*" AND vector') == And(
+        (PhrasePrefix("spark", "jo"), Term("vector"))
+    )
+    for bad in [
+        '"jo*"',          # no lead word — use a plain prefix atom
+        '"sp*rk jo"',     # non-final wildcard inside a phrase
+        '"a b?c"',        # ? inside a phrase
+        '"a b*"~2',       # slop on a phrase-prefix
+        '"a b*"^2',       # boost on a phrase-prefix
+    ]:
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_phrase_prefix_matches_naive(spark):
+    """Phrase-prefix retrieval equals naive adjacency+startswith over the
+    token lists, including the 2-lead-word form."""
+    toks = _token_sets(spark)
+
+    def naive(leads, prefix):
+        n = len(leads)
+        return {
+            d
+            for d, ts in toks.items()
+            if any(
+                ts[i : i + n] == leads
+                and i + n < len(ts)
+                and ts[i + n].startswith(prefix)
+                for i in range(len(ts) - n)
+            )
+        }
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for q, leads, prefix in [
+        ('"batch bat*"', ["batch"], "bat"),
+        ('"batch batch bat*"', ["batch", "batch"], "bat"),
+    ]:
+        got = {r.doc_id for r in search(docs, q, k=10**6).collect()}
+        assert got == naive(leads, prefix), q
