@@ -127,6 +127,7 @@ EXTRA = [
     "fulltext_query_fieldrange_indexed",
     "fulltext_query_fieldwildcard_indexed",
     "fulltext_query_phrase_prefix_indexed",
+    "fulltext_simple_query_indexed",
 ]
 
 

@@ -1053,3 +1053,62 @@ def fulltext_query_phrase_prefix_indexed(spark: SparkSession, sf_dir: str) -> Da
 
     prefix = _ensure_index(spark, sf_dir)
     return search_indexed(spark, '"batch bat*" OR vector', k=10, table_prefix=prefix)
+
+
+# ---------------- simple query syntax (r7) ----------------
+
+_SIMPLE_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    matched AS (
+      SELECT doc_id FROM tfs WHERE term = 'spark'
+      INTERSECT
+      SELECT doc_id FROM tfs WHERE term = 'join'
+      EXCEPT
+      SELECT doc_id FROM tfs WHERE term = 'vector'
+    ),
+    qt    AS (SELECT unnest(['batch', 'join', 'spark', 'window']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id, coalesce(s.score, 0.0) AS score
+    FROM matched m LEFT JOIN scored s ON m.doc_id = s.doc_id
+    ORDER BY score DESC, m.doc_id LIMIT 10
+"""
+
+
+@query("fulltext_simple_query", oracle=_SIMPLE_ORACLE)
+def fulltext_simple_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/Elasticsearch simple_query_string surface (r7):
+    '+spark +join -vector batch window' — docs must contain BOTH `+`
+    terms and no `-` term; the bare SHOULD terms gate nothing here (a
+    MUST clause exists) but still contribute BM25, so two docs matching
+    spark+join rank differently by their batch/window content. This
+    MUST/SHOULD scoring split is the surface the full boolean grammar
+    can't express (its scoring set is exactly its positive atoms)."""
+    from sparkfulltextquery_spark.functions.querylang import simple_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return simple_search(d, "+spark +join -vector batch window", k=10)
+
+
+@query("fulltext_simple_query_indexed", oracle=_SIMPLE_ORACLE)
+def fulltext_simple_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same simple query served off the PERSISTED index as ONE pass:
+    pruned scan over all mentioned terms' buckets, a single doc_id
+    aggregation computing MUST/MUST_NOT flags AND the BM25 sum over
+    MUST+SHOULD terms (df/avgdl as driver literals), flag-filter, top-k
+    heap — zero joins."""
+    from sparkfulltextquery_spark.functions.index import simple_search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return simple_search_indexed(
+        spark, "+spark +join -vector batch window", k=10, table_prefix=prefix
+    )

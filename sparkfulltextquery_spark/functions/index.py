@@ -1367,3 +1367,79 @@ def compact_posting_segments(spark: SparkSession, index_dir: str, out_dir: str) 
     )
     merged.write.mode("overwrite").parquet(out_dir)
     return out_dir
+
+
+def simple_search_indexed(
+    spark: SparkSession,
+    query: str,
+    k: int = 10,
+    table_prefix: str = "sftq_index",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """The simple query syntax (`+must -must_not should`,
+    querylang.parse_simple_query) served off the persisted index as ONE
+    pass: the scan prunes to every mentioned term's buckets, a single
+    doc_id aggregation computes the required/prohibited flags AND the
+    BM25 sum over the required+optional terms, a flag filter gates the
+    match, and the top-k heap bounds the result — zero joins, the same
+    plan class as search_indexed's one-pass form."""
+    from sparkfulltextquery_spark.functions.querylang import parse_simple_query
+
+    _force_bucketed_scan(spark)
+    req, opt, proh = parse_simple_query(query)
+    score_terms = sorted(set(req) | set(opt))
+    n_docs, avgdl, df_of = _df_stats_literals(spark, table_prefix, score_terms)
+    all_terms = sorted(set(req) | set(opt) | set(proh))
+    post = spark.table(f"{table_prefix}_postings").filter(
+        F.col("term").isin(all_terms)
+    )
+    idf_expr = F.lit(None).cast("double")
+    for t in score_terms:
+        idf_expr = F.when(
+            F.col("term") == t,
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.lit(df_of[t]) + F.lit(0.5))
+                / (F.lit(df_of[t]) + F.lit(0.5))
+            ),
+        ).otherwise(idf_expr)
+    tscore = F.when(
+        F.col("term").isin(score_terms),
+        idf_expr
+        * (F.col("tf") * (k1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        ),
+    ).otherwise(F.lit(0.0))
+    aggs = [F.round(F.sum(tscore), 4).alias("score")]
+    aggs += [
+        F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_r{i}")
+        for i, t in enumerate(req)
+    ]
+    aggs += [
+        F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_o{i}")
+        for i, t in enumerate(opt)
+    ]
+    aggs += [
+        F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(f"_x{i}")
+        for i, t in enumerate(proh)
+    ]
+    per_doc = post.groupBy("doc_id").agg(*aggs)
+    if req:
+        gate = reduce_and([F.col(f"_r{i}") == 1 for i in range(len(req))])
+    else:
+        ors = [F.col(f"_o{i}") == 1 for i in range(len(opt))]
+        gate = ors[0]
+        for c in ors[1:]:
+            gate = gate | c
+    for i in range(len(proh)):
+        gate = gate & (F.col(f"_x{i}") == 0)
+    return (
+        per_doc.filter(gate)
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

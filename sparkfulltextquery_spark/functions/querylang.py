@@ -1292,3 +1292,69 @@ def search(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+# ---------------- simple query syntax (+must -must_not should) ----------------
+
+
+def parse_simple_query(q: str) -> tuple[list[str], list[str], list[str]]:
+    """Parse the Lucene/Elasticsearch simple_query_string surface:
+    `+term` MUST match, `-term` MUST NOT match, bare terms are SHOULD —
+    they affect RANKING always, and gate matching only when no `+` term
+    exists (Lucene BooleanQuery semantics: with at least one MUST clause,
+    SHOULD clauses are optional). Returns (required, optional,
+    prohibited) normalized term lists; rejects empty/ambiguous input."""
+    req: list[str] = []
+    opt: list[str] = []
+    proh: list[str] = []
+    for raw in q.split():
+        bucket, body = (
+            (req, raw[1:]) if raw.startswith("+")
+            else (proh, raw[1:]) if raw.startswith("-")
+            else (opt, raw)
+        )
+        # interior +/- (e.g. "a+b") tokenizer-split and are rejected by the
+        # one-token check below, like any multi-token atom
+        norm = _py_tokenize(body)
+        if len(norm) != 1:
+            raise ValueError(f"simple-query term {raw!r} must normalize to one token")
+        bucket.append(norm[0])
+    if not req and not opt:
+        raise ValueError("simple query needs at least one non-prohibited term")
+    overlap = set(req) & set(proh) | set(opt) & set(proh)
+    if overlap:
+        raise ValueError(f"terms both wanted and prohibited: {sorted(overlap)}")
+    return sorted(set(req)), sorted(set(opt)), sorted(set(proh))
+
+
+def simple_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k for the simple query syntax: docs matching ALL `+` terms
+    (or, with no `+` term, ANY bare term) and NO `-` term, ranked by BM25
+    over the `+` and bare terms together — bare terms contribute to the
+    score even when a `+` term already gates the match (the Lucene
+    MUST/SHOULD split the full boolean grammar can't express, since its
+    scoring set is exactly its positive atoms)."""
+    req, opt, proh = parse_simple_query(query)
+    post = postings(docs, id_col, text_col)
+    if req:
+        gate = And(tuple(Term(t) for t in req))
+    else:
+        gate = Or(tuple(Term(t) for t in opt))
+    ast = (
+        And((gate,) + tuple(Not(Term(p)) for p in proh)) if proh else gate
+    )
+    matched = compile_matches_flags(ast, post, phrase_fn=None)
+    score_terms = sorted(set(req) | set(opt))
+    scored = bm25_scores(docs, " ".join(score_terms), id_col, text_col, post=post)
+    return (
+        matched.join(scored, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("score"), F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(k)
+    )

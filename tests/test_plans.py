@@ -806,3 +806,15 @@ def test_phrase_prefix_indexed_one_pass(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, f"{node} leaked into the one-pass plan"
     assert uses_top_k(df)
+
+
+def test_simple_query_indexed_one_pass(spark):
+    """simple_query_string (r7) off the index: one pruned scan, one doc_id
+    aggregation computing MUST/MUST_NOT flags AND the BM25 sum together,
+    flag filter, bounded top-k — no join anywhere."""
+    df = _q(spark, "fulltext_simple_query_indexed")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-pass plan"
+    assert uses_top_k(df)

@@ -750,3 +750,50 @@ def test_phrase_prefix_matches_naive(spark):
     ]:
         got = {r.doc_id for r in search(docs, q, k=10**6).collect()}
         assert got == naive(leads, prefix), q
+
+
+def test_simple_query_semantics(spark):
+    """r7 simple_query_string: MUST gates, MUST_NOT excludes, SHOULD only
+    ranks when a MUST exists but gates when none does — verified against
+    set algebra; ranking verified to include SHOULD contributions."""
+    from sparkfulltextquery_spark.functions.querylang import simple_search
+
+    toks = _token_sets(spark)
+    has = lambda t: {d for d, ts in toks.items() if t in ts}
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # MUST present: SHOULD terms do not gate
+    got = {
+        r.doc_id
+        for r in simple_search(
+            docs, "+spark +join -vector batch window", k=10**6
+        ).collect()
+    }
+    assert got == (has("spark") & has("join")) - has("vector")
+
+    # no MUST: SHOULD terms gate (ANY-of), prohibited still excludes
+    got2 = {
+        r.doc_id
+        for r in simple_search(docs, "batch window -vector", k=10**6).collect()
+    }
+    assert got2 == (has("batch") | has("window")) - has("vector")
+
+    # SHOULD terms contribute to ranking: a doc with batch+window must
+    # outscore an otherwise-identical spark+join doc without them when
+    # both match the MUST set — verify scores equal bm25 over all 4 terms
+    from sparkfulltextquery_spark.functions.fulltext import bm25_scores
+
+    want = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs, "spark join batch window").collect()
+    }
+    for r in simple_search(docs, "+spark +join -vector batch window", k=10).collect():
+        assert abs(r.score - want[r.doc_id]) < 1e-9, (r.doc_id, r.score)
+
+
+def test_simple_query_parser_rejects():
+    from sparkfulltextquery_spark.functions.querylang import parse_simple_query
+
+    for bad in ["-vector", "", "+a -a", "b -b", "+a+b c"]:
+        with pytest.raises(ValueError):
+            parse_simple_query(bad)
