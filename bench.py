@@ -128,6 +128,7 @@ EXTRA = [
     "fulltext_query_fieldwildcard_indexed",
     "fulltext_query_phrase_prefix_indexed",
     "fulltext_simple_query_indexed",
+    "textstats_gopher_repetition",
 ]
 
 

@@ -374,3 +374,121 @@ def textstats_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+@query(
+    "textstats_gopher_repetition",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, unnest({ngrams_duck(_TOK, 2)}) AS g FROM documents
+    ),
+    per AS (
+      SELECT doc_id, lang, g, count(*) AS c FROM grams GROUP BY doc_id, lang, g
+    ),
+    doc AS (
+      SELECT doc_id, lang,
+             CAST(sum(c) AS BIGINT) AS total,
+             count(*) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top
+      FROM per GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE (total - n_distinct) * 5 > total
+                               OR top * 10 > total) AS n_flagged,
+           CAST(sum(total) AS BIGINT) AS total_bigrams,
+           CAST(sum(total - n_distinct) AS BIGINT) AS dup_bigrams,
+           CAST(sum(top) AS BIGINT) AS top_bigrams
+    FROM doc GROUP BY lang
+    """,
+)
+def textstats_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition-quality signals (Rae et al. 2021,
+    'Scaling Language Models', Table A1 — the duplicate-n-gram family
+    every LLM curation pipeline applies): per document, the fraction of
+    bigram occurrences that are duplicates and the share of the single
+    most frequent bigram; a doc is FLAGGED when dup-fraction > 0.2 or
+    top-bigram share > 0.1 (integer cross-multiplication — no float
+    thresholds cross engines). Rolled up per language: doc counts,
+    flagged counts, and the exact integer bigram tallies.
+
+    Scale shape: one explode over bigrams with a two-stage hash
+    aggregation ((doc, gram) partial+final, then (doc) then (lang)) —
+    map-side combine keeps shuffle volume at O(distinct bigrams/doc);
+    lang rides the rows so no corpus join. Docs with <2 tokens have no
+    bigram and are excluded (documented; the length-based quality row
+    already screens those)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", "lang", F.explode(ngrams(tokenize(F.col("text")), 2)).alias("g")
+    )
+    per = grams.groupBy("doc_id", "lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    doc = per.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top"),
+    )
+    flagged = ((F.col("total") - F.col("n_distinct")) * 5 > F.col("total")) | (
+        F.col("top") * 10 > F.col("total")
+    )
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(flagged, 1)).alias("n_flagged"),
+        F.sum("total").alias("total_bigrams"),
+        F.sum(F.col("total") - F.col("n_distinct")).alias("dup_bigrams"),
+        F.sum("top").alias("top_bigrams"),
+    )
+
+
+_SENT_DUCK = "list_filter(regexp_split_to_array(text, '[.!?]+\\s*'), s -> s <> '')"
+
+
+@query(
+    "textstats_gopher_dup_sentences",
+    oracle=f"""
+    WITH sents AS (
+      SELECT doc_id, lang, unnest({_SENT_DUCK}) AS sent FROM documents
+    ),
+    doc AS (
+      SELECT doc_id, lang, count(*) AS total, count(DISTINCT sent) AS n_distinct
+      FROM sents GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE (total - n_distinct) * 10 > 3 * total)
+             AS n_flagged,
+           CAST(sum(total) AS BIGINT) AS total_sents,
+           CAST(sum(total - n_distinct) AS BIGINT) AS dup_sents
+    FROM doc GROUP BY lang
+    """,
+)
+def textstats_gopher_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-line rule (Rae et al. 2021 Table A1: drop docs
+    whose duplicate-line fraction exceeds 0.30), applied at sentence
+    granularity (the corpus's line unit — same [.!?] splitter as the Hive
+    sentence twins): per doc, the fraction of sentence occurrences that
+    are duplicates of an earlier identical sentence; flagged when
+    dup-fraction > 0.3, as exact integer cross-multiplication. Per-lang
+    rollup with exact integer tallies.
+
+    Scale: split is per-row; (doc, sent) dedup is one hash aggregation
+    with map-side combine; lang rides the rows — no corpus join."""
+    d = load_table(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"[.!?]+\s*"), lambda s: s != "")
+        ).alias("sent"),
+    )
+    doc = sents.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("sent").alias("n_distinct"),
+    )
+    flagged = (F.col("total") - F.col("n_distinct")) * 10 > 3 * F.col("total")
+    return doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(flagged, 1)).alias("n_flagged"),
+        F.sum("total").alias("total_sents"),
+        F.sum(F.col("total") - F.col("n_distinct")).alias("dup_sents"),
+    )
