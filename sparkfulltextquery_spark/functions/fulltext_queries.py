@@ -806,3 +806,56 @@ def fulltext_context_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
 
+
+
+@query(
+    "fulltext_search_after",
+    oracle=f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['data', 'query', 'spark', 'window']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+    ),
+    cursor AS (
+      SELECT score AS c_score, doc_id AS c_doc
+      FROM scored ORDER BY score DESC, doc_id LIMIT 1 OFFSET 9
+    )
+    SELECT doc_id, score
+    FROM scored CROSS JOIN cursor
+    WHERE score < c_score OR (score = c_score AND doc_id > c_doc)
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def fulltext_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination INLINE twin (r7 symmetry: every other search
+    surface carries both forms): page 2 of the standard BM25 query as
+    WHERE (score, doc_id) < page-1-boundary — per-partition heaps stay at
+    k at any depth, unlike OFFSET. Same oracle and 1-row broadcast-cursor
+    shape as fulltext_search_after_indexed, scored from scratch."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = FT.bm25_scores(d, " ".join(_BM25_QUERY_TERMS))
+    cursor = (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+        .orderBy(F.col("score").asc(), F.col("doc_id").desc())
+        .limit(1)
+        .select(F.col("score").alias("c_score"), F.col("doc_id").alias("c_doc"))
+    )
+    return (
+        scored.join(F.broadcast(cursor))
+        .filter(
+            (F.col("score") < F.col("c_score"))
+            | ((F.col("score") == F.col("c_score")) & (F.col("doc_id") > F.col("c_doc")))
+        )
+        .select("doc_id", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
