@@ -129,6 +129,8 @@ EXTRA = [
     "fulltext_query_phrase_prefix_indexed",
     "fulltext_simple_query_indexed",
     "textstats_gopher_repetition",
+    "fulltext_bm25f_weighted_indexed",
+    "fulltext_query_boost_indexed",
 ]
 
 

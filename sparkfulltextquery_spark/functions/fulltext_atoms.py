@@ -1112,3 +1112,18 @@ def fulltext_simple_query_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     return simple_search_indexed(
         spark, "+spark +join -vector batch window", k=10, table_prefix=prefix
     )
+
+
+from sparkfulltextquery_spark.registry import REGISTRY as _REG2  # noqa: E402
+
+
+@query("fulltext_query_boost_indexed", oracle=_REG2["fulltext_query_boost"].oracle)
+def fulltext_query_boost_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term boosts off the PERSISTED index one-pass (r7 symmetry): the
+    `spark^3` multiplier folds into the constant-folded idf literal chain
+    inside the single pruned-scan aggregation. Same oracle as
+    fulltext_query_boost."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return search_indexed(spark, "spark^3 OR join", k=10, table_prefix=prefix)

@@ -346,3 +346,17 @@ def fulltext_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
 
+
+
+@query("fulltext_bm25f_weighted_indexed", oracle=_REG["fulltext_bm25f_weighted"].oracle)
+def fulltext_bm25f_weighted_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25F served off the PERSISTED index (r7 — the last multi-field
+    scorer without an indexed twin): per-field tf from stored position
+    arrays, per-field dl arithmetic off the denormalized dl, per-field
+    avgdl + doc-level df/n_docs as driver literals — ONE bucket-pruned
+    scan, zero joins (index.bm25f_scores_indexed). Same formula, carving,
+    and oracle as fulltext_bm25f_weighted."""
+    from sparkfulltextquery_spark.functions.index import bm25f_search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    return bm25f_search_indexed(spark, "data query spark window", k=10, table_prefix=prefix)

@@ -1443,3 +1443,91 @@ def simple_search_indexed(
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def bm25f_scores_indexed(
+    spark: SparkSession,
+    query: str,
+    table_prefix: str = "sftq_index",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25F (doc_id, score) over the persisted index — the indexed twin
+    of fulltext.bm25f_search (Zaragoza/Robertson simple-BM25F: per-field
+    length-normalized tf fused BEFORE the saturating idf product). Same
+    one-pass shape as dismax_scores_indexed: per-field tf recovers from
+    the stored position arrays, per-field dl derives from the
+    denormalized dl column, per-field avgdl folds in via
+    _dismax_field_stats and DOC-LEVEL df/n_docs via _df_stats_literals
+    (BM25F's idf is document-level — a term's df counts docs where it
+    appears in ANY field, exactly the posting-row count). ONE pruned
+    scan + one doc_id aggregation, zero joins."""
+    from sparkfulltextquery_spark.functions.fulltext import (
+        BM25F_TITLE_LEN,
+        BM25F_W_BODY,
+        BM25F_W_TITLE,
+    )
+
+    title_len = BM25F_TITLE_LEN
+    _force_bucketed_scan(spark)
+    q_terms = sorted(set(_py_tokenize(query)))
+    if not q_terms:
+        raise ValueError("empty query after tokenization")
+    n_docs, _avgdl, df_of = _df_stats_literals(spark, table_prefix, q_terms)
+    _n2, avgdl_of, _dff = _dismax_field_stats(spark, table_prefix, [], title_len)
+
+    idf_expr = F.lit(None).cast("double")
+    for t in q_terms:
+        idf_expr = F.when(
+            F.col("term") == t,
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.lit(df_of[t]) + F.lit(0.5))
+                / (F.lit(df_of[t]) + F.lit(0.5))
+            ),
+        ).otherwise(idf_expr)
+
+    def part(weight: float, tf_col, dl_col, field: str):
+        # matches the inline `w * tf / (1 - b + b * dl/avgdl)` exactly;
+        # a field with tf_f = 0 has no inline row — contribute 0
+        return F.when(
+            tf_col > 0,
+            F.lit(weight)
+            * tf_col
+            / (F.lit(1 - b) + F.lit(b) * dl_col / F.lit(avgdl_of[field])),
+        ).otherwise(F.lit(0.0))
+
+    post = spark.table(f"{table_prefix}_postings").filter(
+        F.col("term").isin(q_terms)
+    )
+    staged = post.select(
+        "doc_id",
+        "term",
+        "tf",
+        "dl",
+        F.size(F.filter("positions", lambda p: p < F.lit(title_len))).alias("tf_t"),
+        F.least(F.col("dl"), F.lit(title_len)).alias("dl_t"),
+    )
+    tfw = part(
+        BM25F_W_TITLE, F.col("tf_t"), F.col("dl_t"), "title"
+    ) + part(
+        BM25F_W_BODY, F.col("tf") - F.col("tf_t"), F.col("dl") - F.col("dl_t"), "body"
+    )
+    scored = staged.select(
+        "doc_id",
+        (idf_expr * tfw / (F.lit(k1) + tfw)).alias("ts"),
+    )
+    return scored.groupBy("doc_id").agg(F.round(F.sum("ts"), 4).alias("score"))
+
+
+def bm25f_search_indexed(
+    spark: SparkSession,
+    query: str,
+    k: int = 10,
+    table_prefix: str = "sftq_index",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25F top-k over the persisted index (TakeOrderedAndProject heap)."""
+    scored = bm25f_scores_indexed(spark, query, table_prefix, k1, b)
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

@@ -818,3 +818,15 @@ def test_simple_query_indexed_one_pass(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, f"{node} leaked into the one-pass plan"
     assert uses_top_k(df)
+
+
+def test_bm25f_indexed_zero_join(spark):
+    """Indexed BM25F (r7): per-field tf/dl from stored positions and the
+    denormalized dl, per-field avgdl + doc-level df as driver literals —
+    one pruned scan + one doc_id aggregation, no join, bounded top-k."""
+    df = _q(spark, "fulltext_bm25f_weighted_indexed")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-pass plan"
+    assert uses_top_k(df)
