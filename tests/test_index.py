@@ -469,3 +469,31 @@ def test_rebuild_invalidates_dismax_field_stats_cache(spark, tmp_path):
     )
     assert (n2, df2[("title", "alpha")]) == (4, 2)
     assert avg2["title"] != avg1["title"]  # stale avgdl would reuse avg1
+
+
+def test_indexed_bm25f_equals_inline_full_list(spark, index_tables):
+    """r7: bm25f_scores_indexed must reproduce the inline BM25F scorer
+    EXACTLY over the full score list (4dp) — same per-field tf/dl/avgdl,
+    same doc-level df, same fuse-before-saturation arithmetic — plus the
+    one-pass plan properties."""
+    from sparkfulltextquery_spark.functions.fulltext import bm25f_search
+    from sparkfulltextquery_spark.functions.index import bm25f_scores_indexed
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    inline = {
+        (r.doc_id, r.score)
+        for r in bm25f_search(docs, "data query spark window", k=n).collect()
+    }
+    indexed_df = bm25f_scores_indexed(
+        spark, "data query spark window", table_prefix="t_idx"
+    )
+    indexed = {(r.doc_id, r.score) for r in indexed_df.collect()}
+    assert inline == indexed and len(indexed) > 10
+
+    plan = physical_plan(indexed_df)
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, plan
