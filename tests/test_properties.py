@@ -928,3 +928,65 @@ def test_rrf_fusion_invariants(spark):
     for d, s in inline:
         if d not in both:
             assert s <= single_max + 1e-9, (d, s)
+
+
+def test_random_simple_queries_three_way_equivalence(spark, tmp_path):
+    """r7: randomized simple_query_string trials — random +MUST / bare
+    SHOULD / -MUST_NOT draws from the corpus vocabulary, evaluated three
+    ways: naive Python set algebra (match set), the inline simple_search,
+    and the one-pass simple_search_indexed. Match sets must agree
+    exactly; inline and indexed (doc, score) lists must be identical at
+    the 4dp contract."""
+    import random
+
+    from sparkfulltextquery_spark.functions import index as IX
+    from sparkfulltextquery_spark.functions.index import simple_search_indexed
+    from sparkfulltextquery_spark.functions.querylang import simple_search
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    toks = {
+        r.doc_id: set(re.split(r"[^a-z0-9]+", r.text.lower())) - {""}
+        for r in rows
+    }
+    freq: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = sorted(t for t, c in freq.items() if c >= 5 and len(t) >= 3)[:200]
+
+    IX.build_index(docs, table_prefix="sq_idx", num_buckets=8,
+                   path=f"file://{tmp_path}/sq_idx")
+    rng = random.Random(20260815)
+    for trial in range(10):
+        n_req = rng.randint(0, 2)
+        n_opt = rng.randint(0 if n_req else 1, 2)
+        n_proh = rng.randint(0, 1)
+        picks = rng.sample(vocab, n_req + n_opt + n_proh)
+        req, opt = picks[:n_req], picks[n_req : n_req + n_opt]
+        proh = picks[n_req + n_opt :]
+        q = " ".join(
+            [f"+{t}" for t in req] + opt + [f"-{t}" for t in proh]
+        )
+        has = lambda t: {d for d, ts in toks.items() if t in ts}  # noqa: E731
+        if req:
+            want = set.intersection(*[has(t) for t in req])
+        else:
+            want = set.union(*[has(t) for t in opt])
+        for p in proh:
+            want -= has(p)
+
+        inline = [
+            (r.doc_id, r.score)
+            for r in simple_search(docs, q, k=len(rows)).collect()
+        ]
+        assert {d for d, _ in inline} == want, f"trial {trial}: {q}"
+        indexed = [
+            (r.doc_id, r.score)
+            for r in simple_search_indexed(
+                spark, q, k=len(rows), table_prefix="sq_idx"
+            ).collect()
+        ]
+        assert inline == indexed, f"trial {trial}: {q}"
