@@ -48,6 +48,13 @@ FLAGSHIPS = {
     "fulltext_min_should_match_indexed": "minimum_should_match: clause count + BM25 sum in ONE doc_id agg over the pruned scan, zero joins",
     "fulltext_query_fieldprefix_indexed": "fielded prefix: StartsWith widens the scan, field test is exists() over stored position arrays",
     "fulltext_dismax": "DisMax: per-field BM25 sub-indexes, two bounded aggs (term fuse, doc sum), broadcast stats",
+    # r7 flagships
+    "fulltext_dismax_indexed": "indexed DisMax: per-field tf from stored positions, field stats as literals — one pruned scan, zero joins",
+    "fulltext_bm25f_weighted_indexed": "indexed BM25F: fuse-before-saturation tfw as column expressions over one pruned scan, zero joins",
+    "fulltext_query_wildcard_indexed": "wildcard atoms: LIKE vocabulary predicates widen the pruned scan, flags fold into the single agg",
+    "fulltext_query_phrase_prefix_indexed": "phrase-prefix: lead slots + flattened prefix-position slot in ONE agg; adjacency is an array expr",
+    "fulltext_simple_query_indexed": "simple_query_string: MUST/MUST_NOT flags AND the BM25 sum in one agg over one pruned scan",
+    "textstats_gopher_repetition": "Gopher dup-ngram rule: staged token column, explode + two-stage Tungsten agg (beats HOF lambdas 6x)",
 }
 
 
