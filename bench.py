@@ -131,6 +131,8 @@ EXTRA = [
     "textstats_gopher_repetition",
     "fulltext_bm25f_weighted_indexed",
     "fulltext_query_boost_indexed",
+    "fulltext_highlight_indexed",
+    "fulltext_percolate_indexed",
 ]
 
 

@@ -859,3 +859,181 @@ def fulltext_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+_HIGHLIGHT_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    qt    AS (SELECT unnest(['join', 'spark']) AS term),
+    qpost AS (SELECT t.* FROM tfs t JOIN qt USING (term)),
+    dfreq AS (SELECT term, count(*) AS df FROM qpost GROUP BY term),
+    dl    AS (SELECT doc_id, len({_TOK}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT doc_id,
+             round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+      FROM qpost JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 5
+    )
+    SELECT d.doc_id, s.score,
+           array_to_string(
+             list_transform({_TOK},
+               t -> CASE WHEN list_contains(['join', 'spark'], t)
+                         THEN '<em>' || t || '</em>' ELSE t END),
+             ' ') AS highlighted
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.score DESC, d.doc_id
+    """
+
+
+def _highlight_expr(terms: list[str]):
+    """Marked-up token stream: each matched term wrapped in <em> tags over
+    the normalized token sequence (token-level highlighting — the engine
+    stores token positions, not char offsets; the lambda references only
+    its element arg, so no recompute pitfall)."""
+    return F.array_join(
+        F.transform(
+            tokenize(F.col("text")),
+            lambda t: F.when(
+                t.isin(terms), F.concat(F.lit("<em>"), t, F.lit("</em>"))
+            ).otherwise(t),
+        ),
+        " ",
+    )
+
+
+@query("fulltext_highlight", oracle=_HIGHLIGHT_ORACLE)
+def fulltext_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-hit highlighting (the Lucene Highlighter surface): the BM25
+    top-5 for 'spark join' joined back to the doc store, every matched
+    term wrapped in <em> tags over the normalized token stream. The 5-row
+    hit list broadcasts into the corpus scan; the markup is a per-row
+    transform whose lambda touches only its element arg."""
+    d = load_table(spark, sf_dir, "documents")
+    top = FT.bm25_search(d, "spark join", k=5)
+    return (
+        d.join(F.broadcast(top), "doc_id")
+        .select("doc_id", "score", _highlight_expr(["join", "spark"]).alias("highlighted"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
+@query("fulltext_highlight_indexed", oracle=_HIGHLIGHT_ORACLE)
+def fulltext_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highlighting with the RANKING leg served off the persisted index
+    (bucket-pruned BM25 top-5, zero joins on that side); the doc text
+    itself comes from the doc store — the index stores postings, not
+    source text, the same split as any engine's stored-field lookup. Only
+    the 5 hit documents are re-tokenized for markup."""
+    from sparkfulltextquery_spark.functions.index import bm25_search_indexed
+
+    prefix = _ensure_index(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    top = bm25_search_indexed(spark, "spark join", k=5, table_prefix=prefix)
+    return (
+        d.join(F.broadcast(top), "doc_id")
+        .select("doc_id", "score", _highlight_expr(["join", "spark"]).alias("highlighted"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
+# stored percolator queries: (query_id, required terms) — conjunctive
+_PERCOLATE_QUERIES = [
+    (1, ["join", "spark"]),
+    (2, ["vector"]),
+    (3, ["batch", "window"]),
+    (4, ["data", "query"]),
+    (5, ["merge", "spark", "stream"]),
+]
+
+_PERCOLATE_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    q AS (
+      SELECT * FROM (VALUES
+        (1, 'join'), (1, 'spark'),
+        (2, 'vector'),
+        (3, 'batch'), (3, 'window'),
+        (4, 'data'), (4, 'query'),
+        (5, 'merge'), (5, 'spark'), (5, 'stream')
+      ) AS t(query_id, term)
+    ),
+    qsize AS (SELECT query_id, count(*) AS n_req FROM q GROUP BY query_id),
+    hit AS (
+      SELECT t.doc_id, q.query_id, count(*) AS n_matched
+      FROM tfs t JOIN q USING (term)
+      GROUP BY t.doc_id, q.query_id
+    )
+    SELECT h.query_id,
+           count(*) AS n_docs,
+           min(h.doc_id) AS first_doc
+    FROM hit h JOIN qsize s USING (query_id)
+    WHERE h.n_matched = s.n_req
+    GROUP BY h.query_id
+    ORDER BY h.query_id
+    """
+
+
+@query("fulltext_percolate", oracle=_PERCOLATE_ORACLE)
+def fulltext_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation — REVERSE search (the Elasticsearch percolator / Lucene
+    Monitor surface): a registry of stored conjunctive queries is matched
+    against every document; for each stored query, how many documents
+    (and which first) satisfy ALL its terms. The classic alerting /
+    saved-search primitive.
+
+    Scale shape: the stored-query term table is tiny and BROADCAST into
+    the posting relation (at deploy scale, thousands of stored queries
+    still broadcast); matching is one (doc, query) hash aggregation with
+    the conjunction tested as matched-count == required-count — never a
+    per-query corpus scan."""
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _PERCOLATE_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
+    post = FT.postings(d)
+    hit = (
+        post.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        hit.join(F.broadcast(qsize), "query_id")
+        .filter(F.col("n_matched") == F.col("n_req"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("query_id")
+    )
+
+
+@query("fulltext_percolate_indexed", oracle=_PERCOLATE_ORACLE)
+def fulltext_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation off the PERSISTED index: the stored queries' union of
+    terms prunes the posting scan to their buckets (SelectedBucketsCount)
+    — the corpus is never re-tokenized; the rest is the same broadcast
+    query-table aggregation."""
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _PERCOLATE_QUERIES for t in terms],
+        "query_id int, term string",
+    )
+    qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
+    all_terms = sorted({t for _qid, terms in _PERCOLATE_QUERIES for t in terms})
+    post = spark.table(f"{prefix}_postings").filter(F.col("term").isin(all_terms))
+    hit = (
+        post.join(F.broadcast(q), "term")
+        .groupBy("doc_id", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        hit.join(F.broadcast(qsize), "query_id")
+        .filter(F.col("n_matched") == F.col("n_req"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("query_id")
+    )

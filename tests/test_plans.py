@@ -830,3 +830,16 @@ def test_bm25f_indexed_zero_join(spark):
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, f"{node} leaked into the one-pass plan"
     assert uses_top_k(df)
+
+
+def test_percolate_broadcasts_queries_and_prunes(spark):
+    """Percolation (r7): the stored-query table must BROADCAST into the
+    posting relation (never a per-query corpus scan); the indexed form's
+    scan must bucket-prune to the queries' term union."""
+    df = _q(spark, "fulltext_percolate")
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in physical_plan(df)
+    dfi = _q(spark, "fulltext_percolate_indexed")
+    plan = physical_plan(dfi)
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan
