@@ -1258,116 +1258,6 @@ def more_like_this_indexed(
     )
 
 
-# ---------------- streaming index maintenance ----------------
-
-
-def stream_update_postings(
-    doc_stream: DataFrame,
-    index_dir: str,
-    checkpoint_dir: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-):
-    """Keep the inverted index fresh as documents stream in: each
-    micro-batch's postings append as a new log segment (parquet files
-    stamped with the batch id). Log-structured — never rewrites existing
-    segments, so ingest cost is O(batch), and exactly-once comes from the
-    checkpointed offsets + batch-id-stamped idempotent appends.
-
-    The reference fork's index story is batch-only (build via bucketBy,
-    DataFrameWriter.scala:170); this is the streaming upgrade on the same
-    relation schema. Segment proliferation is handled the same way as
-    small-file compaction (sources.tables.compact_small_files): periodically
-    rewrite merged segments.
-    """
-    from sparkfulltextquery_spark.functions.fulltext import postings
-
-    def update(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            postings(batch_df, id_col, text_col)
-            .withColumn("segment", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(index_dir)
-        )
-
-    return (
-        doc_stream.writeStream.foreachBatch(update)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
-def read_live_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Merge the log segments back into the canonical (term, doc_id, tf)
-    relation: sum tf across segments (a doc re-ingested in a later segment
-    contributes its re-tokenized counts exactly once because the source
-    stream is checkpointed; distinct segments hold distinct docs)."""
-    return (
-        spark.read.parquet(index_dir)
-        .groupBy("term", "doc_id")
-        .agg(F.sum("tf").alias("tf"))
-    )
-
-
-def stream_delete_docs(
-    doc_id_stream: DataFrame,
-    index_dir: str,
-    checkpoint_dir: str,
-    id_col: str = "doc_id",
-):
-    """Tombstone deletions for the streaming index: deleted doc_ids append
-    as their own log segments under ``_deletes`` — reads subtract them
-    (anti join); segments are never rewritten in the hot path (the same
-    log-structured discipline as ingestion; compaction folds tombstones in
-    when it rewrites segments)."""
-
-    def update(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.select(F.col(id_col).alias("doc_id"))
-            .distinct()
-            .withColumn("segment", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(f"{index_dir}/_deletes")
-        )
-
-    return (
-        doc_id_stream.writeStream.foreachBatch(update)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-
-
-def read_live_postings_with_deletes(spark: SparkSession, index_dir: str) -> DataFrame:
-    """read_live_postings minus tombstoned documents."""
-    live = (
-        spark.read.parquet(index_dir)
-        .groupBy("term", "doc_id")
-        .agg(F.sum("tf").alias("tf"))
-    )
-    try:
-        dels = spark.read.parquet(f"{index_dir}/_deletes").select("doc_id").distinct()
-    except Exception:
-        return live  # no tombstones yet
-    # re-project: the join key moves first in join output; keep the
-    # canonical (term, doc_id, tf) order of the posting relation
-    return live.join(dels, "doc_id", "left_anti").select("term", "doc_id", "tf")
-
-
-def compact_posting_segments(spark: SparkSession, index_dir: str, out_dir: str) -> str:
-    """Fold the posting log into one merged generation: sum tf across
-    segments, subtract tombstones, write a single segment (segment=0) with
-    no ``_deletes``. Reads after compaction see identical postings from
-    O(1) files instead of O(batches) — run it on the same cadence as
-    small-file compaction (sources.tables.compact_small_files). Writing a
-    NEW directory keeps the operation atomic-by-rename for readers."""
-    merged = read_live_postings_with_deletes(spark, index_dir).withColumn(
-        "segment", F.lit(0)
-    )
-    merged.write.mode("overwrite").parquet(out_dir)
-    return out_dir
-
 
 def simple_search_indexed(
     spark: SparkSession,
@@ -1531,3 +1421,14 @@ def bm25f_search_indexed(
     """BM25F top-k over the persisted index (TakeOrderedAndProject heap)."""
     scored = bm25f_scores_indexed(spark, query, table_prefix, k1, b)
     return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+# r7 file-size split: streaming index maintenance lives in index_stream;
+# re-exported here so existing import sites keep working
+from sparkfulltextquery_spark.functions.index_stream import (  # noqa: E402,F401
+    compact_posting_segments,
+    read_live_postings,
+    read_live_postings_with_deletes,
+    stream_delete_docs,
+    stream_update_postings,
+)
