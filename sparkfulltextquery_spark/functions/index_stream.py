@@ -13,8 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkfulltextquery_spark.functions.fulltext import positional_postings
-
 
 def stream_update_postings(
     doc_stream: DataFrame,
