@@ -843,9 +843,9 @@ def test_random_query_asts_three_way_equivalence(spark, tmp_path):
     IX.build_index(docs, table_prefix="prop_idx", num_buckets=8,
                    path=f"file://{tmp_path}/prop_idx")
     rng = random.Random(20260814)
-    # 16 trials over 12 atom kinds (was 10/9 — the r6 regex/fprefix/ffuzzy
-    # additions need the extra draws for per-kind coverage)
-    for trial in range(16):
+    # 24 trials over 17 atom kinds (r7 added wildcard x2, field-range,
+    # field-wildcard, phrase-prefix — more draws for per-kind coverage)
+    for trial in range(24):
         ast = _rand_ast(rng, vocab, bigrams)
         qtext = _ast_to_query(ast)
         parsed = QL.parse_query(qtext)
