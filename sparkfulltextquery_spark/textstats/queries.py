@@ -487,7 +487,15 @@ def textstats_gopher_dup_sentences(spark: SparkSession, sf_dir: str) -> DataFram
     rollup with exact integer tallies.
 
     Scale: split is per-row; (doc, sent) dedup is one hash aggregation
-    with map-side combine; lang rides the rows — no corpus join."""
+    with map-side combine; lang rides the rows — no corpus join.
+
+    Corpus note (honesty over vanity): the synthetic documents carry no
+    sentence punctuation, so every doc is ONE sentence here and the flag
+    count is 0 at every scale — the rule's aggregation pipeline is still
+    exercised end-to-end against the oracle (counts/tallies are
+    non-degenerate); on a real corpus the same plan fires the 0.3 gate.
+    The bigram-level repetition rule above is the discriminative twin on
+    this corpus (its duplicate tallies are non-zero)."""
     d = load_table(spark, sf_dir, "documents")
     sents = d.select(
         "doc_id",
