@@ -721,12 +721,14 @@ def fulltext_ngrams_sentence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: sentence split + n-gram expansion are map-side; the single
     shuffle is the count groupBy, identical in shape to word count.
 
-    Plan note: the token array is STAGED as a column and the n-gram
-    transform written against the column reference — `ngrams(tokenize(
-    sent))` inline references the tokenize expression four times (size
-    guard, sequence bound, slice source) and Catalyst re-evaluates the
-    regex split at each one (the textstats_quality r5 lesson); staging
-    measured 3.5s → 0.65s at sf0.1, identical results."""
+    Plan note: the token array is STAGED as a column (the Catalyst
+    lambda-recompute pitfall — inlining tokenize re-evaluated the regex
+    split per reference, measured 3.5s → 0.65s at sf0.1), and the n-gram
+    expansion uses the shared zip-shifted ``ngrams`` helper (r8,
+    VERDICT r07 watch #2): A/B at this row's exact shape, 7 runs at
+    sf0.1, median 0.514s (zip) vs 0.678s (sequence+slice transform),
+    identical results — the r7 suspicion that the zip form was slower on
+    the small-n path was wrong; the transform form was the regression."""
     d = load_table(spark, sf_dir, "documents")
     sents = d.select(
         F.explode(
@@ -736,14 +738,7 @@ def fulltext_ngrams_sentence_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = sents.select(tokenize(F.col("sent")).alias("w")).filter(
         F.size("w") >= 2
     )
-    grams = toks.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 2)),
-            )
-        ).alias("ngram")
-    )
+    grams = toks.select(F.explode(ngrams(F.col("w"), 2)).alias("ngram"))
     return (
         grams.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("estfrequency"))

@@ -635,7 +635,7 @@ def term_boosts(node) -> dict[str, float]:
 def compile_matches(
     node, post: DataFrame, phrase_fn, universe: DataFrame, near_fn=None,
     field_fn=None, fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
-    frange_fn=None, fwild_fn=None, ppfx_fn=None,
+    frange_fn=None, fwild_fn=None, ppfx_fn=None, term_resolver=None,
 ) -> DataFrame:
     """Compile an AST node to a distinct (doc_id) DataFrame.
 
@@ -644,45 +644,45 @@ def compile_matches(
     ``phrase_fn(text) -> DataFrame[doc_id]`` supplies phrase matching
     (inline positional join or index-backed); ``field_fn(field, term) ->
     DataFrame[doc_id]`` supplies field-scoped matching (positional);
-    ``universe`` is the doc_id domain NOT subtracts from."""
+    ``universe`` is the doc_id domain NOT subtracts from;
+    ``term_resolver(node) -> list[str] | None`` (r8, indexed callers)
+    pre-resolves a multi-term atom (Prefix/Wildcard/TermRange/Fuzzy/Regex)
+    to concrete vocabulary terms via the persisted term dictionary, so the
+    posting filter stays an equality ``isin`` (bucket-prunable) instead of
+    a LIKE/levenshtein scan; None (the inline default) keeps the predicate
+    forms — the inline relation is corpus-derived and has no dictionary."""
+
+    def _multiterm(nd, fallback_pred):
+        ts = term_resolver(nd) if term_resolver is not None else None
+        if ts is None:
+            pred = fallback_pred()
+        elif ts:
+            pred = F.col("term").isin(ts)
+        else:
+            pred = F.lit(False)
+        return post.filter(pred).select("doc_id").distinct()
+
     if isinstance(node, Term):
         return post.filter(F.col("term") == node.text).select("doc_id").distinct()
     if isinstance(node, Prefix):
-        return (
-            post.filter(F.col("term").startswith(node.text))
-            .select("doc_id")
-            .distinct()
-        )
+        return _multiterm(node, lambda: F.col("term").startswith(node.text))
     if isinstance(node, Wildcard):
         # vocabulary LIKE scan (`*`→`%`, `?`→`_`) — unprunable, like Prefix
-        return (
-            post.filter(F.col("term").like(node.like_pattern()))
-            .select("doc_id")
-            .distinct()
-        )
+        return _multiterm(node, lambda: F.col("term").like(node.like_pattern()))
     if isinstance(node, TermRange):
         # vocabulary range scan — unprunable by hash bucketing, like Prefix
-        return (
-            post.filter(F.col("term").between(node.lo, node.hi))
-            .select("doc_id")
-            .distinct()
-        )
+        return _multiterm(node, lambda: F.col("term").between(node.lo, node.hi))
     if isinstance(node, Fuzzy):
         # vocabulary-wide edit-distance scan (same shape as
         # fulltext_fuzzy_vocab) — unprunable, like Prefix
-        return (
-            post.filter(F.levenshtein(F.col("term"), F.lit(node.text)) <= node.dist)
-            .select("doc_id")
-            .distinct()
+        return _multiterm(
+            node,
+            lambda: F.levenshtein(F.col("term"), F.lit(node.text)) <= node.dist,
         )
     if isinstance(node, Regex):
         # vocabulary-wide anchored-regexp scan (Lucene RegexpQuery) —
         # unprunable, like Prefix and Fuzzy
-        return (
-            post.filter(F.col("term").rlike(node.anchored()))
-            .select("doc_id")
-            .distinct()
-        )
+        return _multiterm(node, lambda: F.col("term").rlike(node.anchored()))
     if isinstance(node, Phrase):
         return phrase_fn(node.text, node.slop)
     if isinstance(node, Field):
@@ -721,12 +721,14 @@ def compile_matches(
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
             fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
+            term_resolver,
         )
         for c in node.children[1:]:
             out = out.join(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
                     fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
+                    term_resolver,
                 ),
                 "doc_id",
                 "left_semi",
@@ -736,12 +738,14 @@ def compile_matches(
         out = compile_matches(
             node.children[0], post, phrase_fn, universe, near_fn, field_fn,
             fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
+            term_resolver,
         )
         for c in node.children[1:]:
             out = out.union(
                 compile_matches(
                     c, post, phrase_fn, universe, near_fn, field_fn,
                     fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
+                    term_resolver,
                 )
             )
         return out.distinct()
@@ -750,6 +754,7 @@ def compile_matches(
             compile_matches(
                 node.child, post, phrase_fn, universe, near_fn, field_fn,
                 fphrase_fn, fprefix_fn, ffuzzy_fn, frange_fn, fwild_fn, ppfx_fn,
+                term_resolver,
             ),
             "doc_id",
             "left_anti",

@@ -497,3 +497,68 @@ def test_indexed_bm25f_equals_inline_full_list(spark, index_tables):
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan, plan
+
+
+def test_max_expansions_fail_loud(spark, index_tables):
+    """Lucene maxClauseCount analogue (r8): an expansion atom matching more
+    vocabulary terms than max_expansions must REJECT the query — loudly,
+    before any posting is read — never silently truncate the term list
+    (a truncated expansion would silently drop matching documents)."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    with pytest.raises(ValueError, match="max_expansions"):
+        search_indexed(
+            spark, "[a TO zzzz]", k=5, table_prefix="t_idx", max_expansions=3
+        )
+
+
+def test_expansion_dictionary_matches_postings_predicate(spark, index_tables):
+    """The dictionary-resolved term list must equal what the old
+    posting-predicate form matched: resolve_expansions over the df table ==
+    distinct terms from the predicate over the postings (they derive from
+    the same relation, so any drift is a resolver bug)."""
+    from sparkfulltextquery_spark.functions.index import resolve_expansions
+
+    exp = resolve_expansions(
+        spark,
+        "t_idx",
+        prefixes=["quer"],
+        fuzzies=[("sparc", 1)],
+        ranges=[("batch", "data")],
+        wildcards=["s?ark"],
+        regexes=["qu.ry"],
+    )
+    post = spark.table("t_idx_postings")
+    from sparkfulltextquery_spark.functions.querylang import Regex, Wildcard
+
+    want = {
+        ("prefix", "quer"): F.col("term").startswith("quer"),
+        ("fuzzy", ("sparc", 1)): F.levenshtein(F.col("term"), F.lit("sparc")) <= 1,
+        ("range", ("batch", "data")): F.col("term").between("batch", "data"),
+        ("wild", "s?ark"): F.col("term").like(Wildcard("s?ark").like_pattern()),
+        ("regex", "qu.ry"): F.col("term").rlike(Regex("qu.ry").anchored()),
+    }
+    for key, pred in want.items():
+        old = sorted(
+            r.term for r in post.filter(pred).select("term").distinct().collect()
+        )
+        assert exp[key] == old, key
+        assert len(exp[key]) > 0, key
+
+
+def test_pure_negation_expansion_stays_equality_only(spark, index_tables):
+    """Pure-negation queries with expansion atoms (the compile_matches cold
+    path) also resolve through the dictionary: inline == indexed results,
+    and the indexed plan's posting filters are equality-only."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+    from sparkfulltextquery_spark.functions.querylang import search
+
+    q = "NOT quer*"
+    docs = load_table(spark, SF_DIR, "documents")
+    inline = [(r.doc_id, r.score) for r in search(docs, q, k=10).collect()]
+    df = search_indexed(spark, q, k=10, table_prefix="t_idx")
+    indexed = [(r.doc_id, r.score) for r in df.collect()]
+    assert inline == indexed and len(indexed) > 0
+    plan = physical_plan(df)
+    assert "StartsWith" not in plan, plan
+    assert "LIKE " not in plan, plan

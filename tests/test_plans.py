@@ -738,9 +738,9 @@ def test_hybrid_rrf_bounded_legs(spark):
 
 def test_field_scoped_atoms_indexed_one_pass(spark):
     """Field-scoped prefix and fuzzy atoms on the indexed path keep the
-    one-pass shape: the vocabulary predicate widens the scan, the field
-    membership folds into the flag aggregation as an EXISTS over stored
-    position arrays — no join anywhere."""
+    one-pass shape: the atom resolves to concrete terms via the term
+    dictionary (r8), the field membership folds into the flag aggregation
+    as an EXISTS over stored position arrays — no join anywhere."""
     for name in (
         "fulltext_query_fieldprefix_indexed",
         "fulltext_query_fieldfuzzy_indexed",
@@ -768,8 +768,9 @@ def test_dismax_indexed_zero_join(spark):
 
 def test_wildcard_indexed_one_pass(spark):
     """General wildcard atoms (r7) on the indexed path must stay the
-    one-pass shape: LIKE predicates widen the pruned scan, flags fold into
-    the single doc_id aggregation — no join anywhere, bounded top-k."""
+    one-pass shape: the pattern resolves to concrete terms via the term
+    dictionary (r8), flags fold into the single doc_id aggregation — no
+    join anywhere, bounded top-k."""
     df = _q(spark, "fulltext_query_wildcard_indexed")
     plan = physical_plan(df)
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
@@ -778,11 +779,45 @@ def test_wildcard_indexed_one_pass(spark):
     assert uses_top_k(df)
 
 
+EXPANSION_INDEXED_ROWS = (
+    "fulltext_query_regex_indexed",
+    "fulltext_query_fuzzy_indexed",
+    "fulltext_query_range_indexed",
+    "fulltext_query_wildcard_indexed",
+    "fulltext_query_fieldprefix_indexed",
+    "fulltext_query_fieldfuzzy_indexed",
+    "fulltext_query_fieldrange_indexed",
+    "fulltext_query_fieldwildcard_indexed",
+    "fulltext_query_phrase_prefix_indexed",
+)
+
+
+def test_expansion_atoms_resolve_via_term_dictionary(spark):
+    """VERDICT r07 #1: expansion atoms (prefix/fuzzy/range/regex/wildcard,
+    plain and field-scoped) must resolve against the persisted term
+    dictionary (the O(|vocab|) df table), folding concrete terms into an
+    equality isin over the postings — so the POSTING scan stays
+    bucket-pruned (SelectedBucketsCount) and carries NO
+    LIKE/levenshtein/RLIKE/StartsWith predicate. Before r8 each of these
+    rows full-scanned the postings with a per-row expansion predicate —
+    at 100 TB the difference between a dictionary lookup and a table
+    scan."""
+    for name in EXPANSION_INDEXED_ROWS:
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        assert "SelectedBucketsCount" in plan, f"{name} lost bucket pruning"
+        for pred in ("levenshtein", "LIKE ", "RLIKE", "StartsWith", "rlike("):
+            assert pred not in plan, (
+                f"{name}: expansion predicate {pred!r} leaked into the "
+                f"physical plan — should be dictionary-resolved"
+            )
+
+
 def test_fieldrange_fieldwildcard_indexed_one_pass(spark):
     """Field-scoped range and wildcard atoms (r7) on the indexed path keep
-    the one-pass shape: the vocabulary predicate widens the scan, field
-    membership folds into the flag aggregation as an EXISTS over stored
-    position arrays — no join anywhere."""
+    the one-pass shape: the atom resolves to concrete terms via the term
+    dictionary (r8), field membership folds into the flag aggregation as
+    an EXISTS over stored position arrays — no join anywhere."""
     for name in (
         "fulltext_query_fieldrange_indexed",
         "fulltext_query_fieldwildcard_indexed",
@@ -797,9 +832,10 @@ def test_fieldrange_fieldwildcard_indexed_one_pass(spark):
 
 def test_phrase_prefix_indexed_one_pass(spark):
     """Phrase-prefix (r7) on the indexed path keeps the one-pass shape:
-    the final prefix widens the pruned scan, the lead word's position
-    array and the flattened prefix-match positions gather as slots in the
-    single doc_id aggregation, adjacency is an array expression — no join."""
+    the final prefix resolves to concrete terms via the term dictionary
+    (r8), the lead word's position array and the flattened prefix-match
+    positions gather as slots in the single doc_id aggregation, adjacency
+    is an array expression — no join."""
     df = _q(spark, "fulltext_query_phrase_prefix_indexed")
     plan = physical_plan(df)
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
