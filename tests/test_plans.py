@@ -879,3 +879,22 @@ def test_percolate_broadcasts_queries_and_prunes(spark):
     plan = physical_plan(dfi)
     assert "SelectedBucketsCount" in plan, plan
     assert "documents" not in plan, plan
+
+def test_percolate_bool_one_scan_zero_join(spark):
+    """Boolean percolation (r8): N stored AND/OR/NOT+phrase queries compile
+    to flag expressions over ONE shared posting scan — a single doc_id
+    aggregation, one global aggregation, NO join of any kind; the indexed
+    twin's scan must bucket-prune to the queries' term union and never
+    touch the corpus."""
+    df = _q(spark, "fulltext_percolate_bool")
+    plan = physical_plan(df)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the one-scan plan"
+    dfi = _q(spark, "fulltext_percolate_bool_indexed")
+    plan = physical_plan(dfi)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the indexed plan"
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan

@@ -797,3 +797,20 @@ def test_simple_query_parser_rejects():
     for bad in ["-vector", "", "+a -a", "b -b", "+a+b c"]:
         with pytest.raises(ValueError):
             parse_simple_query(bad)
+
+
+def test_percolate_bool_rejects_bad_registrations(spark):
+    """Boolean percolator registration contract (r8): pure-negation stored
+    queries (satisfiable by the empty document — invisible to a one-scan
+    percolator) and unsupported atom kinds fail loudly at compile time."""
+    import pytest
+
+    from sparkfulltextquery_spark.functions.fulltext_queries import _percolate_bool
+
+    rel = spark.createDataFrame(
+        [(1, "spark", [0])], "doc_id long, term string, positions array<int>"
+    )
+    with pytest.raises(ValueError, match="positive atom"):
+        _percolate_bool(rel, [(1, "NOT spark")])
+    with pytest.raises(ValueError, match="percolator supports"):
+        _percolate_bool(rel, [(1, "spar*")])
