@@ -1551,6 +1551,9 @@ def bm25f_search_indexed(
 # re-exported here so existing import sites keep working
 from sparkfulltextquery_spark.functions.index_stream import (  # noqa: E402,F401
     compact_posting_segments,
+    current_generation,
+    publish_generation,
+    read_current_postings,
     read_live_postings,
     read_live_postings_with_deletes,
     stream_delete_docs,

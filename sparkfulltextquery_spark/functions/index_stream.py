@@ -113,10 +113,76 @@ def compact_posting_segments(spark: SparkSession, index_dir: str, out_dir: str) 
     segments, subtract tombstones, write a single segment (segment=0) with
     no ``_deletes``. Reads after compaction see identical postings from
     O(1) files instead of O(batches) — run it on the same cadence as
-    small-file compaction (sources.tables.compact_small_files). Writing a
-    NEW directory keeps the operation atomic-by-rename for readers."""
+    small-file compaction (sources.tables.compact_small_files). Always
+    writes a NEW directory (a generation), never rewrites in place; the
+    swap to the new generation is a separate, atomic step —
+    ``publish_generation`` below."""
     merged = read_live_postings_with_deletes(spark, index_dir).withColumn(
         "segment", F.lit(0)
     )
     merged.write.mode("overwrite").parquet(out_dir)
     return out_dir
+
+
+# ---------------- generation pointer: crash-safe compaction swap (r8) ----
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[7:] if path.startswith("file://") else path
+
+
+def publish_generation(root: str, gen_dir: str) -> None:
+    """Atomically repoint readers at a freshly-compacted generation: the
+    generation name is written to ``CURRENT.tmp`` and ``os.replace``d onto
+    ``CURRENT`` — an atomic rename on POSIX, the same commit protocol as
+    Lucene's segments_N / pending_segments_N swap and Spark's own
+    HDFSMetadataLog rename-commit. A compaction killed at ANY point before
+    this call leaves only an unreferenced half-written directory; readers
+    resolving CURRENT keep seeing the previous complete generation.
+
+    Call ONLY after the compaction write finished (the writer returned —
+    parquet commit protocol has moved task files out of ``_temporary``).
+    The replaced-away generation stays on disk until pruned, so a reader
+    that resolved the pointer just before the swap still reads complete
+    data (the standard read-view grace window)."""
+    import os
+
+    rootp = _strip_file_scheme(root)
+    os.makedirs(rootp, exist_ok=True)
+    tmp = os.path.join(rootp, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(gen_dir)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(rootp, "CURRENT"))
+
+
+def current_generation(root: str) -> str | None:
+    """The generation directory CURRENT points at, or None before the
+    first publish (readers then fall back to the live segment log)."""
+    import os
+
+    p = os.path.join(_strip_file_scheme(root), "CURRENT")
+    try:
+        with open(p) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def read_current_postings(
+    spark: SparkSession, root: str, live_dir: str
+) -> DataFrame:
+    """Reader entry point for the compacted-generation protocol: resolve
+    the CURRENT pointer and read that generation (one complete segment, no
+    tombstone subtraction needed); before any publish, serve the live
+    segment log. A half-written compaction directory is unreachable from
+    here by construction — it is never named by CURRENT."""
+    gen = current_generation(root)
+    if gen is None:
+        return read_live_postings_with_deletes(spark, live_dir)
+    return (
+        spark.read.parquet(gen)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+    )

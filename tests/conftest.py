@@ -97,8 +97,8 @@ def norm_rows(pdf):
     return cols, sorted(rows, key=repr)
 
 
-def assert_query_matches_oracle(spark, duck, fn, oracle_sql, name=""):
-    sdf = fn(spark, SF_DIR)
+def assert_query_matches_oracle(spark, duck, fn, oracle_sql, name="", sf_dir=None):
+    sdf = fn(spark, sf_dir or SF_DIR)
     spark_pdf = sdf.toPandas()
     duck_pdf = duck.execute(oracle_sql).fetchdf()
 

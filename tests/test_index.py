@@ -562,3 +562,91 @@ def test_pure_negation_expansion_stays_equality_only(spark, index_tables):
     plan = physical_plan(df)
     assert "StartsWith" not in plan, plan
     assert "LIKE " not in plan, plan
+
+
+def test_compaction_crash_never_exposes_half_merged_index(spark, tmp_path):
+    """Compaction crash injection (r8, VERDICT r07 #5, mirroring the
+    exactly-once pattern of test_exactly_once_recovery_after_midstream
+    _failure): a compaction REWRITE is killed mid-job — a real failed
+    Spark write that leaves a partial generation directory on disk — and
+    readers must never see the half-merged index, because publication is
+    a separate atomic CURRENT-pointer replace that only a COMPLETED
+    compaction performs. Restarting the compaction into a fresh
+    generation and publishing it swaps readers over with identical
+    postings."""
+    import glob
+
+    from sparkfulltextquery_spark.functions.index import (
+        compact_posting_segments,
+        current_generation,
+        publish_generation,
+        read_current_postings,
+        read_live_postings_with_deletes,
+        stream_update_postings,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    root = f"{tmp_path}/gen_root"
+    live = f"file://{root}/live"
+    for lo, hi in ((0, 200), (200, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).write.mode(
+            "append"
+        ).parquet(f"file://{tmp_path}/g_src")
+        q = stream_update_postings(
+            spark.readStream.schema(docs.schema).parquet(f"file://{tmp_path}/g_src"),
+            live,
+            f"file://{tmp_path}/g_ck",
+        )
+        q.awaitTermination()
+
+    before = sorted(
+        tuple(r) for r in read_live_postings_with_deletes(spark, live).collect()
+    )
+    assert before and current_generation(root) is None
+    # before any publish, the reader serves the live log
+    got0 = sorted(tuple(r) for r in read_current_postings(spark, root, live).collect())
+    assert got0 == before
+
+    # ---- crash the compaction mid-rewrite: a mapInPandas stage that dies
+    # after SOME partitions have produced output — the write job fails for
+    # real, leaving only task-attempt litter (_temporary, no _SUCCESS) in
+    # the new generation directory, and the pointer is never published
+    gen1 = f"file://{root}/gen-1"
+
+    def die_on_some(it):
+        import pandas as pd  # noqa: F401
+
+        for pdf in it:
+            if (pdf["doc_id"] % 2 == 0).any():
+                raise RuntimeError("injected compaction crash mid-rewrite")
+            yield pdf
+
+    merged = read_live_postings_with_deletes(spark, live).repartition(8, "doc_id")
+    with pytest.raises(Exception, match="injected compaction crash"):
+        merged.mapInPandas(die_on_some, merged.schema).withColumn(
+            "segment", F.lit(0)
+        ).write.mode("overwrite").parquet(gen1)
+
+    # the half-merged directory exists on disk but is UNREFERENCED:
+    # CURRENT was never written, so readers still resolve the live log
+    assert current_generation(root) is None
+    got_after_crash = sorted(
+        tuple(r) for r in read_current_postings(spark, root, live).collect()
+    )
+    assert got_after_crash == before
+    # and the crashed dir really is incomplete (no parquet commit marker)
+    assert not glob.glob(f"{root}/gen-1/_SUCCESS")
+
+    # ---- retry into a FRESH generation (never reuse a crashed dir name:
+    # mode=overwrite would clean it, but a fresh name keeps forensics),
+    # then publish: one atomic pointer replace
+    gen2 = compact_posting_segments(spark, live, f"file://{root}/gen-2")
+    publish_generation(root, gen2)
+    assert current_generation(root) == gen2
+    got_after_publish = sorted(
+        tuple(r) for r in read_current_postings(spark, root, live).collect()
+    )
+    assert got_after_publish == before
+    # the published generation is the compacted one: single segment
+    assert glob.glob(f"{root}/gen-2/_SUCCESS")

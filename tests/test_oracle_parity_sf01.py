@@ -1,0 +1,111 @@
+"""Second-scale parity gate (r8, VERDICT r07 #4): a standing ~30-pair
+oracle-parity sample at sf0.1 — 100x the default gate's data.
+
+The full 378-pair suite runs at sf0.001 (and the driver at sf0.01);
+several operator classes only STRESS at bigger data: sketch accuracy
+contracts, sampling/bucketing boundaries, semdedup's data-dependent
+cluster count, minhash banding, window composites over longer
+partitions, and the indexed-search pruning paths. This module pins the
+heavy hitters at sf0.1 with their exact registered oracles.
+
+Marked ``sf01`` (registered in pytest.ini) and skipped automatically
+when the sf0.1 testdata directory is absent. Run explicitly:
+
+    python -m pytest tests/test_oracle_parity_sf01.py -q
+
+It builds its own DuckDB connection over the sf0.1 parquet — the session
+``duck`` fixture serves the default gate's SF_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import duckdb
+import pytest
+
+import __spark_entry__  # noqa: F401  (populates the registry)
+from sparkfulltextquery_spark.registry import REGISTRY
+from tests.conftest import TABLES, assert_query_matches_oracle
+
+SF01_DIR = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
+
+pytestmark = pytest.mark.sf01
+
+# Heavy hitters: the classes that only stress at scale. Keep ~30; every
+# name must exist in the registry (asserted below) so renames fail loudly.
+SF01_SAMPLE = [
+    # sketches — accuracy contracts tighten/loosen with cardinality
+    "agg_approx_sketches",
+    "agg_approx_top_k",
+    "agg_mergeable_sketches",
+    "agg_theta_set_ops",
+    "agg_percentile_exact",
+    # sampling / bucketing — boundary behavior is data-volume-dependent
+    "sample_fraction",
+    "agg_bitmap_distinct",
+    # dedup at scale — banding, clustering, pair explosion
+    "dedup_minhash_pairs",
+    "dedup_minhash_signatures",
+    "dedup_semdedup_prune",
+    "dedup_simhash_pairs",
+    "dedup_exact_groups",
+    "dedup_cluster_canonical",
+    # similarity — candidate counts grow with corpus
+    "sim_lsh_near_dup_pairs",
+    "sim_cosine_topk",
+    "sim_ivf_topk",
+    # window composites — longer partitions, deeper frames
+    "tpcds_q47_monthly_deviation",
+    "tpcds_q67_rollup_rank",
+    "tpcds_q89_monthly_outliers",
+    "window_range_frame",
+    "window_unbounded_agg",
+    "window_forward_fill",
+    # indexed search — pruning paths over a real vocabulary
+    "fulltext_bm25_search_indexed",
+    "fulltext_query_language_indexed",
+    "fulltext_query_fuzzy_indexed",
+    "fulltext_query_wildcard_indexed",
+    "fulltext_dismax_indexed",
+    "fulltext_hybrid_rrf_indexed",
+    "fulltext_percolate_bool_indexed",
+    "fulltext_phrase_search_indexed",
+    # heavy text pipelines
+    "curation_bpe_learn",
+    "textstats_gopher_repetition",
+]
+
+
+def _have_sf01() -> bool:
+    return Path(SF01_DIR).is_dir()
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    if not _have_sf01():
+        pytest.skip(f"sf0.1 testdata not present at {SF01_DIR}")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF01_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_sample_names_are_registered():
+    missing = [n for n in SF01_SAMPLE if n not in REGISTRY]
+    assert not missing, f"sf0.1 sample names not in registry: {missing}"
+    assert len(SF01_SAMPLE) >= 30
+
+
+@pytest.mark.parametrize("name", SF01_SAMPLE)
+def test_oracle_parity_sf01(spark, duck01, name):
+    spec = REGISTRY[name]
+    assert spec.oracle, f"{name} has no oracle"
+    assert_query_matches_oracle(
+        spark, duck01, spec.fn, spec.oracle, name=f"{name}@sf0.1", sf_dir=SF01_DIR
+    )
