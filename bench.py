@@ -18,6 +18,10 @@ r06 hygiene (VERDICT r05):
   can't lose it;
 - `--sf1` runs the standing sf1 decade gate: builds /tmp/sf1 via
   scripts/make_sf1.py if absent, skips micros, writes BENCH_SF1_LOCAL.json.
+- `--sf10` (r8) runs the THIRD decade: builds /tmp/sf10 (sf0.1 x100) via
+  scripts/make_sf10.py if absent, times the headline set + the 15
+  heaviest extra rows, writes BENCH_SF10_LOCAL.json. Gate it with
+  `python scripts/check_scaling.py --sf10` (sf1 -> sf10 ratios).
 """
 
 from __future__ import annotations
@@ -247,27 +251,53 @@ def _micro_benchmarks(spark) -> dict[str, dict[str, float]]:
     return out
 
 
-def _ensure_sf1() -> str:
-    """Build the sf1 decade dataset if absent (scripts/make_sf1.py output);
+def _ensure_sf(script: str, env_var: str, default_dir: str) -> str:
+    """Build a replicated scaling dataset if absent (scripts/make_sf*.py);
     returns its path. Presence of lineitem.parquet is the build marker."""
-    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-    if not Path(f"{sf1}/lineitem.parquet").exists():
+    d = os.environ.get(env_var, default_dir)
+    if not Path(f"{d}/lineitem.parquet").exists():
         import subprocess
 
-        print(f"building sf1 dataset at {sf1} ...", file=sys.stderr)
+        print(f"building dataset at {d} via {script} ...", file=sys.stderr)
         subprocess.run(
-            [sys.executable, str(REPO / "scripts" / "make_sf1.py")],
+            [sys.executable, str(REPO / "scripts" / script)],
             check=True,
             stdout=sys.stderr,
         )
-    return sf1
+    return d
+
+
+# sf10 third-decade subset (VERDICT r07 #7): the full headline set plus
+# the 15 heaviest extra rows by sf0.1 median — ~60M lineitem / ~350k docs
+# is where quadratic residue or spill would finally show.
+SF10_EXTRA = [
+    "dedup_semdedup_prune",
+    "curation_bpe_learn",
+    "sim_kmeans_assign",
+    "curation_bpe_apply",
+    "dedup_cluster_canonical",
+    "graph_pagerank_nations",
+    "tpcds_q14_cross_channel_items",
+    "tpcds_q49_return_ratio_ranks",
+    "fulltext_query_language",
+    "tpcds_q64_cross_year_sales",
+    "fulltext_hybrid_rrf",
+    "fulltext_bm25_search",
+    "fulltext_collapse_by_source",
+    "textstats_gopher_repetition",
+    "sim_pq_adc_topk",
+]
 
 
 def main() -> None:
     global SF_DIR
     sf1_mode = "--sf1" in sys.argv
+    sf10_mode = "--sf10" in sys.argv
     if sf1_mode:
-        SF_DIR = _ensure_sf1()
+        SF_DIR = _ensure_sf("make_sf1.py", "SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+        os.environ["SPARK_GRAFT_SKIP_MICRO"] = "1"
+    elif sf10_mode:
+        SF_DIR = _ensure_sf("make_sf10.py", "SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
         os.environ["SPARK_GRAFT_SKIP_MICRO"] = "1"
 
     # Reroute OS-level fd 1 to stderr for the Spark run: JVM-side writes to
@@ -277,7 +307,7 @@ def main() -> None:
     real_stdout_fd = os.dup(1)
     os.dup2(2, 1)
     try:
-        line = _run(sf1_mode)
+        line = _run(sf1_mode, sf10_mode)
     except BaseException as exc:
         # drain any Python-level output buffered during the redirected run
         # to stderr BEFORE switching fd 1 back — otherwise it would flush
@@ -305,7 +335,7 @@ def main() -> None:
     print(line, flush=True)
 
 
-def _run(sf1_mode: bool) -> str:
+def _run(sf1_mode: bool, sf10_mode: bool = False) -> str:
     from sparkfulltextquery_spark import get_spark
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(CPUS))
@@ -345,7 +375,9 @@ def _run(sf1_mode: bool) -> str:
         timings_best[name] = round(walls[0], 3)
 
     extra: dict[str, float] = {}
-    for name in EXTRA:
+    # sf10 mode times only the 15 heaviest extras — the third decade's
+    # question is super-linearity, not complete coverage
+    for name in (SF10_EXTRA if sf10_mode else EXTRA):
         if name not in qs:
             continue
         # release py-side refs from prior queries so the ContextCleaner can
@@ -385,7 +417,11 @@ def _run(sf1_mode: bool) -> str:
             "sf": sf,
         }
     )
-    out_name = "BENCH_SF1_LOCAL.json" if sf1_mode else "BENCH_LOCAL.json"
+    out_name = (
+        "BENCH_SF1_LOCAL.json"
+        if sf1_mode
+        else "BENCH_SF10_LOCAL.json" if sf10_mode else "BENCH_LOCAL.json"
+    )
     (REPO / out_name).write_text(full + "\n")
     # stdout contract line (VERDICT r06 #1): the driver keeps only the last
     # ~2.2 KB of stdout, so three rounds of the ~4.5 KB full line arrived

@@ -22,6 +22,12 @@ query (whose near-10× ratio is expected and correct).
 
 Run per round:
     python bench.py && python bench.py --sf1 && python scripts/check_scaling.py
+
+`--sf10` (r8, VERDICT r07 #7) gates the THIRD decade instead: ratios of
+BENCH_SF10_LOCAL.json over BENCH_SF1_LOCAL.json (sf1 -> sf10, another
+10x), same taxonomy — the headline set + 15 heaviest rows measured
+across sf0.1 -> sf1 -> sf10 turns the "100x-safe" claim into three
+measured decades.
 """
 from __future__ import annotations
 
@@ -31,10 +37,39 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
+# Documented super-linear classes (r8, surfaced by the first sf10 run —
+# the third decade doing exactly its job). Each entry is
+# (max_ratio_per_decade, reason); a row here classifies KNOWN instead of
+# ALARM while it stays UNDER its documented bound — past the bound it
+# still alarms. These are data/asymptotics facts, not implementation
+# passes:
+#   dedup_minhash_pairs — the row's OUTPUT is all verified near-dup
+#     pairs: on the replicated scaling corpus every doc's duplicate
+#     group grows 10x per decade, so intra-group pairs grow ~110x
+#     (measured: 250,600 -> 27,310,000 rows sf1->sf10 = 109x) while
+#     wall grew only 26x — sublinear in its own output. Any engine
+#     emitting all pairs pays output cardinality; the scale path for
+#     high-duplication corpora is dedup_cluster_canonical (min-
+#     representative, O(group) not O(group^2); measured 1.6x/decade on
+#     the same data).
+#   dedup_semdedup_prune — exact SemDeDup with k = sqrt(n) clusters is
+#     the brute-force optimum: assignment O(n*k) + within-cluster pairs
+#     O(n^2/k) minimize jointly at O(n^1.5) => 10^1.5 ~= 31.6x/decade
+#     theoretical; measured 18.9x. At 100 TB the IVF/ANN path replaces
+#     exact assignment (similarity/__init__.py) — documented there.
+KNOWN_SUPERLINEAR = {
+    "dedup_minhash_pairs": (120.0, "output-bound: pairs grow ~110x/decade"),
+    "dedup_semdedup_prune": (35.0, "O(n^1.5) exact-pairing optimum"),
+}
+
 
 def main() -> int:
-    a = json.loads((REPO / "BENCH_LOCAL.json").read_text())
-    b = json.loads((REPO / "BENCH_SF1_LOCAL.json").read_text())
+    if "--sf10" in sys.argv:
+        a = json.loads((REPO / "BENCH_SF1_LOCAL.json").read_text())
+        b = json.loads((REPO / "BENCH_SF10_LOCAL.json").read_text())
+    else:
+        a = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+        b = json.loads((REPO / "BENCH_SF1_LOCAL.json").read_text())
     rows = []
     for section in ("queries", "extra"):
         for k, v1 in b.get(section, {}).items():
@@ -47,6 +82,10 @@ def main() -> int:
             # granularity instead
             r = v1 / max(v0, 0.001)
             cls = "OK" if r <= 3.5 else ("LINEAR" if r <= 12 else "ALARM")
+            if cls == "ALARM" and k in KNOWN_SUPERLINEAR:
+                bound, reason = KNOWN_SUPERLINEAR[k]
+                if r <= bound:
+                    cls = f"KNOWN({reason})"
             rows.append((cls, r, k, v0, v1))
     if not rows:
         print(

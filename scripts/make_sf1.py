@@ -38,36 +38,58 @@ KEY_COLS = {
 SMALL = ["region", "nation"]  # O(25) dims: copied, not replicated
 
 
-def main() -> None:
+def replicate(src: str, dst: str, n_replicas: int, out_partitions: int = 32) -> None:
+    """Replicate a testdata directory ``n_replicas``x with disjoint key
+    offsets (shared by make_sf1 and make_sf10 — the sf10 build replicates
+    sf0.1 100x, so offsets top out at 99*OFF ≈ 1e10, well inside long).
+
+    Replicas are written in CHUNKS of ≤10 appended to the same directory:
+    the r8 sf10 build OOM'd the default driver heap on a single 100-way
+    union + one giant repartition shuffle; chunking bounds each shuffle
+    to sf1 size and the append leaves identical data. Driver heap is
+    raised explicitly (local mode = driver does everything)."""
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )
-    os.makedirs(DST, exist_ok=True)
+    os.makedirs(dst, exist_ok=True)
     for t in SMALL:
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        df.write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         print(t, df.count())
+    chunk = 10
+    n_chunks = (n_replicas + chunk - 1) // chunk
+    parts_per_chunk = max(8, out_partitions // n_chunks)
     for t, keys in KEY_COLS.items():
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        reps = []
-        for r in range(R):
-            rep = df
-            for kcol in keys:
-                rep = rep.withColumn(
-                    kcol,
-                    (F.col(kcol) + F.lit(r * OFF)).cast(df.schema[kcol].dataType),
-                )
-            reps.append(rep)
-        out = reps[0]
-        for rep in reps[1:]:
-            out = out.unionAll(rep)
-        out.repartition(32).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
-        print(t, spark.read.parquet(f"{DST}/{t}.parquet").count())
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        for lo in range(0, n_replicas, chunk):
+            reps = []
+            for r in range(lo, min(lo + chunk, n_replicas)):
+                rep = df
+                for kcol in keys:
+                    rep = rep.withColumn(
+                        kcol,
+                        (F.col(kcol) + F.lit(r * OFF)).cast(
+                            df.schema[kcol].dataType
+                        ),
+                    )
+                reps.append(rep)
+            out = reps[0]
+            for rep in reps[1:]:
+                out = out.unionAll(rep)
+            out.repartition(parts_per_chunk).write.mode(
+                "overwrite" if lo == 0 else "append"
+            ).parquet(f"{dst}/{t}.parquet")
+        print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
+
+
+def main() -> None:
+    replicate(SRC, DST, R)
 
 
 if __name__ == "__main__":
