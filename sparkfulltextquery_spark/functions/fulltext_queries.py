@@ -1003,7 +1003,30 @@ def fulltext_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _percolate_bool(rel: DataFrame, queries: list[tuple[int, str]]) -> DataFrame:
+def _exp_pred(key):
+    """Vocabulary predicate for an expansion-atom key — only ever applied
+    to a vocab relation (O(|vocab|) rows), never to postings."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    kind, arg = key
+    if kind == "prefix":
+        return F.col("term").startswith(arg)
+    if kind == "fuzzy":
+        zt, zd = arg
+        return F.levenshtein(F.col("term"), F.lit(zt)) <= zd
+    if kind == "range":
+        lo, hi = arg
+        return F.col("term").between(lo, hi)
+    if kind == "regex":
+        return F.col("term").rlike(QL.Regex(arg).anchored())
+    return F.col("term").like(QL.Wildcard(arg).like_pattern())
+
+
+def _percolate_bool(
+    rel: DataFrame,
+    queries: list[tuple[int, str]],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
     """Boolean-query percolation core (r8, VERDICT r07 #3): compile a
     registry of stored ARBITRARY boolean queries (AND/OR/NOT + term +
     phrase atoms, the querylang grammar) against ONE shared scan of a
@@ -1018,9 +1041,15 @@ def _percolate_bool(rel: DataFrame, queries: list[tuple[int, str]]) -> DataFrame
     (pure negation) would match every document outside the pruned scan,
     which a one-scan percolator cannot see; registration fails loudly.
     This matches the Elasticsearch percolator's requirement that stored
-    queries be matchable. Atom kinds beyond term/phrase are rejected
-    loudly (expansion atoms in stored queries would need per-registration
-    dictionary resolution — a documented non-goal here).
+    queries be matchable.
+
+    Expansion atoms (prefix/fuzzy/range/regex/wildcard) are supported
+    when a ``vocab`` relation is supplied (r8): each atom resolves to
+    concrete vocabulary terms at registration time through the same
+    bounded two-pass protocol as indexed search
+    (``resolve_expansions_over``, fail-loud ``max_expansions`` cap), so
+    the shared scan stays an equality ``isin``. Without ``vocab``,
+    expansion atoms are rejected loudly.
 
     Scale shape: the flag compilation is per-STORED-QUERY columns, right
     for registries up to O(10^3) queries; beyond that the conjunctive
@@ -1043,12 +1072,28 @@ def _percolate_bool(rel: DataFrame, queries: list[tuple[int, str]]) -> DataFrame
 
     terms: set[str] = set()
     phrases: set[tuple[str, int]] = set()
+    exp_keys: set[tuple] = set()
+
+    def _exp_key(n):
+        if isinstance(n, QL.Prefix):
+            return ("prefix", n.text)
+        if isinstance(n, QL.Fuzzy):
+            return ("fuzzy", (n.text, n.dist))
+        if isinstance(n, QL.TermRange):
+            return ("range", (n.lo, n.hi))
+        if isinstance(n, QL.Regex):
+            return ("regex", n.pattern)
+        if isinstance(n, QL.Wildcard):
+            return ("wild", n.pattern)
+        return None
 
     def walk(n):
         if isinstance(n, QL.Term):
             terms.add(n.text)
         elif isinstance(n, QL.Phrase):
             phrases.add((n.text, n.slop))
+        elif _exp_key(n) is not None and vocab is not None:
+            exp_keys.add(_exp_key(n))
         elif isinstance(n, QL.Not):
             walk(n.child)
         elif isinstance(n, (QL.And, QL.Or)):
@@ -1056,23 +1101,47 @@ def _percolate_bool(rel: DataFrame, queries: list[tuple[int, str]]) -> DataFrame
                 walk(c)
         else:
             raise ValueError(
-                f"percolator supports term/phrase/AND/OR/NOT atoms, "
+                f"percolator supports term/phrase/AND/OR/NOT atoms "
+                f"(+ expansion atoms when a vocab relation is supplied), "
                 f"got {type(n).__name__}"
             )
 
     for ast in asts.values():
         walk(ast)
 
+    expansion: dict = {}
+    if exp_keys:
+        from sparkfulltextquery_spark.functions.index import (
+            resolve_expansions_over,
+        )
+
+        expansion = resolve_expansions_over(
+            vocab.select("term"),
+            [(k, _exp_pred(k)) for k in sorted(exp_keys)],
+        )
+
     phrase_toks = {p: FT._py_tokenize(p[0]) for p in sorted(phrases)}
     ptok_union = sorted({t for ts in phrase_toks.values() for t in ts})
-    union = sorted(terms | set(ptok_union))
-    flag = {t: f"_t{i}" for i, t in enumerate(union)}
+    union = sorted(
+        terms | set(ptok_union) | {t for ts in expansion.values() for t in ts}
+    )
+    flag = {t: f"_t{i}" for i, t in enumerate(sorted(terms))}
+    eflag = {k: f"_e{i}" for i, k in enumerate(sorted(exp_keys))}
     slot = {t: f"_s{i}" for i, t in enumerate(ptok_union)}
 
     pruned = rel.filter(F.col("term").isin(union))
+
+    def _exp_isin(k):
+        ts = expansion.get(k, [])
+        return F.col("term").isin(ts) if ts else F.lit(False)
+
     aggs = [
         F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(c)
         for t, c in flag.items()
+    ]
+    aggs += [
+        F.max(F.when(_exp_isin(k), 1).otherwise(0)).alias(c)
+        for k, c in eflag.items()
     ]
     aggs += [
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
@@ -1104,6 +1173,8 @@ def _percolate_bool(rel: DataFrame, queries: list[tuple[int, str]]) -> DataFrame
     def as_col(n):
         if isinstance(n, QL.Term):
             return F.col(flag[n.text]) == 1
+        if _exp_key(n) is not None:
+            return F.col(eflag[_exp_key(n)]) == 1
         if isinstance(n, QL.Phrase):
             return phrase_col((n.text, n.slop))
         if isinstance(n, QL.Not):
@@ -1229,6 +1300,90 @@ def fulltext_percolate_bool_indexed(spark: SparkSession, sf_dir: str) -> DataFra
     _force_bucketed_scan(spark)
     rel = spark.table(f"{prefix}_postings").select("doc_id", "term", "positions")
     return _percolate_bool(rel, _PERCOLATE_BOOL_QUERIES)
+
+
+# stored percolator queries with EXPANSION atoms (r8): prefix, fuzzy,
+# range, wildcard, regex — resolved to concrete terms at registration
+_PERCOLATE_EXP_QUERIES = [
+    (1, "quer* AND spark"),
+    (2, "sparc~1 AND NOT vector"),
+    (3, "[batch TO data] AND join"),
+    (4, "s?ark OR /qu.ry/"),
+]
+
+_PERCOLATE_EXP_ORACLE = f"""
+    WITH {_POSTINGS_CTE},
+    flags AS (
+      SELECT doc_id,
+             max(CASE WHEN term LIKE 'quer%' THEN 1 ELSE 0 END) AS e_pfx,
+             max(CASE WHEN levenshtein(term, 'sparc') <= 1
+                 THEN 1 ELSE 0 END) AS e_fz,
+             max(CASE WHEN term BETWEEN 'batch' AND 'data'
+                 THEN 1 ELSE 0 END) AS e_rg,
+             max(CASE WHEN term LIKE 's_ark' THEN 1 ELSE 0 END) AS e_wd,
+             max(CASE WHEN regexp_matches(term, '^(qu.ry)$')
+                 THEN 1 ELSE 0 END) AS e_rx,
+             max(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS t_spark,
+             max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS t_vector,
+             max(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS t_join
+      FROM tfs GROUP BY doc_id
+    ),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN e_pfx = 1 AND t_spark = 1 THEN 1 ELSE 0 END AS m1,
+        CASE WHEN e_fz = 1 AND t_vector = 0 THEN 1 ELSE 0 END AS m2,
+        CASE WHEN e_rg = 1 AND t_join = 1 THEN 1 ELSE 0 END AS m3,
+        CASE WHEN e_wd = 1 OR e_rx = 1 THEN 1 ELSE 0 END AS m4
+      FROM flags
+    ),
+    agg AS (
+      SELECT 1 AS query_id, cast(sum(m1) AS bigint) AS n_docs,
+             min(CASE WHEN m1 = 1 THEN doc_id END) AS first_doc FROM m
+      UNION ALL
+      SELECT 2, cast(sum(m2) AS bigint),
+             min(CASE WHEN m2 = 1 THEN doc_id END) FROM m
+      UNION ALL
+      SELECT 3, cast(sum(m3) AS bigint),
+             min(CASE WHEN m3 = 1 THEN doc_id END) FROM m
+      UNION ALL
+      SELECT 4, cast(sum(m4) AS bigint),
+             min(CASE WHEN m4 = 1 THEN doc_id END) FROM m
+    )
+    SELECT query_id, n_docs, first_doc FROM agg
+    WHERE n_docs > 0 ORDER BY query_id
+    """
+
+
+@query("fulltext_percolate_expansion", oracle=_PERCOLATE_EXP_ORACLE)
+def fulltext_percolate_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation with EXPANSION atoms in the stored queries (r8): each
+    prefix/fuzzy/range/wildcard/regex atom resolves to concrete
+    vocabulary terms at registration time (the same bounded two-pass
+    dictionary protocol as indexed search — here over the corpus-derived
+    distinct-term relation), so the shared scan stays an equality isin
+    and matching stays one doc_id aggregation. No join, no per-query
+    corpus scan, no expansion predicate on the posting relation."""
+    d = load_table(spark, sf_dir, "documents")
+    rel = FT.positional_postings(d).select("doc_id", "term", "positions")
+    vocab = rel.select("term").distinct()
+    return _percolate_bool(rel, _PERCOLATE_EXP_QUERIES, vocab=vocab)
+
+
+@query("fulltext_percolate_expansion_indexed", oracle=_PERCOLATE_EXP_ORACLE)
+def fulltext_percolate_expansion_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expansion-atom percolation off the PERSISTED index: atoms resolve
+    against the df term dictionary (O(|vocab|) rows), the resolved union
+    prunes the posting scan to its buckets, stored positions are on hand
+    if phrases join the registry — the corpus is never touched."""
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    rel = spark.table(f"{prefix}_postings").select("doc_id", "term", "positions")
+    vocab = spark.table(f"{prefix}_df").select("term")
+    return _percolate_bool(rel, _PERCOLATE_EXP_QUERIES, vocab=vocab)
 
 
 @query("fulltext_percolate_indexed", oracle=_PERCOLATE_ORACLE)

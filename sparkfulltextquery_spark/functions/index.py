@@ -724,6 +724,19 @@ def resolve_expansions(
     if not atoms:
         return {}
     vocab = spark.table(f"{table_prefix}_df").select("term")
+    return resolve_expansions_over(vocab, atoms, max_expansions)
+
+
+def resolve_expansions_over(
+    vocab: DataFrame, atoms: list, max_expansions: int = MAX_EXPANSIONS
+) -> dict:
+    """The resolver core over ANY (term)-column vocabulary relation —
+    the persisted df table on the indexed path, or a corpus-derived
+    ``postings.select('term').distinct()`` on the inline path (the inline
+    caller pays one corpus-derived pass it was already paying as a
+    predicate scan; the win is the same bounded concrete-term list).
+    ``atoms`` is [(key, predicate Column)]. Same two-pass bounded
+    protocol and fail-loud cap as resolve_expansions."""
     counts = vocab.agg(
         *[
             F.sum(F.when(pred, 1).otherwise(0)).alias(f"_c{i}")

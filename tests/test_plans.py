@@ -898,3 +898,21 @@ def test_percolate_bool_one_scan_zero_join(spark):
         assert node not in plan, f"{node} leaked into the indexed plan"
     assert "SelectedBucketsCount" in plan, plan
     assert "documents" not in plan, plan
+
+def test_percolate_expansion_resolves_and_prunes(spark):
+    """Expansion-atom percolation (r8): stored prefix/fuzzy/range/wildcard/
+    regex queries resolve to concrete terms at registration — the shared
+    scan is equality-only (no expansion predicate anywhere in the plan)
+    and the indexed twin's posting scan bucket-prunes; both stay
+    zero-join one-scan shapes."""
+    for name in ("fulltext_percolate_expansion", "fulltext_percolate_expansion_indexed"):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"{node} leaked into {name}"
+    plan = physical_plan(_q(spark, "fulltext_percolate_expansion_indexed"))
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan
+    for pred in ("levenshtein", "LIKE ", "RLIKE", "StartsWith", "rlike("):
+        assert pred not in plan, f"expansion predicate {pred!r} leaked"
