@@ -1022,17 +1022,18 @@ def _exp_pred(key):
     return F.col("term").like(QL.Wildcard(arg).like_pattern())
 
 
-def _percolate_bool(
+def _percolate_compile(
     rel: DataFrame,
     queries: list[tuple[int, str]],
     vocab: DataFrame | None = None,
-) -> DataFrame:
+):
     """Boolean-query percolation core (r8, VERDICT r07 #3): compile a
     registry of stored ARBITRARY boolean queries (AND/OR/NOT + term +
     phrase atoms, the querylang grammar) against ONE shared scan of a
     positional posting relation — per-query match expressions fold as
-    columns into a single doc_id aggregation, then ONE global aggregation
-    computes every query's (n_docs, first_doc) together. No join, no
+    columns into a single doc_id aggregation. Returns ``(per_doc,
+    {query_id: match Column})``; the summary (_percolate_bool) and
+    alerting (percolate_matches) forms build on it. No join, no
     per-query corpus scan; the same flag machinery as search_indexed but
     with N stored queries sharing the flag/slot columns.
 
@@ -1186,22 +1187,67 @@ def _percolate_bool(
             out = out | as_col(c)
         return out
 
+    return per_doc, {qid: as_col(ast) for qid, ast in asts.items()}
+
+
+def _percolate_bool(
+    rel: DataFrame,
+    queries: list[tuple[int, str]],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Summary form of boolean percolation: every stored query's
+    (n_docs, first_doc) from ONE global aggregation over the compiled
+    per-doc flags — see _percolate_compile for the machinery and the
+    registration contract. Queries matching nothing are omitted."""
+    per_doc, match_of = _percolate_compile(rel, queries, vocab)
     outs = []
-    for qid, ast in asts.items():
-        m = as_col(ast)
+    for qid, m in match_of.items():
         outs.append(F.sum(F.when(m, 1).otherwise(0)).alias(f"_n{qid}"))
         outs.append(F.min(F.when(m, F.col("doc_id"))).alias(f"_f{qid}"))
     row = per_doc.agg(*outs)
-    stack_args = ", ".join(f"{qid}, _n{qid}, _f{qid}" for qid in asts)
+    stack_args = ", ".join(f"{qid}, _n{qid}, _f{qid}" for qid in match_of)
     return (
         row.select(
             F.expr(
-                f"stack({len(asts)}, {stack_args}) "
+                f"stack({len(match_of)}, {stack_args}) "
                 "as (query_id, n_docs, first_doc)"
             )
         )
         .filter(F.col("n_docs") > 0)
         .orderBy("query_id")
+    )
+
+
+def percolate_matches(
+    rel: DataFrame,
+    queries: list[tuple[int, str]],
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Alerting form of boolean percolation (r8): the full (query_id,
+    doc_id) match table instead of per-query summaries — the shape a
+    saved-search/alerting sink consumes (Elasticsearch percolator hits,
+    Lucene Monitor). Same compiled shared scan and per-doc flag
+    aggregation; each stored query contributes one indicator column and
+    the stack unpivots matches to rows. Matching is per-DOCUMENT (no
+    cross-document state), which is what makes streaming percolation
+    correct batch-by-batch: percolating each micro-batch's documents
+    independently yields exactly the batch result over the union."""
+    per_doc, match_of = _percolate_compile(rel, queries, vocab)
+    cols = [
+        F.when(m, F.lit(qid)).alias(f"_q{qid}") for qid, m in match_of.items()
+    ]
+    ids = per_doc.select("doc_id", *cols)
+    return (
+        ids.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.array(*[F.col(f"_q{qid}") for qid in match_of]),
+                    lambda q: q.isNotNull(),
+                )
+            ).alias("query_id"),
+        )
+        .select("query_id", "doc_id")
     )
 
 

@@ -990,3 +990,101 @@ def test_random_simple_queries_three_way_equivalence(spark, tmp_path):
             ).collect()
         ]
         assert inline == indexed, f"trial {trial}: {q}"
+
+
+def test_random_percolator_registries_three_way_equivalence(spark, tmp_path):
+    """Percolation fuzzer (r8): random registries of stored boolean queries
+    (term/phrase/prefix/fuzzy/range/regex/wildcard atoms under AND/OR/NOT)
+    percolated three ways — the inline positional relation, the persisted
+    index, and a pure-Python reference evaluator — must produce identical
+    (query_id, n_docs, first_doc) tables. Exercises the registration-time
+    dictionary resolution and the shared-scan flag compilation across
+    query shapes no hand-written row covers."""
+    import random
+
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import index as IX
+    from sparkfulltextquery_spark.functions import querylang as QL
+    from sparkfulltextquery_spark.functions.fulltext_queries import _percolate_bool
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    toks = {
+        r.doc_id: [t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t]
+        for r in rows
+    }
+    freq: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            freq[t] = freq.get(t, 0) + 1
+    vocab = sorted(t for t, c in freq.items() if c >= 5 and len(t) >= 3)[:200]
+    bigrams = sorted(
+        {
+            f"{ts[i]} {ts[i+1]}"
+            for ts in list(toks.values())[:100]
+            for i in range(len(ts) - 1)
+            if ts[i] in freq and len(ts[i]) >= 3 and len(ts[i + 1]) >= 3
+        }
+    )[:200]
+
+    PERC_ATOMS = (
+        QL.Term, QL.Phrase, QL.Prefix, QL.Fuzzy, QL.TermRange, QL.Regex,
+        QL.Wildcard, QL.And, QL.Or, QL.Not,
+    )
+
+    def perc_ok(n) -> bool:
+        if not isinstance(n, PERC_ATOMS):
+            return False
+        if isinstance(n, QL.Not):
+            return perc_ok(n.child)
+        if isinstance(n, (QL.And, QL.Or)):
+            return all(perc_ok(c) for c in n.children)
+        return True
+
+    rng = random.Random(20260815)
+    IX.build_index(docs, table_prefix="perc_idx", num_buckets=8,
+                   path=f"file://{tmp_path}/perc_idx")
+
+    inline_rel = FT.positional_postings(docs).select(
+        "doc_id", "term", "positions"
+    )
+    inline_vocab = inline_rel.select("term").distinct()
+    idx_rel = spark.table("perc_idx_postings").select(
+        "doc_id", "term", "positions"
+    )
+    idx_vocab = spark.table("perc_idx_df").select("term")
+
+    for trial in range(4):
+        registry = []
+        while len(registry) < 5:
+            ast = _rand_ast(rng, vocab, bigrams)
+            # re-parse through the grammar so stored text == parsed AST
+            parsed = QL.parse_query(_ast_to_query(ast))
+            if perc_ok(parsed) and not QL._eval_empty(parsed):
+                registry.append((len(registry) + 1, _ast_to_query(ast)))
+        expected = []
+        for qid, qtext in registry:
+            parsed = QL.parse_query(qtext)
+            hits = sorted(d for d, ts in toks.items() if _py_eval(parsed, ts))
+            if hits:
+                expected.append((qid, len(hits), hits[0]))
+        got_inline = sorted(
+            tuple(r)
+            for r in _percolate_bool(inline_rel, registry, vocab=inline_vocab)
+            .collect()
+        )
+        assert got_inline == expected, (
+            f"trial {trial} inline mismatch: {registry}\n"
+            f"got={got_inline}\nexp={expected}"
+        )
+        got_indexed = sorted(
+            tuple(r)
+            for r in _percolate_bool(idx_rel, registry, vocab=idx_vocab)
+            .collect()
+        )
+        assert got_indexed == expected, (
+            f"trial {trial} indexed mismatch: {registry}\n"
+            f"got={got_indexed}\nexp={expected}"
+        )

@@ -846,3 +846,85 @@ def test_python_stream_source_feeds_windowed_agg(spark, tmp_path):
     assert len(got) > 4
     # the stream really ran as multiple micro-batches (600 rows / 150)
     assert q.lastProgress is not None
+
+
+def test_streaming_percolation_alerts_equal_batch(spark, tmp_path):
+    """Streaming percolation / saved-search alerting (r8): documents
+    arrive in micro-batches; each batch is percolated against the stored
+    boolean-query registry (percolate_matches — per-DOCUMENT matching has
+    no cross-document state, so batch-wise evaluation is exact) and the
+    (batch_id, query_id, doc_id) alerts append to a log. After the drain,
+    the alert log must equal batch percolation over the full corpus —
+    no duplicate alerts, no missed ones — and survive a restart cycle
+    via the checkpoint."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions.fulltext_queries import (
+        percolate_matches,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    registry = [
+        (1, "(spark AND join) AND NOT vector"),
+        (2, '"data query" AND window'),
+        (3, "quer* AND batch"),
+    ]
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = f"file://{tmp_path}/p_src"
+    out = f"{tmp_path}/p_alerts"
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def alert_sink(batch_df, batch_id):
+        rel = FT.positional_postings(batch_df).select(
+            "doc_id", "term", "positions"
+        )
+        vocab = rel.select("term").distinct()
+        (
+            percolate_matches(rel, registry, vocab=vocab)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"file://{out}/batch={batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(alert_sink)
+        .option("checkpointLocation", f"file://{tmp_path}/p_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.query_id, r.doc_id)
+        for r in spark.read.parquet(f"file://{out}").collect()
+    }
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    want = {
+        (r.query_id, r.doc_id)
+        for r in percolate_matches(
+            rel, registry, vocab=rel.select("term").distinct()
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    # restart with no new data: checkpoint replays nothing, alerts stable
+    q2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(alert_sink)
+        .option("checkpointLocation", f"file://{tmp_path}/p_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got2 = {
+        (r.query_id, r.doc_id)
+        for r in spark.read.parquet(f"file://{out}").collect()
+    }
+    assert got2 == want
