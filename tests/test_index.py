@@ -650,3 +650,26 @@ def test_compaction_crash_never_exposes_half_merged_index(spark, tmp_path):
     assert got_after_publish == before
     # the published generation is the compacted one: single segment
     assert glob.glob(f"{root}/gen-2/_SUCCESS")
+
+
+def test_expansion_atoms_matching_nothing(spark, index_tables):
+    """Expansion atoms that match NO vocabulary term must behave as
+    always-false flags, not errors: a non-matching wildcard OR'd with a
+    real term still returns the term's docs; a query that is ONLY a
+    non-matching expansion returns empty cleanly (the pruned scan is
+    the empty equality isin)."""
+    from sparkfulltextquery_spark.functions.index import search_indexed
+
+    some = search_indexed(
+        spark, "zzzqqqxx* OR spark", k=5, table_prefix="t_idx"
+    ).collect()
+    assert len(some) > 0
+    none = search_indexed(spark, "zzzqqqxx*", k=5, table_prefix="t_idx").collect()
+    assert none == []
+    # fuzzy with no vocabulary term in range, under a NOT: pure negation
+    # of a no-match atom matches everything (cold path, universe-backed)
+    allofem = search_indexed(
+        spark, "NOT zzzqqqxx*", k=10**6, table_prefix="t_idx"
+    ).count()
+    n_docs = spark.table("t_idx_dl").count()
+    assert allofem == n_docs
