@@ -1251,6 +1251,58 @@ def percolate_matches(
     )
 
 
+def register_percolator_queries(
+    spark: SparkSession,
+    queries: list[tuple[int, str]],
+    table: str = "sftq_percolator",
+    vocab: DataFrame | None = None,
+) -> str:
+    """Persist a percolator registry as a TABLE (Elasticsearch stores
+    percolator queries in an index; Lucene Monitor in a query store) —
+    with the validation contract enforced at WRITE time, where a real
+    alerting system wants the failure: every query must parse, have a
+    positive atom (matchable), use only supported atom kinds, and — when
+    a ``vocab`` relation is supplied — its expansion atoms must resolve
+    under the ``max_expansions`` cap. A bad stored query rejected at
+    percolate time would silently take the whole registry down with it.
+
+    The registry is intentionally small relative to the corpus (thousands
+    of queries vs billions of documents); readers collect it to the
+    driver to compile the shared-scan plan, the same bounded transfer as
+    ES loading stored queries into the percolator's memory index."""
+    _percolate_compile(
+        spark.createDataFrame(
+            [], "doc_id long, term string, positions array<int>"
+        ),
+        queries,
+        vocab,
+    )
+    (
+        spark.createDataFrame(queries, "query_id int, query string")
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def percolate_from_table(
+    spark: SparkSession,
+    rel: DataFrame,
+    table: str = "sftq_percolator",
+    vocab: DataFrame | None = None,
+    matches: bool = False,
+) -> DataFrame:
+    """Percolate against a PERSISTED registry table: read the (bounded)
+    stored queries back, compile, and run — the summary form by default,
+    the (query_id, doc_id) alerting table with ``matches=True``."""
+    stored = [
+        (int(r.query_id), r.query)
+        for r in spark.table(table).orderBy("query_id").collect()
+    ]
+    fn = percolate_matches if matches else _percolate_bool
+    return fn(rel, stored, vocab=vocab)
+
+
 # stored percolator queries: arbitrary boolean (AND/OR/NOT + phrase)
 _PERCOLATE_BOOL_QUERIES = [
     (1, "(spark AND join) AND NOT vector"),
@@ -1317,6 +1369,56 @@ _PERCOLATE_BOOL_ORACLE = f"""
     SELECT query_id, n_docs, first_doc FROM agg
     WHERE n_docs > 0 ORDER BY query_id
     """
+
+# the alerting form's oracle shares every CTE up to `m` with the summary
+# form; only the final projection differs ((query_id, doc_id) rows)
+_PERCOLATE_ALERTS_ORACLE = (
+    _PERCOLATE_BOOL_ORACLE.split("    agg AS (")[0].rstrip().rstrip(",")
+    + """
+    SELECT query_id, doc_id FROM (
+      SELECT 1 AS query_id, doc_id FROM m WHERE m1 = 1
+      UNION ALL SELECT 2, doc_id FROM m WHERE m2 = 1
+      UNION ALL SELECT 3, doc_id FROM m WHERE m3 = 1
+      UNION ALL SELECT 4, doc_id FROM m WHERE m4 = 1
+      UNION ALL SELECT 5, doc_id FROM m WHERE m5 = 1
+    ) ORDER BY query_id, doc_id
+    """
+)
+
+
+@query("fulltext_percolate_alerts", oracle=_PERCOLATE_ALERTS_ORACLE)
+def fulltext_percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ALERTING form of boolean percolation (r8): the full (query_id,
+    doc_id) match table — what a saved-search sink consumes — from the
+    same one-scan flag compilation; the per-query indicator columns
+    unpivot to rows instead of aggregating to summaries."""
+    d = load_table(spark, sf_dir, "documents")
+    rel = FT.positional_postings(d).select("doc_id", "term", "positions")
+    return percolate_matches(rel, _PERCOLATE_BOOL_QUERIES).orderBy(
+        "query_id", "doc_id"
+    )
+
+
+@query("fulltext_percolate_alerts_indexed", oracle=_PERCOLATE_ALERTS_ORACLE)
+def fulltext_percolate_alerts_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alerting percolation off the PERSISTED index — with the registry
+    read back from a persisted query TABLE (register_percolator_queries →
+    percolate_from_table): stored queries validated at write time, the
+    posting scan bucket-pruned to their term union, matches unpivoted to
+    (query_id, doc_id) rows. The full production alerting path."""
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    table = register_percolator_queries(
+        spark, _PERCOLATE_BOOL_QUERIES, table=f"{prefix}_percolator"
+    )
+    rel = spark.table(f"{prefix}_postings").select("doc_id", "term", "positions")
+    return percolate_from_table(spark, rel, table=table, matches=True).orderBy(
+        "query_id", "doc_id"
+    )
 
 
 @query("fulltext_percolate_bool", oracle=_PERCOLATE_BOOL_ORACLE)

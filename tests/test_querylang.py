@@ -814,3 +814,32 @@ def test_percolate_bool_rejects_bad_registrations(spark):
         _percolate_bool(rel, [(1, "NOT spark")])
     with pytest.raises(ValueError, match="percolator supports"):
         _percolate_bool(rel, [(1, "spar*")])
+
+
+def test_percolator_table_registration_validates_at_write(spark):
+    """Persisted percolator registry (r8): registration validates the
+    contract at WRITE time — a pure-negation or unsupported-atom stored
+    query is rejected before anything is persisted; a valid registry
+    round-trips through the table and percolates identically to the
+    in-memory list."""
+    import pytest
+
+    from sparkfulltextquery_spark.functions.fulltext_queries import (
+        _percolate_bool,
+        percolate_from_table,
+        register_percolator_queries,
+    )
+
+    rel = spark.createDataFrame(
+        [(1, "spark", [0]), (1, "join", [1]), (2, "vector", [0])],
+        "doc_id long, term string, positions array<int>",
+    )
+    with pytest.raises(ValueError, match="positive atom"):
+        register_percolator_queries(spark, [(1, "NOT spark")], table="t_perc_bad")
+    assert not spark.catalog.tableExists("t_perc_bad")
+
+    queries = [(1, "spark AND join"), (2, "vector OR spark")]
+    t = register_percolator_queries(spark, queries, table="t_perc_ok")
+    direct = [tuple(r) for r in _percolate_bool(rel, queries).collect()]
+    via_table = [tuple(r) for r in percolate_from_table(spark, rel, t).collect()]
+    assert via_table == direct and len(direct) == 2
