@@ -1277,6 +1277,18 @@ def register_percolator_queries(
         queries,
         vocab,
     )
+    # overwrite must also adopt a managed location ORPHANED by another
+    # session/process (catalog metadata is per-session in-memory here,
+    # the warehouse directory is not) — saveAsTable refuses an existing
+    # unowned directory (LOCATION_ALREADY_EXISTS), so drop + delete the
+    # leftover through the Hadoop FS API (portable to HDFS/S3A)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark.sparkContext._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     (
         spark.createDataFrame(queries, "query_id int, query string")
         .write.mode("overwrite")

@@ -916,3 +916,18 @@ def test_percolate_expansion_resolves_and_prunes(spark):
     assert "documents" not in plan, plan
     for pred in ("levenshtein", "LIKE ", "RLIKE", "StartsWith", "rlike("):
         assert pred not in plan, f"expansion predicate {pred!r} leaked"
+
+def test_percolate_alerts_one_scan_zero_join(spark):
+    """Alerting percolation (r8): both forms keep the one-scan zero-join
+    shape; the indexed form (through the persisted registry table)
+    bucket-prunes and never touches the corpus — the registry read is a
+    bounded driver collect, not a join."""
+    for name in ("fulltext_percolate_alerts", "fulltext_percolate_alerts_indexed"):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                     "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert node not in plan, f"{node} leaked into {name}"
+    plan = physical_plan(_q(spark, "fulltext_percolate_alerts_indexed"))
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan
