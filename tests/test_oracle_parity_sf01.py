@@ -71,6 +71,8 @@ SF01_SAMPLE = [
     "fulltext_dismax_indexed",
     "fulltext_hybrid_rrf_indexed",
     "fulltext_percolate_bool_indexed",
+    "fulltext_percolate_alerts_indexed",
+    "fulltext_percolate_expansion_indexed",
     "fulltext_phrase_search_indexed",
     # heavy text pipelines
     "curation_bpe_learn",

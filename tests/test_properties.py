@@ -1088,3 +1088,75 @@ def test_random_percolator_registries_three_way_equivalence(spark, tmp_path):
             f"trial {trial} indexed mismatch: {registry}\n"
             f"got={got_indexed}\nexp={expected}"
         )
+
+
+def test_resolver_core_property_dictionary_equals_bruteforce(spark):
+    """Property test for resolve_expansions_over (r8): over random
+    synthetic vocabularies, the dictionary-resolved term list for every
+    expansion kind must equal brute-force Python evaluation of the same
+    predicate, and the max_expansions gate must fire exactly when the
+    true match count exceeds the cap."""
+    import random
+
+    from sparkfulltextquery_spark.functions import querylang as QL
+    from sparkfulltextquery_spark.functions.index import resolve_expansions_over
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260816)
+    alphabet = "abcdef"
+    for trial in range(3):
+        vocab_terms = sorted(
+            {
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 6)))
+                for _ in range(300)
+            }
+        )
+        vocab = spark.createDataFrame([(t,) for t in vocab_terms], "term string")
+        pfx = rng.choice(vocab_terms)[:2]
+        zt = rng.choice(vocab_terms)
+        lo, hi = sorted(rng.sample(vocab_terms, 2))
+        wild = pfx + "?" + "*"
+        atoms = [
+            (("prefix", pfx), F.col("term").startswith(pfx)),
+            (("fuzzy", (zt, 1)), F.levenshtein(F.col("term"), F.lit(zt)) <= 1),
+            (("range", (lo, hi)), F.col("term").between(lo, hi)),
+            (
+                ("wild", wild),
+                F.col("term").like(QL.Wildcard(wild).like_pattern()),
+            ),
+        ]
+        got = resolve_expansions_over(vocab, atoms, max_expansions=10**6)
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        want = {
+            ("prefix", pfx): [t for t in vocab_terms if t.startswith(pfx)],
+            ("fuzzy", (zt, 1)): [t for t in vocab_terms if lev(t, zt) <= 1],
+            ("range", (lo, hi)): [t for t in vocab_terms if lo <= t <= hi],
+            ("wild", wild): [
+                t
+                for t in vocab_terms
+                if re.fullmatch(wild.replace("*", ".*").replace("?", "."), t)
+            ],
+        }
+        assert got == want, (trial, pfx, zt, lo, hi, wild)
+
+        # the cap fires exactly when the true count exceeds it
+        n_pfx = len(want[("prefix", pfx)])
+        if n_pfx > 1:
+            with pytest.raises(ValueError, match="max_expansions"):
+                resolve_expansions_over(
+                    vocab, atoms[:1], max_expansions=n_pfx - 1
+                )
+        resolve_expansions_over(vocab, atoms[:1], max_expansions=n_pfx)
