@@ -933,645 +933,13 @@ def fulltext_highlight_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# stored percolator queries: (query_id, required terms) — conjunctive
-_PERCOLATE_QUERIES = [
-    (1, ["join", "spark"]),
-    (2, ["vector"]),
-    (3, ["batch", "window"]),
-    (4, ["data", "query"]),
-    (5, ["merge", "spark", "stream"]),
-]
-
-_PERCOLATE_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    q AS (
-      SELECT * FROM (VALUES
-        (1, 'join'), (1, 'spark'),
-        (2, 'vector'),
-        (3, 'batch'), (3, 'window'),
-        (4, 'data'), (4, 'query'),
-        (5, 'merge'), (5, 'spark'), (5, 'stream')
-      ) AS t(query_id, term)
-    ),
-    qsize AS (SELECT query_id, count(*) AS n_req FROM q GROUP BY query_id),
-    hit AS (
-      SELECT t.doc_id, q.query_id, count(*) AS n_matched
-      FROM tfs t JOIN q USING (term)
-      GROUP BY t.doc_id, q.query_id
-    )
-    SELECT h.query_id,
-           count(*) AS n_docs,
-           min(h.doc_id) AS first_doc
-    FROM hit h JOIN qsize s USING (query_id)
-    WHERE h.n_matched = s.n_req
-    GROUP BY h.query_id
-    ORDER BY h.query_id
-    """
-
-
-@query("fulltext_percolate", oracle=_PERCOLATE_ORACLE)
-def fulltext_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percolation — REVERSE search (the Elasticsearch percolator / Lucene
-    Monitor surface): a registry of stored conjunctive queries is matched
-    against every document; for each stored query, how many documents
-    (and which first) satisfy ALL its terms. The classic alerting /
-    saved-search primitive.
-
-    Scale shape: the stored-query term table is tiny and BROADCAST into
-    the posting relation (at deploy scale, thousands of stored queries
-    still broadcast); matching is one (doc, query) hash aggregation with
-    the conjunction tested as matched-count == required-count — never a
-    per-query corpus scan."""
-    d = load_table(spark, sf_dir, "documents")
-    q = spark.createDataFrame(
-        [(qid, t) for qid, terms in _PERCOLATE_QUERIES for t in terms],
-        "query_id int, term string",
-    )
-    qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
-    post = FT.postings(d)
-    hit = (
-        post.join(F.broadcast(q), "term")
-        .groupBy("doc_id", "query_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
-    return (
-        hit.join(F.broadcast(qsize), "query_id")
-        .filter(F.col("n_matched") == F.col("n_req"))
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
-        .orderBy("query_id")
-    )
-
-
-def _exp_pred(key):
-    """Vocabulary predicate for an expansion-atom key — only ever applied
-    to a vocab relation (O(|vocab|) rows), never to postings."""
-    from sparkfulltextquery_spark.functions import querylang as QL
-
-    kind, arg = key
-    if kind == "prefix":
-        return F.col("term").startswith(arg)
-    if kind == "fuzzy":
-        zt, zd = arg
-        return F.levenshtein(F.col("term"), F.lit(zt)) <= zd
-    if kind == "range":
-        lo, hi = arg
-        return F.col("term").between(lo, hi)
-    if kind == "regex":
-        return F.col("term").rlike(QL.Regex(arg).anchored())
-    return F.col("term").like(QL.Wildcard(arg).like_pattern())
-
-
-def _percolate_compile(
-    rel: DataFrame,
-    queries: list[tuple[int, str]],
-    vocab: DataFrame | None = None,
-):
-    """Boolean-query percolation core (r8, VERDICT r07 #3): compile a
-    registry of stored ARBITRARY boolean queries (AND/OR/NOT + term +
-    phrase atoms, the querylang grammar) against ONE shared scan of a
-    positional posting relation — per-query match expressions fold as
-    columns into a single doc_id aggregation. Returns ``(per_doc,
-    {query_id: match Column})``; the summary (_percolate_bool) and
-    alerting (percolate_matches) forms build on it. No join, no
-    per-query corpus scan; the same flag machinery as search_indexed but
-    with N stored queries sharing the flag/slot columns.
-
-    Contract: every stored query must have at least one positive atom
-    (``_eval_empty`` false) — a query satisfiable by the EMPTY document
-    (pure negation) would match every document outside the pruned scan,
-    which a one-scan percolator cannot see; registration fails loudly.
-    This matches the Elasticsearch percolator's requirement that stored
-    queries be matchable.
-
-    Expansion atoms (prefix/fuzzy/range/regex/wildcard) are supported
-    when a ``vocab`` relation is supplied (r8): each atom resolves to
-    concrete vocabulary terms at registration time through the same
-    bounded two-pass protocol as indexed search
-    (``resolve_expansions_over``, fail-loud ``max_expansions`` cap), so
-    the shared scan stays an equality ``isin``. Without ``vocab``,
-    expansion atoms are rejected loudly.
-
-    Scale shape: the flag compilation is per-STORED-QUERY columns, right
-    for registries up to O(10^3) queries; beyond that the conjunctive
-    broadcast-join form (fulltext_percolate) partitions the registry.
-    ``rel`` must expose (doc_id, term, positions)."""
-    from sparkfulltextquery_spark.functions import querylang as QL
-    from sparkfulltextquery_spark.functions.fulltext import slop_starts_expr
-    from sparkfulltextquery_spark.functions.index import reduce_and
-
-    asts: dict[int, object] = {}
-    for qid, qs in queries:
-        ast = QL.parse_query(qs)
-        if QL._eval_empty(ast):
-            raise ValueError(
-                f"stored percolator query {qid} ({qs!r}) is satisfiable by "
-                "the empty document (pure negation) — percolator queries "
-                "need at least one positive atom"
-            )
-        asts[qid] = ast
-
-    terms: set[str] = set()
-    phrases: set[tuple[str, int]] = set()
-    exp_keys: set[tuple] = set()
-
-    def _exp_key(n):
-        if isinstance(n, QL.Prefix):
-            return ("prefix", n.text)
-        if isinstance(n, QL.Fuzzy):
-            return ("fuzzy", (n.text, n.dist))
-        if isinstance(n, QL.TermRange):
-            return ("range", (n.lo, n.hi))
-        if isinstance(n, QL.Regex):
-            return ("regex", n.pattern)
-        if isinstance(n, QL.Wildcard):
-            return ("wild", n.pattern)
-        return None
-
-    def walk(n):
-        if isinstance(n, QL.Term):
-            terms.add(n.text)
-        elif isinstance(n, QL.Phrase):
-            phrases.add((n.text, n.slop))
-        elif _exp_key(n) is not None and vocab is not None:
-            exp_keys.add(_exp_key(n))
-        elif isinstance(n, QL.Not):
-            walk(n.child)
-        elif isinstance(n, (QL.And, QL.Or)):
-            for c in n.children:
-                walk(c)
-        else:
-            raise ValueError(
-                f"percolator supports term/phrase/AND/OR/NOT atoms "
-                f"(+ expansion atoms when a vocab relation is supplied), "
-                f"got {type(n).__name__}"
-            )
-
-    for ast in asts.values():
-        walk(ast)
-
-    expansion: dict = {}
-    if exp_keys:
-        from sparkfulltextquery_spark.functions.index import (
-            resolve_expansions_over,
-        )
-
-        expansion = resolve_expansions_over(
-            vocab.select("term"),
-            [(k, _exp_pred(k)) for k in sorted(exp_keys)],
-        )
-
-    phrase_toks = {p: FT._py_tokenize(p[0]) for p in sorted(phrases)}
-    ptok_union = sorted({t for ts in phrase_toks.values() for t in ts})
-    union = sorted(
-        terms | set(ptok_union) | {t for ts in expansion.values() for t in ts}
-    )
-    flag = {t: f"_t{i}" for i, t in enumerate(sorted(terms))}
-    eflag = {k: f"_e{i}" for i, k in enumerate(sorted(exp_keys))}
-    slot = {t: f"_s{i}" for i, t in enumerate(ptok_union)}
-
-    pruned = rel.filter(F.col("term").isin(union))
-
-    def _exp_isin(k):
-        ts = expansion.get(k, [])
-        return F.col("term").isin(ts) if ts else F.lit(False)
-
-    aggs = [
-        F.max(F.when(F.col("term") == t, 1).otherwise(0)).alias(c)
-        for t, c in flag.items()
-    ]
-    aggs += [
-        F.max(F.when(_exp_isin(k), 1).otherwise(0)).alias(c)
-        for k, c in eflag.items()
-    ]
-    aggs += [
-        F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
-        for t, c in slot.items()
-    ]
-    per_doc = pruned.groupBy("doc_id").agg(*aggs)
-
-    def phrase_col(p):
-        toks = phrase_toks[p]
-        slop = p[1]
-        slots = [slot[t] for t in toks]
-        present = reduce_and([F.col(c).isNotNull() for c in slots])
-        if slop:
-            starts = slop_starts_expr(
-                {t: F.col(slot[t]) for t in set(toks)}, toks, slop
-            )
-        else:
-            starts = F.filter(
-                F.col(slots[0]),
-                lambda x: reduce_and(
-                    [
-                        F.array_contains(F.col(c), x + F.lit(i))
-                        for i, c in enumerate(slots[1:], start=1)
-                    ]
-                ),
-            )
-        return present & (F.size(starts) > 0)
-
-    def as_col(n):
-        if isinstance(n, QL.Term):
-            return F.col(flag[n.text]) == 1
-        if _exp_key(n) is not None:
-            return F.col(eflag[_exp_key(n)]) == 1
-        if isinstance(n, QL.Phrase):
-            return phrase_col((n.text, n.slop))
-        if isinstance(n, QL.Not):
-            return ~as_col(n.child)
-        if isinstance(n, QL.And):
-            return reduce_and([as_col(c) for c in n.children])
-        out = as_col(n.children[0])
-        for c in n.children[1:]:
-            out = out | as_col(c)
-        return out
-
-    return per_doc, {qid: as_col(ast) for qid, ast in asts.items()}
-
-
-def _percolate_bool(
-    rel: DataFrame,
-    queries: list[tuple[int, str]],
-    vocab: DataFrame | None = None,
-) -> DataFrame:
-    """Summary form of boolean percolation: every stored query's
-    (n_docs, first_doc) from ONE global aggregation over the compiled
-    per-doc flags — see _percolate_compile for the machinery and the
-    registration contract. Queries matching nothing are omitted."""
-    per_doc, match_of = _percolate_compile(rel, queries, vocab)
-    outs = []
-    for qid, m in match_of.items():
-        outs.append(F.sum(F.when(m, 1).otherwise(0)).alias(f"_n{qid}"))
-        outs.append(F.min(F.when(m, F.col("doc_id"))).alias(f"_f{qid}"))
-    row = per_doc.agg(*outs)
-    stack_args = ", ".join(f"{qid}, _n{qid}, _f{qid}" for qid in match_of)
-    return (
-        row.select(
-            F.expr(
-                f"stack({len(match_of)}, {stack_args}) "
-                "as (query_id, n_docs, first_doc)"
-            )
-        )
-        .filter(F.col("n_docs") > 0)
-        .orderBy("query_id")
-    )
-
-
-def percolate_matches(
-    rel: DataFrame,
-    queries: list[tuple[int, str]],
-    vocab: DataFrame | None = None,
-) -> DataFrame:
-    """Alerting form of boolean percolation (r8): the full (query_id,
-    doc_id) match table instead of per-query summaries — the shape a
-    saved-search/alerting sink consumes (Elasticsearch percolator hits,
-    Lucene Monitor). Same compiled shared scan and per-doc flag
-    aggregation; each stored query contributes one indicator column and
-    the stack unpivots matches to rows. Matching is per-DOCUMENT (no
-    cross-document state), which is what makes streaming percolation
-    correct batch-by-batch: percolating each micro-batch's documents
-    independently yields exactly the batch result over the union."""
-    per_doc, match_of = _percolate_compile(rel, queries, vocab)
-    cols = [
-        F.when(m, F.lit(qid)).alias(f"_q{qid}") for qid, m in match_of.items()
-    ]
-    ids = per_doc.select("doc_id", *cols)
-    return (
-        ids.select(
-            "doc_id",
-            F.explode(
-                F.filter(
-                    F.array(*[F.col(f"_q{qid}") for qid in match_of]),
-                    lambda q: q.isNotNull(),
-                )
-            ).alias("query_id"),
-        )
-        .select("query_id", "doc_id")
-    )
-
-
-def register_percolator_queries(
-    spark: SparkSession,
-    queries: list[tuple[int, str]],
-    table: str = "sftq_percolator",
-    vocab: DataFrame | None = None,
-) -> str:
-    """Persist a percolator registry as a TABLE (Elasticsearch stores
-    percolator queries in an index; Lucene Monitor in a query store) —
-    with the validation contract enforced at WRITE time, where a real
-    alerting system wants the failure: every query must parse, have a
-    positive atom (matchable), use only supported atom kinds, and — when
-    a ``vocab`` relation is supplied — its expansion atoms must resolve
-    under the ``max_expansions`` cap. A bad stored query rejected at
-    percolate time would silently take the whole registry down with it.
-
-    The registry is intentionally small relative to the corpus (thousands
-    of queries vs billions of documents); readers collect it to the
-    driver to compile the shared-scan plan, the same bounded transfer as
-    ES loading stored queries into the percolator's memory index."""
-    _percolate_compile(
-        spark.createDataFrame(
-            [], "doc_id long, term string, positions array<int>"
-        ),
-        queries,
-        vocab,
-    )
-    # overwrite must also adopt a managed location ORPHANED by another
-    # session/process (catalog metadata is per-session in-memory here,
-    # the warehouse directory is not) — saveAsTable refuses an existing
-    # unowned directory (LOCATION_ALREADY_EXISTS), so drop + delete the
-    # leftover through the Hadoop FS API (portable to HDFS/S3A)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    jvm = spark.sparkContext._jvm
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
-    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
-    (
-        spark.createDataFrame(queries, "query_id int, query string")
-        .write.mode("overwrite")
-        .saveAsTable(table)
-    )
-    return table
-
-
-def percolate_from_table(
-    spark: SparkSession,
-    rel: DataFrame,
-    table: str = "sftq_percolator",
-    vocab: DataFrame | None = None,
-    matches: bool = False,
-) -> DataFrame:
-    """Percolate against a PERSISTED registry table: read the (bounded)
-    stored queries back, compile, and run — the summary form by default,
-    the (query_id, doc_id) alerting table with ``matches=True``."""
-    stored = [
-        (int(r.query_id), r.query)
-        for r in spark.table(table).orderBy("query_id").collect()
-    ]
-    fn = percolate_matches if matches else _percolate_bool
-    return fn(rel, stored, vocab=vocab)
-
-
-# stored percolator queries: arbitrary boolean (AND/OR/NOT + phrase)
-_PERCOLATE_BOOL_QUERIES = [
-    (1, "(spark AND join) AND NOT vector"),
-    (2, "vector OR stream"),
-    (3, '"data query" AND window'),
-    (4, 'batch AND NOT "spark join"'),
-    (5, "(merge OR stream) AND spark"),
-]
-
-_PERCOLATE_BOOL_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    pos AS (
-      SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
-      FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-    ),
-    flags AS (
-      SELECT doc_id,
-             max(CASE WHEN term = 'batch'  THEN 1 ELSE 0 END) AS t_batch,
-             max(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS t_join,
-             max(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) AS t_merge,
-             max(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS t_spark,
-             max(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS t_stream,
-             max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS t_vector,
-             max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS t_window
-      FROM tfs GROUP BY doc_id
-    ),
-    ph_dq AS (
-      SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
-      WHERE a.term = 'data' AND b.term = 'query' AND b.pos = a.pos + 1
-    ),
-    ph_sj AS (
-      SELECT DISTINCT a.doc_id FROM pos a JOIN pos b USING (doc_id)
-      WHERE a.term = 'spark' AND b.term = 'join' AND b.pos = a.pos + 1
-    ),
-    m AS (
-      SELECT f.doc_id,
-        CASE WHEN t_spark = 1 AND t_join = 1 AND t_vector = 0
-             THEN 1 ELSE 0 END AS m1,
-        CASE WHEN t_vector = 1 OR t_stream = 1 THEN 1 ELSE 0 END AS m2,
-        CASE WHEN f.doc_id IN (SELECT doc_id FROM ph_dq) AND t_window = 1
-             THEN 1 ELSE 0 END AS m3,
-        CASE WHEN t_batch = 1 AND f.doc_id NOT IN (SELECT doc_id FROM ph_sj)
-             THEN 1 ELSE 0 END AS m4,
-        CASE WHEN (t_merge = 1 OR t_stream = 1) AND t_spark = 1
-             THEN 1 ELSE 0 END AS m5
-      FROM flags f
-    ),
-    agg AS (
-      SELECT 1 AS query_id, cast(sum(m1) AS bigint) AS n_docs,
-             min(CASE WHEN m1 = 1 THEN doc_id END) AS first_doc FROM m
-      UNION ALL
-      SELECT 2, cast(sum(m2) AS bigint),
-             min(CASE WHEN m2 = 1 THEN doc_id END) FROM m
-      UNION ALL
-      SELECT 3, cast(sum(m3) AS bigint),
-             min(CASE WHEN m3 = 1 THEN doc_id END) FROM m
-      UNION ALL
-      SELECT 4, cast(sum(m4) AS bigint),
-             min(CASE WHEN m4 = 1 THEN doc_id END) FROM m
-      UNION ALL
-      SELECT 5, cast(sum(m5) AS bigint),
-             min(CASE WHEN m5 = 1 THEN doc_id END) FROM m
-    )
-    SELECT query_id, n_docs, first_doc FROM agg
-    WHERE n_docs > 0 ORDER BY query_id
-    """
-
-# the alerting form's oracle shares every CTE up to `m` with the summary
-# form; only the final projection differs ((query_id, doc_id) rows)
-_PERCOLATE_ALERTS_ORACLE = (
-    _PERCOLATE_BOOL_ORACLE.split("    agg AS (")[0].rstrip().rstrip(",")
-    + """
-    SELECT query_id, doc_id FROM (
-      SELECT 1 AS query_id, doc_id FROM m WHERE m1 = 1
-      UNION ALL SELECT 2, doc_id FROM m WHERE m2 = 1
-      UNION ALL SELECT 3, doc_id FROM m WHERE m3 = 1
-      UNION ALL SELECT 4, doc_id FROM m WHERE m4 = 1
-      UNION ALL SELECT 5, doc_id FROM m WHERE m5 = 1
-    ) ORDER BY query_id, doc_id
-    """
+# r8 file-size split: the percolation surface lives in percolate.py;
+# imported at the END (it consumes this module's CTE constants) and
+# re-exported so existing import sites keep working
+from sparkfulltextquery_spark.functions.percolate import (  # noqa: E402,F401
+    _percolate_bool,
+    _percolate_compile,
+    percolate_from_table,
+    percolate_matches,
+    register_percolator_queries,
 )
-
-
-@query("fulltext_percolate_alerts", oracle=_PERCOLATE_ALERTS_ORACLE)
-def fulltext_percolate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ALERTING form of boolean percolation (r8): the full (query_id,
-    doc_id) match table — what a saved-search sink consumes — from the
-    same one-scan flag compilation; the per-query indicator columns
-    unpivot to rows instead of aggregating to summaries."""
-    d = load_table(spark, sf_dir, "documents")
-    rel = FT.positional_postings(d).select("doc_id", "term", "positions")
-    return percolate_matches(rel, _PERCOLATE_BOOL_QUERIES).orderBy(
-        "query_id", "doc_id"
-    )
-
-
-@query("fulltext_percolate_alerts_indexed", oracle=_PERCOLATE_ALERTS_ORACLE)
-def fulltext_percolate_alerts_indexed(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Alerting percolation off the PERSISTED index — with the registry
-    read back from a persisted query TABLE (register_percolator_queries →
-    percolate_from_table): stored queries validated at write time, the
-    posting scan bucket-pruned to their term union, matches unpivoted to
-    (query_id, doc_id) rows. The full production alerting path."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    table = register_percolator_queries(
-        spark, _PERCOLATE_BOOL_QUERIES, table=f"{prefix}_percolator"
-    )
-    rel = spark.table(f"{prefix}_postings").select("doc_id", "term", "positions")
-    return percolate_from_table(spark, rel, table=table, matches=True).orderBy(
-        "query_id", "doc_id"
-    )
-
-
-@query("fulltext_percolate_bool", oracle=_PERCOLATE_BOOL_ORACLE)
-def fulltext_percolate_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean percolation (r8): the stored-query registry holds ARBITRARY
-    boolean queries — AND/OR/NOT compositions over term and exact-phrase
-    atoms — matched against every document in ONE shared positional
-    posting scan; per-query match expressions fold into a single doc_id
-    aggregation (the search_indexed flag machinery, N queries wide), then
-    one global aggregation emits every query's match count and first
-    matching doc together. No join, no per-query corpus scan."""
-    d = load_table(spark, sf_dir, "documents")
-    rel = FT.positional_postings(d).select("doc_id", "term", "positions")
-    return _percolate_bool(rel, _PERCOLATE_BOOL_QUERIES)
-
-
-@query("fulltext_percolate_bool_indexed", oracle=_PERCOLATE_BOOL_ORACLE)
-def fulltext_percolate_bool_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boolean percolation off the PERSISTED index: the stored queries'
-    union of terms prunes the posting scan to their buckets
-    (SelectedBucketsCount); stored position arrays serve the phrase atoms
-    directly — the corpus is never re-tokenized. Same one-scan zero-join
-    flag compilation as the inline twin."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    rel = spark.table(f"{prefix}_postings").select("doc_id", "term", "positions")
-    return _percolate_bool(rel, _PERCOLATE_BOOL_QUERIES)
-
-
-# stored percolator queries with EXPANSION atoms (r8): prefix, fuzzy,
-# range, wildcard, regex — resolved to concrete terms at registration
-_PERCOLATE_EXP_QUERIES = [
-    (1, "quer* AND spark"),
-    (2, "sparc~1 AND NOT vector"),
-    (3, "[batch TO data] AND join"),
-    (4, "s?ark OR /qu.ry/"),
-]
-
-_PERCOLATE_EXP_ORACLE = f"""
-    WITH {_POSTINGS_CTE},
-    flags AS (
-      SELECT doc_id,
-             max(CASE WHEN term LIKE 'quer%' THEN 1 ELSE 0 END) AS e_pfx,
-             max(CASE WHEN levenshtein(term, 'sparc') <= 1
-                 THEN 1 ELSE 0 END) AS e_fz,
-             max(CASE WHEN term BETWEEN 'batch' AND 'data'
-                 THEN 1 ELSE 0 END) AS e_rg,
-             max(CASE WHEN term LIKE 's_ark' THEN 1 ELSE 0 END) AS e_wd,
-             max(CASE WHEN regexp_matches(term, '^(qu.ry)$')
-                 THEN 1 ELSE 0 END) AS e_rx,
-             max(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS t_spark,
-             max(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS t_vector,
-             max(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS t_join
-      FROM tfs GROUP BY doc_id
-    ),
-    m AS (
-      SELECT doc_id,
-        CASE WHEN e_pfx = 1 AND t_spark = 1 THEN 1 ELSE 0 END AS m1,
-        CASE WHEN e_fz = 1 AND t_vector = 0 THEN 1 ELSE 0 END AS m2,
-        CASE WHEN e_rg = 1 AND t_join = 1 THEN 1 ELSE 0 END AS m3,
-        CASE WHEN e_wd = 1 OR e_rx = 1 THEN 1 ELSE 0 END AS m4
-      FROM flags
-    ),
-    agg AS (
-      SELECT 1 AS query_id, cast(sum(m1) AS bigint) AS n_docs,
-             min(CASE WHEN m1 = 1 THEN doc_id END) AS first_doc FROM m
-      UNION ALL
-      SELECT 2, cast(sum(m2) AS bigint),
-             min(CASE WHEN m2 = 1 THEN doc_id END) FROM m
-      UNION ALL
-      SELECT 3, cast(sum(m3) AS bigint),
-             min(CASE WHEN m3 = 1 THEN doc_id END) FROM m
-      UNION ALL
-      SELECT 4, cast(sum(m4) AS bigint),
-             min(CASE WHEN m4 = 1 THEN doc_id END) FROM m
-    )
-    SELECT query_id, n_docs, first_doc FROM agg
-    WHERE n_docs > 0 ORDER BY query_id
-    """
-
-
-@query("fulltext_percolate_expansion", oracle=_PERCOLATE_EXP_ORACLE)
-def fulltext_percolate_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percolation with EXPANSION atoms in the stored queries (r8): each
-    prefix/fuzzy/range/wildcard/regex atom resolves to concrete
-    vocabulary terms at registration time (the same bounded two-pass
-    dictionary protocol as indexed search — here over the corpus-derived
-    distinct-term relation), so the shared scan stays an equality isin
-    and matching stays one doc_id aggregation. No join, no per-query
-    corpus scan, no expansion predicate on the posting relation."""
-    d = load_table(spark, sf_dir, "documents")
-    rel = FT.positional_postings(d).select("doc_id", "term", "positions")
-    vocab = rel.select("term").distinct()
-    return _percolate_bool(rel, _PERCOLATE_EXP_QUERIES, vocab=vocab)
-
-
-@query("fulltext_percolate_expansion_indexed", oracle=_PERCOLATE_EXP_ORACLE)
-def fulltext_percolate_expansion_indexed(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Expansion-atom percolation off the PERSISTED index: atoms resolve
-    against the df term dictionary (O(|vocab|) rows), the resolved union
-    prunes the posting scan to its buckets, stored positions are on hand
-    if phrases join the registry — the corpus is never touched."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    rel = spark.table(f"{prefix}_postings").select("doc_id", "term", "positions")
-    vocab = spark.table(f"{prefix}_df").select("term")
-    return _percolate_bool(rel, _PERCOLATE_EXP_QUERIES, vocab=vocab)
-
-
-@query("fulltext_percolate_indexed", oracle=_PERCOLATE_ORACLE)
-def fulltext_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Percolation off the PERSISTED index: the stored queries' union of
-    terms prunes the posting scan to their buckets (SelectedBucketsCount)
-    — the corpus is never re-tokenized; the rest is the same broadcast
-    query-table aggregation."""
-    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
-
-    prefix = _ensure_index(spark, sf_dir)
-    _force_bucketed_scan(spark)
-    q = spark.createDataFrame(
-        [(qid, t) for qid, terms in _PERCOLATE_QUERIES for t in terms],
-        "query_id int, term string",
-    )
-    qsize = q.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_req"))
-    all_terms = sorted({t for _qid, terms in _PERCOLATE_QUERIES for t in terms})
-    post = spark.table(f"{prefix}_postings").filter(F.col("term").isin(all_terms))
-    hit = (
-        post.join(F.broadcast(q), "term")
-        .groupBy("doc_id", "query_id")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
-    return (
-        hit.join(F.broadcast(qsize), "query_id")
-        .filter(F.col("n_matched") == F.col("n_req"))
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
-        .orderBy("query_id")
-    )

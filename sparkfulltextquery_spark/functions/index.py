@@ -652,122 +652,13 @@ def suggest_terms(
     )
 
 
-#: Lucene BooleanQuery.maxClauseCount analogue: the most vocabulary terms
-#: a single expansion atom (prefix/fuzzy/range/regex/wildcard) may resolve
-#: to before the query is rejected — fail-loud, never a silent truncation
-#: (a truncated expansion would silently drop matching documents).
-MAX_EXPANSIONS = 1024
-
-
-def resolve_expansions(
-    spark: SparkSession,
-    table_prefix: str,
-    *,
-    prefixes=(),
-    fuzzies=(),
-    ranges=(),
-    regexes=(),
-    wildcards=(),
-    max_expansions: int = MAX_EXPANSIONS,
-) -> dict:
-    """Resolve expansion atoms against the persisted TERM DICTIONARY.
-
-    Every real engine rewrites multi-term queries (prefix, fuzzy, range,
-    regexp, wildcard) to a disjunction of concrete vocabulary terms BEFORE
-    consulting the inverted index (Lucene MultiTermQuery walks the term
-    dictionary, then reads only the matched terms' postings). Until r7
-    this engine instead OR'd the expansion predicate (StartsWith /
-    levenshtein / BETWEEN / RLIKE / LIKE) straight onto the postings
-    relation — which both defeated bucket pruning (the scan filter was no
-    longer an equality ``isin``) and evaluated the expensive predicate
-    once per POSTING row, O(total postings). At 100 TB a single ``*ark``
-    query forced a full posting scan with a per-row LIKE (VERDICT r07 #1).
-
-    This resolver evaluates each atom's predicate over the doc-frequency
-    table instead — one row per distinct term, O(|vocab|), orders of
-    magnitude smaller than the postings — in two bounded passes:
-
-      1. a count pass (one O(|vocab|) aggregation, n_atoms counters) that
-         fails loudly if ANY atom matches more than ``max_expansions``
-         terms, BEFORE anything is collected — so driver transfer is
-         bounded by construction, never by luck;
-      2. a collect pass gathering the matched terms per atom
-         (≤ n_atoms × max_expansions rows by the gate above).
-
-    The caller folds the concrete terms into its equality ``isin``,
-    restoring bucket pruning and an equality-only posting scan. Field
-    scoping never affects term-level matching (the field carve applies to
-    stored POSITIONS at flag time), so field-scoped atoms share their
-    plain atom's resolution.
-
-    Returns ``{('prefix', w) | ('fuzzy', (t, d)) | ('range', (lo, hi)) |
-    ('regex', pat) | ('wild', pat): sorted list of vocabulary terms}``;
-    empty dict when no expansion atoms were passed (zero extra jobs on
-    the common exact-terms path)."""
-    from sparkfulltextquery_spark.functions import querylang as QL
-
-    atoms: list = []
-    for w in sorted(set(prefixes)):
-        atoms.append((("prefix", w), F.col("term").startswith(w)))
-    for zt, zd in sorted(set(fuzzies)):
-        atoms.append(
-            (("fuzzy", (zt, zd)), F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
-        )
-    for lo, hi in sorted(set(ranges)):
-        atoms.append((("range", (lo, hi)), F.col("term").between(lo, hi)))
-    for pat in sorted(set(regexes)):
-        atoms.append((("regex", pat), F.col("term").rlike(QL.Regex(pat).anchored())))
-    for pat in sorted(set(wildcards)):
-        atoms.append(
-            (("wild", pat), F.col("term").like(QL.Wildcard(pat).like_pattern()))
-        )
-    if not atoms:
-        return {}
-    vocab = spark.table(f"{table_prefix}_df").select("term")
-    return resolve_expansions_over(vocab, atoms, max_expansions)
-
-
-def resolve_expansions_over(
-    vocab: DataFrame, atoms: list, max_expansions: int = MAX_EXPANSIONS
-) -> dict:
-    """The resolver core over ANY (term)-column vocabulary relation —
-    the persisted df table on the indexed path, or a corpus-derived
-    ``postings.select('term').distinct()`` on the inline path (the inline
-    caller pays one corpus-derived pass it was already paying as a
-    predicate scan; the win is the same bounded concrete-term list).
-    ``atoms`` is [(key, predicate Column)]. Same two-pass bounded
-    protocol and fail-loud cap as resolve_expansions."""
-    counts = vocab.agg(
-        *[
-            F.sum(F.when(pred, 1).otherwise(0)).alias(f"_c{i}")
-            for i, (_k, pred) in enumerate(atoms)
-        ]
-    ).head()
-    for i, (key, _pred) in enumerate(atoms):
-        n = counts[f"_c{i}"] or 0
-        if n > max_expansions:
-            raise ValueError(
-                f"expansion atom {key!r} matches {n} vocabulary terms, "
-                f"over max_expansions={max_expansions} — narrow the "
-                f"pattern or raise the cap explicitly"
-            )
-    any_pred = atoms[0][1]
-    for _k, pred in atoms[1:]:
-        any_pred = any_pred | pred
-    rows = (
-        vocab.filter(any_pred)
-        .select(
-            "term",
-            *[pred.alias(f"_m{i}") for i, (_k, pred) in enumerate(atoms)],
-        )
-        .collect()
-    )
-    out: dict = {key: [] for key, _pred in atoms}
-    for r in rows:
-        for i, (key, _pred) in enumerate(atoms):
-            if r[f"_m{i}"]:
-                out[key].append(r["term"])
-    return {key: sorted(ts) for key, ts in out.items()}
+# r8 file-size split: expansion-atom dictionary resolution lives in
+# index_expand; imported here (and re-exported) so callers keep working
+from sparkfulltextquery_spark.functions.index_expand import (  # noqa: E402
+    MAX_EXPANSIONS,
+    resolve_expansions,
+    resolve_expansions_over,
+)
 
 
 _COMPILED_QUERY_CACHE: dict = {}
