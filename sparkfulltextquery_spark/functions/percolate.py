@@ -113,6 +113,7 @@ def _percolate_compile(
     rel: DataFrame,
     queries: list[tuple[int, str]],
     vocab: DataFrame | None = None,
+    extra_aggs: tuple = (),
 ):
     """Boolean-query percolation core (r8, VERDICT r07 #3): compile a
     registry of stored ARBITRARY boolean queries (AND/OR/NOT + term +
@@ -142,7 +143,9 @@ def _percolate_compile(
     Scale shape: the flag compilation is per-STORED-QUERY columns, right
     for registries up to O(10^3) queries; beyond that the conjunctive
     broadcast-join form (fulltext_percolate) partitions the registry.
-    ``rel`` must expose (doc_id, term, positions)."""
+    ``rel`` must expose (doc_id, term, positions); ``extra_aggs`` lets
+    the scored form fold per-term BM25 contributions into the SAME
+    doc_id aggregation (their expressions may reference rel's tf/dl)."""
     from sparkfulltextquery_spark.functions import querylang as QL
     from sparkfulltextquery_spark.functions.fulltext import slop_starts_expr
     from sparkfulltextquery_spark.functions.index import reduce_and
@@ -235,6 +238,7 @@ def _percolate_compile(
         F.max(F.when(F.col("term") == t, F.col("positions"))).alias(c)
         for t, c in slot.items()
     ]
+    aggs += list(extra_aggs)
     per_doc = pruned.groupBy("doc_id").agg(*aggs)
 
     def phrase_col(p):
@@ -661,4 +665,218 @@ def fulltext_percolate_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .orderBy("query_id")
+    )
+
+
+def percolate_scored(
+    rel: DataFrame,
+    queries: list[tuple[int, str]],
+    n_docs: int,
+    avgdl: float,
+    df_of: dict,
+    vocab: DataFrame | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Ranked percolation (the Elasticsearch percolate-with-scoring
+    surface): every (stored query, matching document) pair carries the
+    SAME Lucene BM25 score the search paths compute — idf over the full
+    corpus from driver literals, tf and the denormalized dl off the
+    posting row — and each query keeps its top-k docs. The per-term BM25
+    contributions fold into the SAME one-scan doc_id aggregation as the
+    match flags (``extra_aggs``); per-query scores are sums of their
+    positive terms' columns, so the whole thing stays scan + agg +
+    window, no join. Expansion atoms match constant-score (no idf
+    contribution), exactly like search_indexed.
+
+    ``rel`` must expose (doc_id, term, positions, tf, dl)."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+    from sparkfulltextquery_spark.functions.fulltext import BM25_B, BM25_K1
+    from pyspark.sql import Window
+
+    pos_of = {
+        qid: sorted(set(QL.positive_terms(QL.parse_query(q))))
+        for qid, q in queries
+    }
+    union_pos = sorted({t for ts in pos_of.values() for t in ts})
+    bcol = {t: f"_b{i}" for i, t in enumerate(union_pos)}
+
+    def tscore(t):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.lit(float(df_of[t])) + F.lit(0.5))
+            / (F.lit(float(df_of[t])) + F.lit(0.5))
+        )
+        return idf * (
+            (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + F.lit(BM25_K1)
+                * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+            )
+        )
+
+    extra = tuple(
+        F.sum(F.when(F.col("term") == t, tscore(t))).alias(c)
+        for t, c in bcol.items()
+    )
+    per_doc, match_of = _percolate_compile(rel, queries, vocab, extra_aggs=extra)
+
+    def qscore(qid):
+        terms = pos_of[qid]
+        if not terms:
+            return F.lit(0.0)
+        s = F.lit(0.0)
+        for t in terms:
+            s = s + F.coalesce(F.col(bcol[t]), F.lit(0.0))
+        return F.round(s, 4)
+
+    scored = per_doc.select(
+        "doc_id",
+        *[F.when(m, qscore(qid)).alias(f"_s{qid}") for qid, m in match_of.items()],
+    )
+    stack_args = ", ".join(f"{qid}, _s{qid}" for qid in match_of)
+    rows = scored.select(
+        "doc_id",
+        F.expr(f"stack({len(match_of)}, {stack_args}) as (query_id, score)"),
+    ).filter(F.col("score").isNotNull())
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", "rn")
+    )
+
+
+_PERCOLATE_SCORED_ORACLE = (
+    _PERCOLATE_BOOL_ORACLE.split("    agg AS (")[0].rstrip().rstrip(",")
+    + """,
+    dl AS (SELECT doc_id, len({tok}) AS dl FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tfs
+      WHERE term IN ('batch','data','join','merge','query','spark',
+                     'stream','vector','window')
+      GROUP BY term
+    ),
+    ts AS (
+      SELECT t.doc_id, t.term,
+             ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+      FROM tfs t JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    tsp AS (
+      SELECT doc_id,
+             coalesce(sum(CASE WHEN term = 'batch'  THEN s END), 0) AS b_batch,
+             coalesce(sum(CASE WHEN term = 'data'   THEN s END), 0) AS b_data,
+             coalesce(sum(CASE WHEN term = 'join'   THEN s END), 0) AS b_join,
+             coalesce(sum(CASE WHEN term = 'merge'  THEN s END), 0) AS b_merge,
+             coalesce(sum(CASE WHEN term = 'query'  THEN s END), 0) AS b_query,
+             coalesce(sum(CASE WHEN term = 'spark'  THEN s END), 0) AS b_spark,
+             coalesce(sum(CASE WHEN term = 'stream' THEN s END), 0) AS b_stream,
+             coalesce(sum(CASE WHEN term = 'vector' THEN s END), 0) AS b_vector,
+             coalesce(sum(CASE WHEN term = 'window' THEN s END), 0) AS b_window
+      FROM ts GROUP BY doc_id
+    ),
+    j AS (
+      SELECT m.*, coalesce(b_batch, 0) AS b_batch, coalesce(b_data, 0) AS b_data,
+             coalesce(b_join, 0) AS b_join, coalesce(b_merge, 0) AS b_merge,
+             coalesce(b_query, 0) AS b_query, coalesce(b_spark, 0) AS b_spark,
+             coalesce(b_stream, 0) AS b_stream, coalesce(b_vector, 0) AS b_vector,
+             coalesce(b_window, 0) AS b_window
+      FROM m LEFT JOIN tsp USING (doc_id)
+    ),
+    alerts AS (
+      SELECT 1 AS query_id, doc_id, round(b_join + b_spark, 4) AS score
+      FROM j WHERE m1 = 1
+      UNION ALL SELECT 2, doc_id, round(b_stream + b_vector, 4)
+      FROM j WHERE m2 = 1
+      UNION ALL SELECT 3, doc_id, round(b_data + b_query + b_window, 4)
+      FROM j WHERE m3 = 1
+      UNION ALL SELECT 4, doc_id, round(b_batch, 4) FROM j WHERE m4 = 1
+      UNION ALL SELECT 5, doc_id, round(b_merge + b_spark + b_stream, 4)
+      FROM j WHERE m5 = 1
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM alerts
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rn
+    """.replace("{tok}", _TOK)
+)
+
+
+@query("fulltext_percolate_scored", oracle=_PERCOLATE_SCORED_ORACLE)
+def fulltext_percolate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked percolation, inline: the stored boolean registry matched and
+    BM25-SCORED against the corpus-derived positional postings (dl
+    denormalized onto each posting row, the same layout the persisted
+    index stores); per-query top-3 docs."""
+    from sparkfulltextquery_spark.functions.fulltext import doc_lengths
+
+    d = load_table(spark, sf_dir, "documents")
+    rel = FT.positional_postings(d).join(doc_lengths(d), "doc_id").select(
+        "doc_id", "term", "positions", "tf", "dl"
+    )
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    union_pos = sorted(
+        {
+            t
+            for _qid, q in _PERCOLATE_BOOL_QUERIES
+            for t in QL.positive_terms(QL.parse_query(q))
+        }
+    )
+    dls = doc_lengths(d)
+    st = dls.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).head()
+    dfr = {
+        r.term: int(r.df)
+        for r in FT.postings(d)
+        .filter(F.col("term").isin(union_pos))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    df_of = {t: dfr.get(t, 0) for t in union_pos}
+    return percolate_scored(
+        rel, _PERCOLATE_BOOL_QUERIES, int(st.n), float(st.avgdl), df_of, k=3
+    )
+
+
+@query("fulltext_percolate_scored_indexed", oracle=_PERCOLATE_SCORED_ORACLE)
+def fulltext_percolate_scored_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ranked percolation off the PERSISTED index: tf and dl come off the
+    bucket-pruned posting rows, idf/n_docs/avgdl fold in as driver
+    literals from the stats/df tables (the bm25_scores_indexed
+    discipline) — scan + one aggregation + one window, no join, corpus
+    never touched."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+    from sparkfulltextquery_spark.functions.index import (
+        _df_stats_literals,
+        _force_bucketed_scan,
+    )
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    rel = spark.table(f"{prefix}_postings").select(
+        "doc_id", "term", "positions", "tf", "dl"
+    )
+    union_pos = sorted(
+        {
+            t
+            for _qid, q in _PERCOLATE_BOOL_QUERIES
+            for t in QL.positive_terms(QL.parse_query(q))
+        }
+    )
+    n_docs, avgdl, df_of = _df_stats_literals(spark, prefix, union_pos)
+    return percolate_scored(
+        rel, _PERCOLATE_BOOL_QUERIES, n_docs, avgdl, df_of, k=3
     )
