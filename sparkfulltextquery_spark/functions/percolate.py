@@ -730,11 +730,17 @@ def percolate_scored(
             s = s + F.coalesce(F.col(bcol[t]), F.lit(0.0))
         return F.round(s, 4)
 
+    # alias prefix must not collide with the compile's internal columns
+    # (_t/_e/_s/_b): Spark 4 lateral alias resolution would otherwise bind
+    # a phrase slot reference (_s0...) to a same-named output alias here
     scored = per_doc.select(
         "doc_id",
-        *[F.when(m, qscore(qid)).alias(f"_s{qid}") for qid, m in match_of.items()],
+        *[
+            F.when(m, qscore(qid)).alias(f"_qs{qid}")
+            for qid, m in match_of.items()
+        ],
     )
-    stack_args = ", ".join(f"{qid}, _s{qid}" for qid in match_of)
+    stack_args = ", ".join(f"{qid}, _qs{qid}" for qid in match_of)
     rows = scored.select(
         "doc_id",
         F.expr(f"stack({len(match_of)}, {stack_args}) as (query_id, score)"),

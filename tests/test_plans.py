@@ -931,3 +931,20 @@ def test_percolate_alerts_one_scan_zero_join(spark):
     plan = physical_plan(_q(spark, "fulltext_percolate_alerts_indexed"))
     assert "SelectedBucketsCount" in plan, plan
     assert "documents" not in plan, plan
+
+def test_percolate_scored_one_scan_zero_join(spark):
+    """Ranked percolation (r8): BM25 per-term contributions fold into the
+    SAME doc_id aggregation as the match flags — scan + agg + window, no
+    join; the indexed form bucket-prunes with idf/n/avgdl as literals."""
+    for name in ("fulltext_percolate_scored", "fulltext_percolate_scored_indexed"):
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        # max(positions) over arrays can plan Sort/ObjectHashAggregate —
+        # any aggregate node satisfies the one-agg shape
+        assert plan.count("Aggregate") >= 1, name
+    plan = physical_plan(_q(spark, "fulltext_percolate_scored_indexed"))
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, f"{node} leaked into the indexed scored plan"
+    assert "SelectedBucketsCount" in plan, plan
+    assert "documents" not in plan, plan
