@@ -371,7 +371,14 @@ def fulltext_prefix_search_indexed(spark: SparkSession, sf_dir: str) -> DataFram
 
     prefix = _ensure_index(spark, sf_dir)
     _force_bucketed_scan(spark)
-    ts = resolve_expansions(spark, prefix, prefixes=["quer"])[("prefix", "quer")]
+    # explicit generous cap (ADVICE r08): this registered row's inline
+    # twin has no expansion cap, so the default MAX_EXPANSIONS=1024 would
+    # make only THIS side of the parity pair fail at large vocabularies —
+    # a divergence, not a safety win (the bounded two-pass protocol still
+    # bounds driver transfer to the actual match count)
+    ts = resolve_expansions(
+        spark, prefix, prefixes=["quer"], max_expansions=1_000_000
+    )[("prefix", "quer")]
     post = spark.table(f"{prefix}_postings").filter(
         F.col("term").isin(ts) if ts else F.lit(False)
     )

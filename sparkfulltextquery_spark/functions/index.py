@@ -1456,6 +1456,7 @@ def bm25f_search_indexed(
 from sparkfulltextquery_spark.functions.index_stream import (  # noqa: E402,F401
     compact_posting_segments,
     current_generation,
+    gc_generations,
     publish_generation,
     read_current_postings,
     read_live_postings,

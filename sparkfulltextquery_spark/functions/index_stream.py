@@ -127,8 +127,28 @@ def compact_posting_segments(spark: SparkSession, index_dir: str, out_dir: str) 
 # ---------------- generation pointer: crash-safe compaction swap (r8) ----
 
 
-def _strip_file_scheme(path: str) -> str:
-    return path[7:] if path.startswith("file://") else path
+def _local_pointer_path(path: str) -> str:
+    """Resolve a generation-pointer root to a LOCAL filesystem path —
+    fail-loud on any other scheme (ADVICE r08): the pointer protocol
+    below uses os-level fsync + atomic rename, which only exists for
+    local paths. A non-local root (hdfs://, s3a://, ...) used to be
+    silently treated as a relative local directory named 'hdfs:', i.e.
+    the publish "succeeded" somewhere no reader would ever look. Remote
+    stores need the Hadoop FileSystem create+rename protocol (what
+    register_percolator_queries uses for its directory ops); until that
+    path exists here, rejecting loudly is the only correct behavior."""
+    if path.startswith("file://"):
+        return path[7:]
+    scheme, sep, _rest = path.partition("://")
+    if sep:
+        raise ValueError(
+            f"generation pointer root {path!r} has non-local scheme "
+            f"{scheme!r} — the CURRENT-pointer protocol is os-level "
+            "(fsync + atomic rename) and supports only local paths / "
+            "file:// URIs; route remote roots through the Hadoop "
+            "FileSystem API instead"
+        )
+    return path
 
 
 def publish_generation(root: str, gen_dir: str) -> None:
@@ -147,7 +167,7 @@ def publish_generation(root: str, gen_dir: str) -> None:
     data (the standard read-view grace window)."""
     import os
 
-    rootp = _strip_file_scheme(root)
+    rootp = _local_pointer_path(root)
     os.makedirs(rootp, exist_ok=True)
     tmp = os.path.join(rootp, "CURRENT.tmp")
     with open(tmp, "w") as f:
@@ -162,12 +182,61 @@ def current_generation(root: str) -> str | None:
     first publish (readers then fall back to the live segment log)."""
     import os
 
-    p = os.path.join(_strip_file_scheme(root), "CURRENT")
+    p = os.path.join(_local_pointer_path(root), "CURRENT")
     try:
         with open(p) as f:
             return f.read().strip()
     except FileNotFoundError:
         return None
+
+
+def gc_generations(root: str, retain: int = 2) -> list[str]:
+    """Delete superseded index generations (VERDICT r08 #3 — the Lucene
+    IndexDeletionPolicy analogue): without this, every compaction's
+    output directory lives forever and a long-running 100 TB index leaks
+    a full index copy per compaction cycle.
+
+    Contract: generation directories are the ``gen-*``-named children of
+    the pointer root (the naming compact_posting_segments callers use;
+    anything else under the root — the live segment log, checkpoints —
+    is never a GC candidate). The generation CURRENT points at is always
+    kept, regardless of age; beyond it, the ``retain`` most recent
+    superseded generations are kept as the read-view grace window (a
+    reader that resolved the pointer just before a publish is still
+    scanning the previous generation — the same reason publish never
+    deletes what it replaces). Everything older is removed.
+
+    Crash-safe by construction: deletion happens only AFTER pointer
+    resolution, and only of directories CURRENT does not name — a GC
+    killed mid-delete leaves some extra directories, never a dangling
+    pointer. Returns the deleted paths."""
+    import os
+    import shutil
+
+    rootp = _local_pointer_path(root)
+    cur = current_generation(root)
+    curp = os.path.abspath(_local_pointer_path(cur)) if cur else None
+    try:
+        names = os.listdir(rootp)
+    except FileNotFoundError:
+        return []
+    cands = [
+        os.path.abspath(os.path.join(rootp, n))
+        for n in names
+        if n.startswith("gen-") and os.path.isdir(os.path.join(rootp, n))
+    ]
+    superseded = sorted(
+        (p for p in cands if p != curp),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    keep = set(superseded[: max(retain, 0)])
+    removed = []
+    for p in superseded:
+        if p not in keep:
+            shutil.rmtree(p)
+            removed.append(p)
+    return removed
 
 
 def read_current_postings(

@@ -152,6 +152,14 @@ def _percolate_compile(
 
     asts: dict[int, object] = {}
     for qid, qs in queries:
+        if qid in asts:
+            # a silently-overwritten duplicate id means silently missed
+            # alerts (ADVICE r08) — same fail-loud contract as the
+            # pure-negation check below
+            raise ValueError(
+                f"duplicate stored percolator query_id {qid} — every "
+                "registry entry needs a distinct id"
+            )
         ast = QL.parse_query(qs)
         if QL._eval_empty(ast):
             raise ValueError(
@@ -361,6 +369,18 @@ def register_percolator_queries(
     of queries vs billions of documents); readers collect it to the
     driver to compile the shared-scan plan, the same bounded transfer as
     ES loading stored queries into the percolator's memory index."""
+    import re
+
+    # the name is interpolated into SQL and into the managed-location
+    # path below (ADVICE r08): restrict it to a bare safe identifier —
+    # a database-qualified name (db.tbl) would compute the wrong
+    # warehouse path, and anything else is injectable
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"percolator registry table name {table!r} must be an "
+            "unqualified identifier ([A-Za-z_][A-Za-z0-9_]*) — "
+            "database-qualified or quoted names are not supported"
+        )
     _percolate_compile(
         spark.createDataFrame(
             [], "doc_id long, term string, positions array<int>"
@@ -415,7 +435,11 @@ _PERCOLATE_BOOL_QUERIES = [
     (5, "(merge OR stream) AND spark"),
 ]
 
-_PERCOLATE_BOOL_ORACLE = f"""
+# shared oracle prefix (ADVICE r08: the summary/alerting/scored oracles
+# are COMPOSED from this constant instead of string-surgering a formatted
+# query — reformatting the base can no longer corrupt the derived forms):
+# everything up to and including the per-doc match-flag CTE `m`
+_PERCOLATE_M_CTES = f"""
     WITH {_POSTINGS_CTE},
     pos AS (
       SELECT doc_id, unnest(range(len(toks))) AS pos, unnest(toks) AS term
@@ -452,7 +476,9 @@ _PERCOLATE_BOOL_ORACLE = f"""
         CASE WHEN (t_merge = 1 OR t_stream = 1) AND t_spark = 1
              THEN 1 ELSE 0 END AS m5
       FROM flags f
-    ),
+    )"""
+
+_PERCOLATE_BOOL_ORACLE = f"""{_PERCOLATE_M_CTES},
     agg AS (
       SELECT 1 AS query_id, cast(sum(m1) AS bigint) AS n_docs,
              min(CASE WHEN m1 = 1 THEN doc_id END) AS first_doc FROM m
@@ -476,7 +502,7 @@ _PERCOLATE_BOOL_ORACLE = f"""
 # the alerting form's oracle shares every CTE up to `m` with the summary
 # form; only the final projection differs ((query_id, doc_id) rows)
 _PERCOLATE_ALERTS_ORACLE = (
-    _PERCOLATE_BOOL_ORACLE.split("    agg AS (")[0].rstrip().rstrip(",")
+    _PERCOLATE_M_CTES
     + """
     SELECT query_id, doc_id FROM (
       SELECT 1 AS query_id, doc_id FROM m WHERE m1 = 1
@@ -755,7 +781,7 @@ def percolate_scored(
 
 
 _PERCOLATE_SCORED_ORACLE = (
-    _PERCOLATE_BOOL_ORACLE.split("    agg AS (")[0].rstrip().rstrip(",")
+    _PERCOLATE_M_CTES
     + """,
     dl AS (SELECT doc_id, len({tok}) AS dl FROM documents),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

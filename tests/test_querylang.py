@@ -843,3 +843,41 @@ def test_percolator_table_registration_validates_at_write(spark):
     direct = [tuple(r) for r in _percolate_bool(rel, queries).collect()]
     via_table = [tuple(r) for r in percolate_from_table(spark, rel, t).collect()]
     assert via_table == direct and len(direct) == 2
+
+
+def test_percolator_rejects_duplicate_query_ids(spark):
+    """ADVICE r08: a duplicate query_id used to silently overwrite the
+    earlier stored query — silently missed alerts. Both the compile path
+    and table registration must fail loudly."""
+    import pytest
+
+    from sparkfulltextquery_spark.functions.fulltext_queries import (
+        _percolate_bool,
+        register_percolator_queries,
+    )
+
+    rel = spark.createDataFrame(
+        [(1, "spark", [0])], "doc_id long, term string, positions array<int>"
+    )
+    with pytest.raises(ValueError, match="duplicate stored percolator"):
+        _percolate_bool(rel, [(1, "spark"), (1, "join")])
+    with pytest.raises(ValueError, match="duplicate stored percolator"):
+        register_percolator_queries(
+            spark, [(7, "spark"), (7, "join")], table="t_perc_dup"
+        )
+    assert not spark.catalog.tableExists("t_perc_dup")
+
+
+def test_percolator_registry_table_name_validated(spark):
+    """ADVICE r08: the registry table name is interpolated into SQL and
+    into the managed-location path — qualified, quoted, or otherwise
+    unsafe names are rejected before any catalog mutation."""
+    import pytest
+
+    from sparkfulltextquery_spark.functions.fulltext_queries import (
+        register_percolator_queries,
+    )
+
+    for bad in ("db.tbl", "t;drop", "t`x", "t-x", "1tab", "t x", ""):
+        with pytest.raises(ValueError, match="unqualified identifier"):
+            register_percolator_queries(spark, [(1, "spark")], table=bad)
