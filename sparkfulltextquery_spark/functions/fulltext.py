@@ -740,6 +740,7 @@ def phrase_prefix_match(
     id_col: str = "doc_id",
     text_col: str = "text",
     pos: DataFrame | None = None,
+    prefix_terms: list[str] | None = None,
 ) -> DataFrame:
     """Documents matching a PHRASE-PREFIX query (`"spark jo*"` — the
     Elasticsearch match_phrase_prefix / Lucene MatchPhrasePrefixQuery
@@ -752,23 +753,28 @@ def phrase_prefix_match(
     word plus the union of prefix-matching positions, then the usual
     array_contains start chain ending in an EXISTS against the prefix
     positions — the same no-theta-join shape as phrase_match. Pass
-    ``pos`` to reuse an existing tokenization."""
+    ``pos`` to reuse an existing tokenization; pass ``prefix_terms``
+    (r9, VERDICT r08 #4) when the prefix was already resolved against the
+    vocabulary — the StartsWith band then becomes an equality ``isin``,
+    the same discipline as indexed search."""
     if not exact:
         raise ValueError("phrase-prefix needs at least one exact lead word")
     if pos is None:
         pos = positional_relation(docs, id_col, text_col)
     uniq = sorted(set(exact))
-    hit = pos.filter(
-        F.col("term").isin(uniq) | F.col("term").startswith(prefix)
-    )
+    if prefix_terms is None:
+        pfx_pred = F.col("term").startswith(prefix)
+    else:
+        pfx_pred = (
+            F.col("term").isin(prefix_terms) if prefix_terms else F.lit(False)
+        )
+    hit = pos.filter(F.col("term").isin(uniq) | pfx_pred)
     slots = hit.groupBy("doc_id").agg(
         *[
             F.collect_list(F.when(F.col("term") == t, F.col("pos"))).alias(f"_e{i}")
             for i, t in enumerate(uniq)
         ],
-        F.collect_list(
-            F.when(F.col("term").startswith(prefix), F.col("pos"))
-        ).alias("_pp"),
+        F.collect_list(F.when(pfx_pred, F.col("pos"))).alias("_pp"),
     )
     arr_of = {t: F.col(f"_e{i}") for i, t in enumerate(uniq)}
     n_lead = len(exact)

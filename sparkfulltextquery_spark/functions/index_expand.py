@@ -88,6 +88,78 @@ def resolve_expansions(
     return resolve_expansions_over(vocab, atoms, max_expansions)
 
 
+def expansion_key(node):
+    """(kind, arg) resolution key for a plain expansion atom AST node, or
+    None for any other node kind — the shared key vocabulary between the
+    resolver, the indexed search compiler, the inline search compiler,
+    and the percolator (r9 unification: ONE discipline). Field-scoped
+    atoms share their plain atom's key: the field carve applies to stored
+    POSITIONS at flag time, never to term-level matching."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    if isinstance(node, QL.Prefix):
+        return ("prefix", node.text)
+    if isinstance(node, QL.Fuzzy):
+        return ("fuzzy", (node.text, node.dist))
+    if isinstance(node, QL.TermRange):
+        return ("range", (node.lo, node.hi))
+    if isinstance(node, QL.Regex):
+        return ("regex", node.pattern)
+    if isinstance(node, QL.Wildcard):
+        return ("wild", node.pattern)
+    return None
+
+
+def expansion_pred(key):
+    """Vocabulary predicate for an expansion-atom key — only ever applied
+    to a term-dictionary relation (O(|vocab|) rows), never to postings."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    kind, arg = key
+    if kind == "prefix":
+        return F.col("term").startswith(arg)
+    if kind == "fuzzy":
+        zt, zd = arg
+        return F.levenshtein(F.col("term"), F.lit(zt)) <= zd
+    if kind == "range":
+        lo, hi = arg
+        return F.col("term").between(lo, hi)
+    if kind == "regex":
+        return F.col("term").rlike(QL.Regex(arg).anchored())
+    return F.col("term").like(QL.Wildcard(arg).like_pattern())
+
+
+def collect_expansion_keys(ast) -> set:
+    """Every expansion-resolution key an AST needs: plain atoms via
+    expansion_key, field-scoped atoms folded onto their plain atom's key,
+    and phrase-prefix final-word prefixes as prefix keys."""
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    keys: set = set()
+
+    def walk(n):
+        k = expansion_key(n)
+        if k is not None:
+            keys.add(k)
+        elif isinstance(n, QL.FieldPrefix):
+            keys.add(("prefix", n.text))
+        elif isinstance(n, QL.FieldFuzzy):
+            keys.add(("fuzzy", (n.text, n.dist)))
+        elif isinstance(n, QL.FieldRange):
+            keys.add(("range", (n.lo, n.hi)))
+        elif isinstance(n, QL.FieldWildcard):
+            keys.add(("wild", n.pattern))
+        elif isinstance(n, QL.PhrasePrefix):
+            keys.add(("prefix", n.prefix))
+        elif isinstance(n, QL.Not):
+            walk(n.child)
+        for c in getattr(n, "children", ()):
+            walk(c)
+
+    walk(ast)
+    return keys
+
+
 def resolve_expansions_over(
     vocab: DataFrame, atoms: list, max_expansions: int = MAX_EXPANSIONS
 ) -> dict:

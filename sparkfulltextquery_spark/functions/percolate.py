@@ -90,23 +90,12 @@ def fulltext_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exp_pred(key):
-    """Vocabulary predicate for an expansion-atom key — only ever applied
-    to a vocab relation (O(|vocab|) rows), never to postings."""
-    from sparkfulltextquery_spark.functions import querylang as QL
-
-    kind, arg = key
-    if kind == "prefix":
-        return F.col("term").startswith(arg)
-    if kind == "fuzzy":
-        zt, zd = arg
-        return F.levenshtein(F.col("term"), F.lit(zt)) <= zd
-    if kind == "range":
-        lo, hi = arg
-        return F.col("term").between(lo, hi)
-    if kind == "regex":
-        return F.col("term").rlike(QL.Regex(arg).anchored())
-    return F.col("term").like(QL.Wildcard(arg).like_pattern())
+# expansion-atom key/predicate helpers are shared with indexed AND inline
+# search (r9 unification — ONE resolution discipline everywhere)
+from sparkfulltextquery_spark.functions.index_expand import (  # noqa: E402
+    expansion_key as _exp_key_of,
+    expansion_pred as _exp_pred,
+)
 
 
 def _percolate_compile(
@@ -173,18 +162,7 @@ def _percolate_compile(
     phrases: set[tuple[str, int]] = set()
     exp_keys: set[tuple] = set()
 
-    def _exp_key(n):
-        if isinstance(n, QL.Prefix):
-            return ("prefix", n.text)
-        if isinstance(n, QL.Fuzzy):
-            return ("fuzzy", (n.text, n.dist))
-        if isinstance(n, QL.TermRange):
-            return ("range", (n.lo, n.hi))
-        if isinstance(n, QL.Regex):
-            return ("regex", n.pattern)
-        if isinstance(n, QL.Wildcard):
-            return ("wild", n.pattern)
-        return None
+    _exp_key = _exp_key_of
 
     def walk(n):
         if isinstance(n, QL.Term):

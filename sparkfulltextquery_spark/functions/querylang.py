@@ -885,7 +885,7 @@ def _eval_empty(node) -> bool:
 def compile_matches_flags(
     node, post: DataFrame, phrase_fn, near_fn=None, field_fn=None,
     fphrase_fn=None, fprefix_fn=None, ffuzzy_fn=None,
-    frange_fn=None, fwild_fn=None, ppfx_fn=None,
+    frange_fn=None, fwild_fn=None, ppfx_fn=None, expansion=None,
 ) -> DataFrame | None:
     """Single-pass compilation: ONE scan of the posting relation pruned to
     every atom term (one bucket-pruned read on the persisted index), a
@@ -895,11 +895,25 @@ def compile_matches_flags(
     collapse Catalyst can't do across separate relations but is trivial
     when the compiler emits flags directly.
 
+    ``expansion`` (r9, VERDICT r08 #4): a ``{(kind, arg): [terms]}`` dict
+    from ``resolve_expansions_over`` — when supplied, every expansion
+    atom's scan predicate and flag condition becomes an equality ``isin``
+    over its resolved vocabulary terms (one discipline with indexed
+    search and the percolator); when None, the predicate forms
+    (StartsWith/levenshtein/BETWEEN/RLIKE/LIKE) are kept for callers
+    without a dictionary pass.
+
     Returns None when the AST is satisfiable by a document containing no
     atom at all (pure negation, e.g. ``NOT x``) — those need the doc
     universe; callers fall back to compile_matches."""
     if _eval_empty(node):
         return None
+
+    def _exp_cond(kind, key, fallback):
+        if expansion is None:
+            return fallback
+        ts = expansion.get((kind, key), [])
+        return F.col("term").isin(ts) if ts else F.lit(False)
     terms, phrases, prefixes = _collect_atoms(node)
     nears_l = sorted(collect_nears(node))
     fields_l = sorted(collect_fields(node))
@@ -933,17 +947,36 @@ def compile_matches_flags(
     ppxflag = {f: f"_px{i}" for i, f in enumerate(ppfx_l)}
 
     if terms_l or prefixes_l or fuzzies_l or ranges_l or regexes_l or wildcards_l:
+        cond_w = {
+            w: _exp_cond("prefix", w, F.col("term").startswith(w))
+            for w in prefixes_l
+        }
+        cond_z = {
+            (zt, zd): _exp_cond(
+                "fuzzy", (zt, zd), F.levenshtein(F.col("term"), F.lit(zt)) <= zd
+            )
+            for zt, zd in fuzzies_l
+        }
+        cond_r = {
+            (lo, hi): _exp_cond("range", (lo, hi), F.col("term").between(lo, hi))
+            for lo, hi in ranges_l
+        }
+        cond_x = {
+            pat: _exp_cond(
+                "regex", pat, F.col("term").rlike(Regex(pat).anchored())
+            )
+            for pat in regexes_l
+        }
+        cond_v = {
+            pat: _exp_cond(
+                "wild", pat, F.col("term").like(Wildcard(pat).like_pattern())
+            )
+            for pat in wildcards_l
+        }
         pred = F.col("term").isin(terms_l) if terms_l else F.lit(False)
-        for w in prefixes_l:
-            pred = pred | F.col("term").startswith(w)
-        for zt, zd in fuzzies_l:
-            pred = pred | (F.levenshtein(F.col("term"), F.lit(zt)) <= zd)
-        for lo, hi in ranges_l:
-            pred = pred | F.col("term").between(lo, hi)
-        for pat in regexes_l:
-            pred = pred | F.col("term").rlike(Regex(pat).anchored())
-        for pat in wildcards_l:
-            pred = pred | F.col("term").like(Wildcard(pat).like_pattern())
+        for c in (*cond_w.values(), *cond_z.values(), *cond_r.values(),
+                  *cond_x.values(), *cond_v.values()):
+            pred = pred | c
         flags = (
             post.filter(pred)
             .groupBy("doc_id")
@@ -953,39 +986,23 @@ def compile_matches_flags(
                     for t in terms_l
                 ],
                 *[
-                    F.max(
-                        F.when(F.col("term").startswith(w), 1).otherwise(0)
-                    ).alias(wflag[w])
+                    F.max(F.when(cond_w[w], 1).otherwise(0)).alias(wflag[w])
                     for w in prefixes_l
                 ],
                 *[
-                    F.max(
-                        F.when(
-                            F.levenshtein(F.col("term"), F.lit(zt)) <= zd, 1
-                        ).otherwise(0)
-                    ).alias(zflag[(zt, zd)])
-                    for zt, zd in fuzzies_l
+                    F.max(F.when(cond_z[z], 1).otherwise(0)).alias(zflag[z])
+                    for z in fuzzies_l
                 ],
                 *[
-                    F.max(
-                        F.when(F.col("term").between(lo, hi), 1).otherwise(0)
-                    ).alias(rflag[(lo, hi)])
-                    for lo, hi in ranges_l
+                    F.max(F.when(cond_r[r], 1).otherwise(0)).alias(rflag[r])
+                    for r in ranges_l
                 ],
                 *[
-                    F.max(
-                        F.when(
-                            F.col("term").rlike(Regex(pat).anchored()), 1
-                        ).otherwise(0)
-                    ).alias(xflag[pat])
+                    F.max(F.when(cond_x[pat], 1).otherwise(0)).alias(xflag[pat])
                     for pat in regexes_l
                 ],
                 *[
-                    F.max(
-                        F.when(
-                            F.col("term").like(Wildcard(pat).like_pattern()), 1
-                        ).otherwise(0)
-                    ).alias(vflag[pat])
+                    F.max(F.when(cond_v[pat], 1).otherwise(0)).alias(vflag[pat])
                     for pat in wildcards_l
                 ],
             )
@@ -1128,11 +1145,37 @@ def search(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_expansions: int | None = None,
 ) -> DataFrame:
     """Boolean retrieval + BM25 ranking: top-k (doc_id, score) for docs
     satisfying the boolean query, ranked by BM25 over its positive terms.
-    Pure-negation queries rank by doc_id (score 0.0)."""
+    Pure-negation queries rank by doc_id (score 0.0).
+
+    Expansion atoms (prefix/fuzzy/range/regex/wildcard, plain and
+    field-scoped, and phrase-prefix tails) resolve to concrete vocabulary
+    terms BEFORE compilation (r9, VERDICT r08 #4 — the same bounded
+    two-pass dictionary protocol as indexed search, here over the
+    corpus-derived distinct-term relation), so every posting filter in
+    the compiled plan is an equality ``isin`` and the fail-loud
+    ``max_expansions`` cap holds inline too. ONE resolution discipline
+    across inline, indexed, and percolator paths. A query with expansion
+    atoms therefore runs two bounded driver-side jobs at call time (count
+    pass + collect pass), exactly like search_indexed."""
+    from sparkfulltextquery_spark.functions.index_expand import (
+        MAX_EXPANSIONS,
+        collect_expansion_keys,
+        expansion_key,
+        expansion_pred,
+        resolve_expansions_over,
+    )
+
     ast = parse_query(query)
+
+    def _exp_isin(kind, key):
+        # late-bound: `expansion` is resolved below, before any closure
+        # using this helper is invoked by the compiler
+        ts = expansion.get((kind, key), [])
+        return F.col("term").isin(ts) if ts else F.lit(False)
 
     def _needs_positions(node) -> bool:
         if isinstance(
@@ -1191,42 +1234,38 @@ def search(
             )
 
         def fprefix_fn(field: str, prefix: str) -> DataFrame:
-            # Prefix ∘ Field: StartsWith over the vocabulary AND the same
-            # positional carving
+            # Prefix ∘ Field: the prefix's RESOLVED vocabulary terms
+            # (equality isin) AND the same positional carving
             in_field = field_pos_pred(field)(F.col("pos"))
             return (
-                pos_rel.filter(F.col("term").startswith(prefix) & in_field)
+                pos_rel.filter(_exp_isin("prefix", prefix) & in_field)
                 .select("doc_id")
                 .distinct()
             )
 
         def ffuzzy_fn(field: str, text: str, dist: int) -> DataFrame:
-            # Fuzzy ∘ Field: levenshtein over the vocabulary AND the carving
+            # Fuzzy ∘ Field: resolved terms AND the carving
             in_field = field_pos_pred(field)(F.col("pos"))
             return (
-                pos_rel.filter(
-                    (F.levenshtein(F.col("term"), F.lit(text)) <= dist)
-                    & in_field
-                )
+                pos_rel.filter(_exp_isin("fuzzy", (text, dist)) & in_field)
                 .select("doc_id")
                 .distinct()
             )
 
         def frange_fn(field: str, lo: str, hi: str) -> DataFrame:
-            # TermRange ∘ Field: lexicographic band AND the carving
+            # TermRange ∘ Field: resolved terms AND the carving
             in_field = field_pos_pred(field)(F.col("pos"))
             return (
-                pos_rel.filter(F.col("term").between(lo, hi) & in_field)
+                pos_rel.filter(_exp_isin("range", (lo, hi)) & in_field)
                 .select("doc_id")
                 .distinct()
             )
 
         def fwild_fn(field: str, pattern: str) -> DataFrame:
-            # Wildcard ∘ Field: LIKE over the vocabulary AND the carving
-            like = FieldWildcard(field, pattern).like_pattern()
+            # Wildcard ∘ Field: resolved terms AND the carving
             in_field = field_pos_pred(field)(F.col("pos"))
             return (
-                pos_rel.filter(F.col("term").like(like) & in_field)
+                pos_rel.filter(_exp_isin("wild", pattern) & in_field)
                 .select("doc_id")
                 .distinct()
             )
@@ -1237,7 +1276,9 @@ def search(
             )
 
             return phrase_prefix_match(
-                docs, _py_tokenize(text), prefix, id_col, text_col, pos=pos_rel
+                docs, _py_tokenize(text), prefix, id_col, text_col,
+                pos=pos_rel,
+                prefix_terms=expansion.get(("prefix", prefix), []),
             )
     else:
         post = postings(docs, id_col, text_col)
@@ -1253,10 +1294,30 @@ def search(
         fwild_fn = None  # no FieldWildcard atoms on this branch either
         ppfx_fn = None  # no PhrasePrefix atoms on this branch either
 
+    # resolve every expansion atom against the corpus vocabulary ONCE —
+    # the closures above and the flag compiler below consume the resolved
+    # equality term lists; no LIKE/levenshtein/RLIKE/StartsWith ever
+    # reaches the posting or positional relation
+    exp_keys = collect_expansion_keys(ast)
+    expansion = (
+        resolve_expansions_over(
+            post.select("term").distinct(),
+            [(key, expansion_pred(key)) for key in sorted(exp_keys)],
+            max_expansions if max_expansions is not None else MAX_EXPANSIONS,
+        )
+        if exp_keys
+        else {}
+    )
+
+    def term_resolver(node):
+        key = expansion_key(node)
+        return None if key is None else expansion.get(key, [])
+
     matched = compile_matches_flags(
         ast, post, phrase_fn=phrase_fn, near_fn=near_fn, field_fn=field_fn,
         fphrase_fn=fphrase_fn, fprefix_fn=fprefix_fn, ffuzzy_fn=ffuzzy_fn,
         frange_fn=frange_fn, fwild_fn=fwild_fn, ppfx_fn=ppfx_fn,
+        expansion=expansion or None,
     )
     if matched is None:  # pure negation needs the doc universe
         matched = compile_matches(
@@ -1272,6 +1333,7 @@ def search(
             frange_fn=frange_fn,
             fwild_fn=fwild_fn,
             ppfx_fn=ppfx_fn,
+            term_resolver=term_resolver if expansion else None,
         )
     pos = sorted(set(positive_terms(ast)))
     if not pos:

@@ -813,6 +813,26 @@ def test_expansion_atoms_resolve_via_term_dictionary(spark):
             )
 
 
+def test_inline_expansion_atoms_resolve_via_vocabulary(spark):
+    """VERDICT r08 #4: the INLINE search path now shares the indexed
+    path's resolution discipline — expansion atoms resolve against the
+    corpus-derived vocabulary (one bounded two-pass job at compile time)
+    and the compiled plan's posting/positional filters are equality-only:
+    no LIKE/levenshtein/RLIKE/StartsWith reaches any per-posting row.
+    Before r9 two disciplines coexisted (inline kept predicate forms),
+    which was both a drift class and an O(postings)-per-atom evaluation
+    the resolver does over O(|vocab|) rows instead."""
+    for iname in EXPANSION_INDEXED_ROWS:
+        name = iname[: -len("_indexed")]
+        df = _q(spark, name)
+        plan = physical_plan(df)
+        for pred in ("levenshtein", "LIKE ", "RLIKE", "StartsWith", "rlike("):
+            assert pred not in plan, (
+                f"{name}: expansion predicate {pred!r} leaked into the "
+                f"inline physical plan — should be vocabulary-resolved"
+            )
+
+
 def test_fieldrange_fieldwildcard_indexed_one_pass(spark):
     """Field-scoped range and wildcard atoms (r7) on the indexed path keep
     the one-pass shape: the atom resolves to concrete terms via the term
