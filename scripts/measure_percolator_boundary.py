@@ -1,0 +1,127 @@
+"""Measure the percolator registry column-width boundary (VERDICT r08 #1).
+
+The one-scan flag compile emits per-stored-query match columns; the open
+question was where Catalyst plan analysis/codegen stops being sane as the
+registry grows. This script generates N stored boolean queries from the
+corpus vocabulary, then for increasing SINGLE-COMPILE widths measures
+(a) plan-build wall (Python compile + Catalyst analysis, i.e. time to
+produce the analyzed DataFrame), and (b) execution wall for the alerting
+form, against the persisted sf index. A final row measures the chunked
+path (MAX_COMPILE_QUERIES groups) at the full registry size.
+
+Usage:
+    python scripts/measure_percolator_boundary.py [sf_dir] [sizes...]
+Prints one JSON line per measurement; paste the table into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def gen_registry(terms: list[str], n: int) -> list[tuple[int, str]]:
+    """n deterministic stored boolean queries cycling four shapes over
+    the supplied vocabulary terms (no RNG — reproducible across runs)."""
+    out = []
+    m = len(terms)
+    for i in range(n):
+        a, b, c = terms[i % m], terms[(i * 7 + 1) % m], terms[(i * 13 + 2) % m]
+        shape = i % 4
+        if shape == 0:
+            q = f"{a} AND {b}"
+        elif shape == 1:
+            q = f"{a} OR ({b} AND NOT {c})"
+        elif shape == 2:
+            q = f"({a} OR {b}) AND {c}"
+        else:
+            q = f"{a} AND NOT {b}"
+        out.append((i + 1, q))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sizes = [int(s) for s in sys.argv[2:]] or [50, 100, 250, 500, 1000]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    from sparkfulltextquery_spark.functions.fulltext_queries import _ensure_index
+    from sparkfulltextquery_spark.functions.index import _force_bucketed_scan
+    from sparkfulltextquery_spark.functions.percolate import (
+        MAX_COMPILE_QUERIES,
+        percolate_matches,
+    )
+
+    prefix = _ensure_index(spark, sf_dir)
+    _force_bucketed_scan(spark)
+    rel = spark.table(f"{prefix}_postings").select("doc_id", "term", "positions")
+    # vocabulary by descending df so generated queries actually match docs
+    terms = [
+        r.term
+        for r in spark.table(f"{prefix}_df")
+        .orderBy(F.col("df").desc(), "term")
+        .limit(400)
+        .collect()
+    ]
+    registry = gen_registry(terms, max(sizes))
+
+    for n in sizes:
+        qs = registry[:n]
+        t0 = time.perf_counter()
+        df = percolate_matches(rel, qs, chunk_size=10**9)  # force ONE compile
+        df.schema  # trigger Catalyst analysis
+        t_compile = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        rows = df.count()
+        t_exec = time.perf_counter() - t1
+        print(
+            json.dumps(
+                {
+                    "mode": "single-compile",
+                    "n_queries": n,
+                    "compile_s": round(t_compile, 2),
+                    "exec_s": round(t_exec, 2),
+                    "match_rows": rows,
+                }
+            ),
+            flush=True,
+        )
+
+    # the chunked production path at the full registry width
+    n = max(sizes)
+    t0 = time.perf_counter()
+    df = percolate_matches(rel, registry[:n])  # default MAX_COMPILE_QUERIES
+    df.schema
+    t_compile = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    rows = df.count()
+    t_exec = time.perf_counter() - t1
+    print(
+        json.dumps(
+            {
+                "mode": f"chunked({MAX_COMPILE_QUERIES})",
+                "n_queries": n,
+                "compile_s": round(t_compile, 2),
+                "exec_s": round(t_exec, 2),
+                "match_rows": rows,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

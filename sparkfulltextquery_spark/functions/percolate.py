@@ -98,6 +98,41 @@ from sparkfulltextquery_spark.functions.index_expand import (  # noqa: E402
 )
 
 
+#: Column-width boundary of the one-scan flag compile (r9, VERDICT r08 #1):
+#: registries LARGER than this chunk into groups of this size, each group
+#: compiled as its own pruned one-scan aggregation, results unioned —
+#: correct because percolation is per-(query, document) with no
+#: cross-query state. MEASURED at sf0.1 (scripts/
+#: measure_percolator_boundary.py; table in SCALE.md round-9 section):
+#: single-compile plan build is ~14-17 ms/query and mildly superlinear
+#: (14.4s at 1k queries, 34.2s at 2k), and single-compile EXECUTION
+#: degrades past ~1k stored queries (6.2s vs 3.6s chunked at 2k — the
+#: per-doc aggregation row gets thousands of columns wide), while
+#: 250-query chunks keep compile linear and execution flat (finer
+#: per-chunk scan pruning, bounded agg width). Catalyst stayed sane to
+#: 2k; the boundary is a measured cost knee, not a correctness cliff.
+MAX_COMPILE_QUERIES = 250
+
+
+def _check_distinct_ids(queries) -> None:
+    """Registry-wide duplicate-id gate (chunking would otherwise only
+    catch duplicates landing in the same chunk)."""
+    seen: set = set()
+    for qid, _q in queries:
+        if qid in seen:
+            raise ValueError(
+                f"duplicate stored percolator query_id {qid} — every "
+                "registry entry needs a distinct id"
+            )
+        seen.add(qid)
+
+
+def _chunks(queries, chunk_size: int):
+    return [
+        queries[i : i + chunk_size] for i in range(0, len(queries), chunk_size)
+    ]
+
+
 def _percolate_compile(
     rel: DataFrame,
     queries: list[tuple[int, str]],
@@ -271,11 +306,25 @@ def _percolate_bool(
     rel: DataFrame,
     queries: list[tuple[int, str]],
     vocab: DataFrame | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Summary form of boolean percolation: every stored query's
     (n_docs, first_doc) from ONE global aggregation over the compiled
     per-doc flags — see _percolate_compile for the machinery and the
-    registration contract. Queries matching nothing are omitted."""
+    registration contract. Queries matching nothing are omitted.
+
+    Registries wider than ``chunk_size`` (default MAX_COMPILE_QUERIES)
+    compile in column-width-bounded groups whose results union — each
+    group is its own pruned one-scan aggregation (finer pruning than one
+    giant scan, and Catalyst analysis stays linear in registry size)."""
+    cs = chunk_size or MAX_COMPILE_QUERIES
+    if len(queries) > cs:
+        _check_distinct_ids(queries)
+        out = None
+        for part in _chunks(queries, cs):
+            p = _percolate_bool(rel, part, vocab)
+            out = p if out is None else out.unionByName(p)
+        return out.orderBy("query_id")
     per_doc, match_of = _percolate_compile(rel, queries, vocab)
     outs = []
     for qid, m in match_of.items():
@@ -299,6 +348,7 @@ def percolate_matches(
     rel: DataFrame,
     queries: list[tuple[int, str]],
     vocab: DataFrame | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Alerting form of boolean percolation (r8): the full (query_id,
     doc_id) match table instead of per-query summaries — the shape a
@@ -308,7 +358,20 @@ def percolate_matches(
     the stack unpivots matches to rows. Matching is per-DOCUMENT (no
     cross-document state), which is what makes streaming percolation
     correct batch-by-batch: percolating each micro-batch's documents
-    independently yields exactly the batch result over the union."""
+    independently yields exactly the batch result over the union.
+
+    Registries wider than ``chunk_size`` (default MAX_COMPILE_QUERIES)
+    chunk into column-width-bounded compiles whose (query_id, doc_id)
+    outputs union — correct because matching carries no cross-query
+    state; see MAX_COMPILE_QUERIES for the measured knee."""
+    cs = chunk_size or MAX_COMPILE_QUERIES
+    if len(queries) > cs:
+        _check_distinct_ids(queries)
+        out = None
+        for part in _chunks(queries, cs):
+            p = percolate_matches(rel, part, vocab)
+            out = p if out is None else out.unionByName(p)
+        return out
     per_doc, match_of = _percolate_compile(rel, queries, vocab)
     cols = [
         F.when(m, F.lit(qid)).alias(f"_q{qid}") for qid, m in match_of.items()
@@ -680,6 +743,7 @@ def percolate_scored(
     df_of: dict,
     vocab: DataFrame | None = None,
     k: int = 3,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Ranked percolation (the Elasticsearch percolate-with-scoring
     surface): every (stored query, matching document) pair carries the
@@ -692,10 +756,22 @@ def percolate_scored(
     window, no join. Expansion atoms match constant-score (no idf
     contribution), exactly like search_indexed.
 
-    ``rel`` must expose (doc_id, term, positions, tf, dl)."""
+    ``rel`` must expose (doc_id, term, positions, tf, dl). Registries
+    wider than ``chunk_size`` (default MAX_COMPILE_QUERIES) chunk into
+    bounded compiles whose top-k outputs union — per-query top-k is
+    independent across queries, so chunking is exact."""
     from sparkfulltextquery_spark.functions import querylang as QL
     from sparkfulltextquery_spark.functions.fulltext import BM25_B, BM25_K1
     from pyspark.sql import Window
+
+    cs = chunk_size or MAX_COMPILE_QUERIES
+    if len(queries) > cs:
+        _check_distinct_ids(queries)
+        out = None
+        for part in _chunks(queries, cs):
+            p = percolate_scored(rel, part, n_docs, avgdl, df_of, vocab, k)
+            out = p if out is None else out.unionByName(p)
+        return out.orderBy("query_id", F.col("score").desc(), "doc_id")
 
     pos_of = {
         qid: sorted(set(QL.positive_terms(QL.parse_query(q))))
