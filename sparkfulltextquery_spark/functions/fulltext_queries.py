@@ -941,5 +941,8 @@ from sparkfulltextquery_spark.functions.percolate import (  # noqa: E402,F401
     _percolate_compile,
     percolate_from_table,
     percolate_matches,
+    percolate_scored,
+    read_scored_alerts,
     register_percolator_queries,
+    stream_percolate_scored,
 )

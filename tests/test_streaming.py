@@ -848,6 +848,90 @@ def test_python_stream_source_feeds_windowed_agg(spark, tmp_path):
     assert q.lastProgress is not None
 
 
+def test_streaming_scored_percolation_equals_batch(spark, tmp_path):
+    """Streaming RANKED percolation (r9, VERDICT r08 #5): documents arrive
+    in micro-batches, each batch's matches are BM25-scored with corpus
+    statistics PINNED at registration (the staleness contract — tf/dl are
+    per-document so per-batch scoring is exact; idf/n_docs/avgdl are
+    registration-time literals), scored alerts land in a batch-id-stamped
+    log, and the per-query top-k over the log equals batch
+    percolate_scored exactly — scores included. A checkpointed restart
+    with no new data replays nothing and leaves the alert log stable."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import querylang as QL
+    from sparkfulltextquery_spark.functions.fulltext import doc_lengths
+    from sparkfulltextquery_spark.functions.percolate import (
+        percolate_scored,
+        read_scored_alerts,
+        stream_percolate_scored,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    registry = [
+        (1, "(spark AND join) AND NOT vector"),
+        (2, '"data query" AND window'),
+        (3, "merge OR stream"),
+    ]
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # registration-time corpus statistics (the pinned literals)
+    union_pos = sorted(
+        {t for _qid, q in registry for t in QL.positive_terms(QL.parse_query(q))}
+    )
+    dls = doc_lengths(docs)
+    st = dls.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).head()
+    dfr = {
+        r.term: int(r.df)
+        for r in FT.postings(docs)
+        .filter(F.col("term").isin(union_pos))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    df_of = {t: dfr.get(t, 0) for t in union_pos}
+    n_docs, avgdl = int(st.n), float(st.avgdl)
+
+    src = f"file://{tmp_path}/ps_src"
+    out = f"file://{tmp_path}/ps_alerts"
+    ck = f"file://{tmp_path}/ps_ck"
+    for lo, hi in ((0, 150), (150, 350), (350, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        q = stream_percolate_scored(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            registry, n_docs, avgdl, df_of, out, ck,
+        )
+        q.awaitTermination()
+
+    run()
+    got = [tuple(r) for r in read_scored_alerts(spark, out, k=3).collect()]
+
+    rel = (
+        FT.positional_postings(docs)
+        .join(doc_lengths(docs), "doc_id")
+        .select("doc_id", "term", "positions", "tf", "dl")
+    )
+    want = [
+        tuple(r)
+        for r in percolate_scored(rel, registry, n_docs, avgdl, df_of, k=3)
+        .collect()
+    ]
+    assert got == want and len(want) > 0
+
+    # restart on the same checkpoint: nothing replays, alerts stable
+    run()
+    got2 = [tuple(r) for r in read_scored_alerts(spark, out, k=3).collect()]
+    assert got2 == want
+
+
 def test_streaming_percolation_alerts_equal_batch(spark, tmp_path):
     """Streaming percolation / saved-search alerting (r8): documents
     arrive in micro-batches; each batch is percolated against the stored
