@@ -395,14 +395,18 @@ _SIG_STORE_CACHE: dict[tuple[str, str], str] = {}
 
 def _ensure_sig_store(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session+sf_dir) the persisted MinHash signature store
-    over the 'existing corpus' slice (doc_id % 10 != 7) of documents."""
-    import tempfile
+    over the 'existing corpus' slice (doc_id % 10 != 7) of documents.
 
+    Location is the DETERMINISTIC per-sf_dir root (storage.index_store_root,
+    overwrite-replaced across sessions) — mkdtemp here used to leak one
+    `sftq_sigstore_*` directory per Spark app (r9 hygiene fix; same
+    ADVICE r03 discipline as the text index)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _SIG_STORE_CACHE:
         from sparkfulltextquery_spark.dedup.incremental import build_signature_store
+        from sparkfulltextquery_spark.storage import index_store_root
 
-        path = tempfile.mkdtemp(prefix="sftq_sigstore_")
+        path = index_store_root("sigstore", sf_dir)
         corpus = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") % 10 != 7
         )

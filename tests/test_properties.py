@@ -374,6 +374,49 @@ def test_minhash_planted_duplicates_full_recall(spark):
         assert texts[a] == texts[b], (a, b)
 
 
+def test_ivf_recall_contract_at_default_probe(spark):
+    """ANN recall contract (r9, VERDICT r08 #7): at the default probe
+    settings, IVF and IVF-PQ (exact re-rank) must hold mean recall@10 ≥
+    0.9 vs brute-force cosine on the sf0.1 embeddings corpus (2,000
+    vectors, 10 coarse clusters). The full recall-vs-cost curve at sf1
+    (20k vectors, n_probe ∈ {1,2,4,8}) is committed in SCALE.md
+    (scripts/measure_ann_recall.py); this pin is the regression
+    tripwire at suite scale."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from sparkfulltextquery_spark.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet").cache()
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") % 200 == 0).orderBy("vec_id").collect()
+    ]
+    assert len(queries) >= 8
+    lit = pq_train(emb, 8)
+    codes = pq_encode(emb, literals=lit)
+
+    r_ivf, r_pq = [], []
+    for _qid, v in queries:
+        truth = {r.vec_id for r in cosine_topk(emb, v, k=10).collect()}
+        got_ivf = {r.vec_id for r in ivf_topk(emb, v, k=10).collect()}  # n_probe=3
+        got_pq = {
+            r.vec_id
+            for r in ivfpq_topk(emb, v, k=10, literals=lit, codes=codes).collect()
+        }  # n_probe=2
+        r_ivf.append(len(got_ivf & truth) / 10.0)
+        r_pq.append(len(got_pq & truth) / 10.0)
+    mean_ivf = sum(r_ivf) / len(r_ivf)
+    mean_pq = sum(r_pq) / len(r_pq)
+    assert mean_ivf >= 0.9, f"IVF recall@10 {mean_ivf:.3f} < 0.9 at n_probe=3"
+    assert mean_pq >= 0.9, f"IVF-PQ recall@10 {mean_pq:.3f} < 0.9 at n_probe=2"
+
+
 def test_hyperplane_lsh_recall_floor(spark):
     # planted near-identical vectors (tiny single-coordinate perturbation,
     # cosine ≈ 0.999) must essentially all surface as LSH band candidates —
