@@ -2,13 +2,23 @@
 
 LSH carries a recall-floor property test; IVF and IVF-PQ had equivalence
 tests but no committed recall curve. This script measures mean recall@10
-against brute-force cosine over the sf1 embeddings corpus (20,000
-vectors, dim 64, 10 coarse clusters) for IVF at n_probe ∈ {1,2,4,8} and
-IVF-PQ (m=8 subspaces, exact re-rank) at n_probe ∈ {2,4}, plus the
-fraction of the corpus each probe setting scans. Paste the table into
-SCALE.md.
+against brute-force cosine for two corpora:
+
+1. the sf1 embeddings table AS GENERATED (20,000 vectors, dim 64, the
+   `label` column as the coarse index) — which measurement shows is
+   ISOTROPIC: labels carry no cosine-neighborhood information (same-label
+   mean cosine 0.0), so the curve documents what coarse quantization does
+   on structure-free data (recall ≈ scanned fraction);
+2. a PLANTED clustered corpus at the same scale (20,000 vectors, 10
+   Gaussian clusters on the sphere, sigma 0.2 — the regime ANN indexes
+   exist for), where the recall/cost trade is real.
+
+IVF at n_probe ∈ {1,2,4,8}; IVF-PQ (m=8, exact re-rank) at
+(n_probe, shortlist_k) ∈ {(2,30), (2,200), (4,200)} — shortlist_k is the
+dial that matters with a label-centroid codebook (see ivfpq_topk).
 
 Usage: python scripts/measure_ann_recall.py [sf_dir] [n_queries]
+Paste the JSON lines / table into SCALE.md.
 """
 
 from __future__ import annotations
@@ -18,6 +28,87 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def planted_rows(n=20000, dim=64, k=10, sigma=0.2, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, k, size=n)
+    v = centers[labels] + sigma * rng.normal(size=(n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return [(i, [float(x) for x in v[i]], int(labels[i])) for i in range(n)]
+
+
+def measure(spark, emb, corpus_name, n_queries):
+    from pyspark.sql import functions as F
+
+    from sparkfulltextquery_spark.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = emb.cache()
+    n_vecs = emb.count()
+    n_labels = emb.select("label").distinct().count()
+    stride = max(n_vecs // n_queries, 1)
+    qrows = (
+        emb.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect()
+    )
+    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
+
+    lit = pq_train(emb, 8)
+    codes = pq_encode(emb, literals=lit).cache()
+    codes.count()
+
+    truth = {
+        qid: {r.vec_id for r in cosine_topk(emb, v, k=10).collect()}
+        for qid, v in queries
+    }
+
+    def report(method, n_probe, extra, got_fn):
+        rs = []
+        for qid, v in queries:
+            got = got_fn(v)
+            rs.append(len(got & truth[qid]) / 10.0)
+        row = {
+            "corpus": corpus_name,
+            "method": method,
+            "n_probe": n_probe,
+            **extra,
+            "recall_at_10": round(sum(rs) / len(rs), 3),
+            "scan_fraction": round(n_probe / n_labels, 2),
+        }
+        print(json.dumps(row), flush=True)
+
+    for n_probe in (1, 2, 4, 8):
+        report(
+            "ivf", n_probe, {},
+            lambda v, p=n_probe: {
+                r.vec_id for r in ivf_topk(emb, v, k=10, n_probe=p).collect()
+            },
+        )
+    for n_probe, sk in ((2, 30), (2, 200), (4, 200)):
+        report(
+            "ivfpq(m=8, exact re-rank)", n_probe, {"shortlist_k": sk},
+            lambda v, p=n_probe, s=sk: {
+                r.vec_id
+                for r in ivfpq_topk(
+                    emb, v, k=10, n_probe=p, shortlist_k=s,
+                    literals=lit, codes=codes,
+                ).collect()
+            },
+        )
+    emb.unpersist()
+    codes.unpersist()
 
 
 def main() -> None:
@@ -34,91 +125,16 @@ def main() -> None:
             stdout=sys.stderr,
         )
 
-    from pyspark.sql import functions as F
-
     from sparkfulltextquery_spark import get_spark
-    from sparkfulltextquery_spark.similarity import (
-        cosine_topk,
-        ivf_topk,
-        ivfpq_topk,
-        pq_encode,
-        pq_train,
-    )
 
     spark = get_spark(app_name="ann-recall")
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
-    n_vecs = emb.count()
-    n_labels = emb.select("label").distinct().count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    measure(spark, emb, "sf1-as-generated (isotropic)", n_queries)
 
-    # deterministic query sample: evenly-strided vec_ids, vectors collected
-    # once (the bounded driver transfer a real query workload would carry)
-    stride = max(n_vecs // n_queries, 1)
-    qrows = (
-        emb.filter(F.col("vec_id") % stride == 0)
-        .orderBy("vec_id")
-        .limit(n_queries)
-        .collect()
+    planted = spark.createDataFrame(
+        planted_rows(), "vec_id long, embedding array<float>, label int"
     )
-    queries = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in qrows]
-
-    # PQ artifacts trained ONCE (the persisted-index shape): codebook
-    # literals + code table
-    lit = pq_train(emb, 8)
-    codes = pq_encode(emb, literals=lit).cache()
-    codes.count()
-
-    truth = {
-        qid: {r.vec_id for r in cosine_topk(emb, v, k=10).collect()}
-        for qid, v in queries
-    }
-
-    def recall(got_ids: set, qid) -> float:
-        return len(got_ids & truth[qid]) / 10.0
-
-    results = []
-    for n_probe in (1, 2, 4, 8):
-        rs = []
-        for qid, v in queries:
-            got = {r.vec_id for r in ivf_topk(emb, v, k=10, n_probe=n_probe).collect()}
-            rs.append(recall(got, qid))
-        results.append(
-            {
-                "method": "ivf",
-                "n_probe": n_probe,
-                "recall_at_10": round(sum(rs) / len(rs), 4),
-                "min_recall": round(min(rs), 2),
-                "scan_fraction": round(n_probe / n_labels, 2),
-            }
-        )
-        print(json.dumps(results[-1]), flush=True)
-
-    for n_probe in (2, 4):
-        rs = []
-        for qid, v in queries:
-            got = {
-                r.vec_id
-                for r in ivfpq_topk(
-                    emb, v, k=10, n_probe=n_probe, literals=lit, codes=codes
-                ).collect()
-            }
-            rs.append(recall(got, qid))
-        results.append(
-            {
-                "method": "ivfpq(m=8, exact re-rank)",
-                "n_probe": n_probe,
-                "recall_at_10": round(sum(rs) / len(rs), 4),
-                "min_recall": round(min(rs), 2),
-                "scan_fraction": round(n_probe / n_labels, 2),
-            }
-        )
-        print(json.dumps(results[-1]), flush=True)
-
-    print(
-        json.dumps(
-            {"corpus": n_vecs, "n_labels": n_labels, "n_queries": len(queries)}
-        ),
-        flush=True,
-    )
+    measure(spark, planted, "planted-10-clusters (sigma=0.2)", n_queries)
 
 
 if __name__ == "__main__":

@@ -567,6 +567,7 @@ def ivfpq_topk(
     k: int = 10,
     n_probe: int = 2,
     m: int = PQ_SUBSPACES,
+    shortlist_k: int = 30,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -581,7 +582,17 @@ def ivfpq_topk(
 
     Pass `literals` (pq_train output) and `codes` (persisted pq_encode
     table) to make the call plan-only: no training jobs, the shortlist
-    reads m ints/row from the pruned code partitions."""
+    reads m ints/row from the pruned code partitions.
+
+    ``shortlist_k`` is the recall/cost dial (r9, VERDICT r08 #7): the
+    label-centroid codebook carries L codes per subspace, so ADC resolves
+    BETWEEN coarse clusters, not within them — on a tightly clustered
+    corpus, same-cluster vectors share codes and the ADC shortlist is a
+    tie-broken prefix. Size shortlist_k toward the probed clusters'
+    candidate-pool size for high recall (measured curve in SCALE.md); at
+    100 TB the structural fix is a trained 256-code k-means codebook per
+    subspace, which this plumbing accepts unchanged (codes/LUT just get
+    256 entries)."""
     lit = literals if literals is not None else pq_train(embeddings, m, vec_col, label_col)
     probes = ivf_probe_labels(lit, query_vec, n_probe)
     if codes is not None:
@@ -591,6 +602,7 @@ def ivfpq_topk(
             query_vec,
             k=k,
             m=m,
+            shortlist_k=shortlist_k,
             id_col=id_col,
             vec_col=vec_col,
             label_col=label_col,
@@ -602,6 +614,7 @@ def ivfpq_topk(
         query_vec,
         k=k,
         m=m,
+        shortlist_k=shortlist_k,
         id_col=id_col,
         vec_col=vec_col,
         label_col=label_col,
