@@ -107,6 +107,26 @@ def build_index(
         "doc_len": f"{table_prefix}_dl",
         "stats": f"{table_prefix}_stats",
     }
+    if term_vectors:
+        names["tvec"] = f"{table_prefix}_tvec"
+        names["norms"] = f"{table_prefix}_norms"
+    # managed-table overwrite must also adopt a location ORPHANED by a
+    # previous session/process (r9, surfaced by the README quickstart:
+    # catalog metadata is per-session in-memory here, the warehouse
+    # directory is not — saveAsTable refuses the unowned directory with
+    # LOCATION_ALREADY_EXISTS). Same drop + Hadoop-FS delete protocol as
+    # register_percolator_queries; external builds (path=...) overwrite
+    # their explicit location and only need the catalog drop.
+    jvm = spark.sparkContext._jvm
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for t in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if not path:
+            loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{t.lower()}")
+            fs = loc.getFileSystem(hconf)
+            if fs.exists(loc):
+                fs.delete(loc, True)
 
     def writer(df: DataFrame, name: str):
         w = df.write.mode("overwrite")
@@ -158,8 +178,6 @@ def build_index(
         # ranking needs every candidate's norm, which would otherwise
         # force a full forward scan at query time (Lucene stores norms at
         # index time for exactly this reason).
-        names["tvec"] = f"{table_prefix}_tvec"
-        names["norms"] = f"{table_prefix}_norms"
         tv = spark.table(names["postings"]).select("doc_id", "term", "tf")
         (
             writer(tv.repartition(num_buckets, "doc_id"), names["tvec"])
