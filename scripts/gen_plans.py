@@ -40,19 +40,23 @@ FLAGSHIPS = {
     "tpcds_q70_ranked_state_rollup": "TPC-DS q70: rank-threshold IN-subquery as semi join feeding grouping()-partitioned rollup rank",
     "tpcds_q9_bucket_ladder": "TPC-DS q9: 15 scalar subqueries, zero joins in the main plan",
     "fulltext_query_fielded_indexed": "fielded atom: position-array exists() inside the one-pass indexed agg, bucket-pruned scan",
-    "fulltext_query_fuzzy_indexed": "fuzzy atom: levenshtein widens the pruned scan, flag folds into the single agg",
+    "fulltext_query_fuzzy_indexed": "fuzzy atom (r8): dictionary-resolved to concrete terms, equality-only bucket-pruned scan, flag in the single agg",
     "fulltext_ngrams_sentence_agg": "Hive ngrams UDAF shape: staged token column (no expr recompute), one count shuffle, top-k heap",
     # r6 continuation flagships
-    "fulltext_query_regex_indexed": "regexp atom: anchored RLIKE widens the pruned scan, flag folds into the single agg, no joins",
+    "fulltext_query_regex_indexed": "regexp atom (r8): dictionary-resolved, equality-only pruned scan, flag in the single agg, no joins",
     "fulltext_hybrid_rrf": "hybrid RRF: both retrieval legs end in TakeOrderedAndProject heaps BEFORE the 20-row fusion join",
     "fulltext_min_should_match_indexed": "minimum_should_match: clause count + BM25 sum in ONE doc_id agg over the pruned scan, zero joins",
-    "fulltext_query_fieldprefix_indexed": "fielded prefix: StartsWith widens the scan, field test is exists() over stored position arrays",
+    "fulltext_query_fieldprefix_indexed": "fielded prefix (r8): dictionary-resolved terms prune the scan, field test is exists() over stored position arrays",
     "fulltext_dismax": "DisMax: per-field BM25 sub-indexes, two bounded aggs (term fuse, doc sum), broadcast stats",
     # r7 flagships
     "fulltext_dismax_indexed": "indexed DisMax: per-field tf from stored positions, field stats as literals — one pruned scan, zero joins",
     "fulltext_bm25f_weighted_indexed": "indexed BM25F: fuse-before-saturation tfw as column expressions over one pruned scan, zero joins",
-    "fulltext_query_wildcard_indexed": "wildcard atoms: LIKE vocabulary predicates widen the pruned scan, flags fold into the single agg",
+    "fulltext_query_wildcard_indexed": "wildcard atoms (r8): dictionary-resolved, equality-only pruned scan, flags in the single agg",
     "fulltext_query_phrase_prefix_indexed": "phrase-prefix: lead slots + flattened prefix-position slot in ONE agg; adjacency is an array expr",
+    # r9 flagships
+    "fulltext_percolate_scored_indexed": "ranked percolation: per-term BM25 + match flags in ONE bucket-pruned scan+agg, WindowGroupLimit top-k, zero joins",
+    "fulltext_percolate_alerts_indexed": "alerting percolation off the persisted registry table: one pruned scan, array-filter unpivot, zero joins",
+    "fulltext_query_language": "INLINE boolean search (r9): expansion atoms vocabulary-resolved, equality-only posting filters",
     "fulltext_simple_query_indexed": "simple_query_string: MUST/MUST_NOT flags AND the BM25 sum in one agg over one pruned scan",
     "textstats_gopher_repetition": "Gopher dup-ngram rule: staged token column, explode + two-stage Tungsten agg (beats HOF lambdas 6x)",
 }
