@@ -66,6 +66,8 @@ _PUBLIC_API = {
     "percolate_matches": "sparkfulltextquery_spark.functions.percolate",
     "percolate_scored": "sparkfulltextquery_spark.functions.percolate",
     "register_percolator_queries": "sparkfulltextquery_spark.functions.percolate",
+    "add_percolator_queries": "sparkfulltextquery_spark.functions.percolate",
+    "remove_percolator_queries": "sparkfulltextquery_spark.functions.percolate",
     "percolate_from_table": "sparkfulltextquery_spark.functions.percolate",
     "stream_percolate_scored": "sparkfulltextquery_spark.functions.percolate",
     "read_scored_alerts": "sparkfulltextquery_spark.functions.percolate",

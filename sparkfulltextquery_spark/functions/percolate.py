@@ -449,6 +449,68 @@ def register_percolator_queries(
     return table
 
 
+def add_percolator_queries(
+    spark: SparkSession,
+    queries: list[tuple[int, str]],
+    table: str = "sftq_percolator",
+    vocab: DataFrame | None = None,
+) -> str:
+    """Incrementally ADD stored queries to a persisted registry (the
+    Elasticsearch register-one-more-percolator-document shape) — without
+    rewriting the existing entries. The same write-time contract applies
+    to the new batch (parse, matchable, supported atoms, expansion
+    resolution under the cap), PLUS a registry-wide id-collision gate:
+    an id already stored raises before anything is appended (a silent
+    overwrite would silently re-route alerts). One bounded append."""
+    _percolate_compile(
+        spark.createDataFrame(
+            [], "doc_id long, term string, positions array<int>"
+        ),
+        queries,
+        vocab,
+    )
+    existing = {int(r.query_id) for r in spark.table(table).select("query_id").collect()}
+    clash = sorted(existing & {qid for qid, _q in queries})
+    if clash:
+        raise ValueError(
+            f"query_id(s) {clash} already registered in {table} — remove "
+            "first or use distinct ids"
+        )
+    (
+        spark.createDataFrame(queries, "query_id int, query string")
+        .write.mode("append")
+        .saveAsTable(table)
+    )
+    return table
+
+
+def remove_percolator_queries(
+    spark: SparkSession,
+    ids: list[int],
+    table: str = "sftq_percolator",
+) -> int:
+    """Remove stored queries by id. The registry is bounded-small (the
+    collect-to-compile contract), so removal is a validated rewrite of
+    the surviving rows rather than tombstones; an id that is not
+    registered raises (a no-op delete usually means an alerting
+    misconfiguration). Returns the number removed."""
+    rows = [
+        (int(r.query_id), r.query)
+        for r in spark.table(table).orderBy("query_id").collect()
+    ]
+    existing = {qid for qid, _q in rows}
+    missing = sorted(set(ids) - existing)
+    if missing:
+        raise ValueError(f"query_id(s) {missing} not registered in {table}")
+    keep = [(qid, q) for qid, q in rows if qid not in set(ids)]
+    (
+        spark.createDataFrame(keep, "query_id int, query string")
+        .write.mode("overwrite")
+        .saveAsTable(table)
+    )
+    return len(rows) - len(keep)
+
+
 def percolate_from_table(
     spark: SparkSession,
     rel: DataFrame,

@@ -845,6 +845,50 @@ def test_percolator_table_registration_validates_at_write(spark):
     assert via_table == direct and len(direct) == 2
 
 
+def test_percolator_registry_incremental_add_remove(spark):
+    """Registry mutation API (r9, the ES register-one-more / delete-one
+    percolator-document shape): add_percolator_queries validates the new
+    batch AND rejects id collisions with what is already stored; readers
+    see the union immediately; remove_percolator_queries rewrites the
+    bounded registry and fails loudly on unknown ids."""
+    import pytest
+
+    from sparkfulltextquery_spark.functions.fulltext_queries import (
+        add_percolator_queries,
+        percolate_from_table,
+        register_percolator_queries,
+        remove_percolator_queries,
+    )
+
+    rel = spark.createDataFrame(
+        [(1, "spark", [0]), (1, "join", [1]), (2, "vector", [0])],
+        "doc_id long, term string, positions array<int>",
+    )
+    t = register_percolator_queries(
+        spark, [(1, "spark AND join")], table="t_perc_incr"
+    )
+    add_percolator_queries(spark, [(2, "vector")], table=t)
+    got = {tuple(r) for r in percolate_from_table(spark, rel, t, matches=True).collect()}
+    assert got == {(1, 1), (2, 2)}
+
+    # collision with a STORED id fails before anything is appended
+    with pytest.raises(ValueError, match="already registered"):
+        add_percolator_queries(spark, [(2, "stream")], table=t)
+    # invalid new queries fail the same write-time contract
+    with pytest.raises(ValueError, match="positive atom"):
+        add_percolator_queries(spark, [(3, "NOT spark")], table=t)
+    assert spark.table(t).count() == 2
+
+    assert remove_percolator_queries(spark, [1], table=t) == 1
+    got2 = {tuple(r) for r in percolate_from_table(spark, rel, t, matches=True).collect()}
+    assert got2 == {(2, 2)}
+    with pytest.raises(ValueError, match="not registered"):
+        remove_percolator_queries(spark, [99], table=t)
+    # removing the last entry leaves a valid empty registry
+    assert remove_percolator_queries(spark, [2], table=t) == 1
+    assert spark.table(t).count() == 0
+
+
 def test_percolator_rejects_duplicate_query_ids(spark):
     """ADVICE r08: a duplicate query_id used to silently overwrite the
     earlier stored query — silently missed alerts. Both the compile path
