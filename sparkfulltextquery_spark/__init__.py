@@ -70,6 +70,7 @@ _PUBLIC_API = {
     "remove_percolator_queries": "sparkfulltextquery_spark.functions.percolate",
     "percolate_from_table": "sparkfulltextquery_spark.functions.percolate",
     "stream_percolate_scored": "sparkfulltextquery_spark.functions.percolate",
+    "stream_percolate_alerts": "sparkfulltextquery_spark.functions.percolate",
     "read_scored_alerts": "sparkfulltextquery_spark.functions.percolate",
     "MAX_COMPILE_QUERIES": "sparkfulltextquery_spark.functions.percolate",
     # deduplication

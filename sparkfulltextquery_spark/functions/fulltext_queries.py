@@ -946,5 +946,6 @@ from sparkfulltextquery_spark.functions.percolate import (  # noqa: E402,F401
     percolate_scored,
     read_scored_alerts,
     register_percolator_queries,
+    stream_percolate_alerts,
     stream_percolate_scored,
 )

@@ -529,6 +529,61 @@ def percolate_from_table(
     return fn(rel, stored, vocab=vocab)
 
 
+def stream_percolate_alerts(
+    doc_stream: DataFrame,
+    table: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The production alerting loop in one call (r9): documents stream
+    in; every micro-batch is percolated against the PERSISTED registry
+    table and (batch_id, query_id, doc_id) alerts append as
+    batch-id-stamped idempotent overwrites (exactly-once under replay).
+
+    Registry refresh contract: stored queries are read and compiled ONCE
+    at stream start (the bounded collect — Elasticsearch likewise loads
+    percolator queries into a memory index), so
+    add/remove_percolator_queries take effect on stream RESTART; already-
+    processed documents are not re-percolated against later additions —
+    re-stream with a fresh checkpoint to backfill. Expansion atoms
+    resolve per batch against the batch's own vocabulary (exact for
+    per-document matching)."""
+    from sparkfulltextquery_spark.functions.fulltext import positional_postings
+
+    spark = doc_stream.sparkSession
+    stored = [
+        (int(r.query_id), r.query)
+        for r in spark.table(table).orderBy("query_id").collect()
+    ]
+    if not stored:
+        raise ValueError(
+            f"percolator registry {table} is empty — register stored "
+            "queries before starting the alerting stream"
+        )
+    _check_distinct_ids(stored)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rel = positional_postings(batch_df, id_col, text_col).select(
+            "doc_id", "term", "positions"
+        )
+        vocab = rel.select("term").distinct()
+        (
+            percolate_matches(rel, stored, vocab=vocab)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch={batch_id}")
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # stored percolator queries: arbitrary boolean (AND/OR/NOT + phrase)
 _PERCOLATE_BOOL_QUERIES = [
     (1, "(spark AND join) AND NOT vector"),

@@ -932,6 +932,76 @@ def test_streaming_scored_percolation_equals_batch(spark, tmp_path):
     assert got2 == want
 
 
+def test_stream_percolate_alerts_from_registry_table(spark, tmp_path):
+    """The one-call production loop (r9): register a persisted registry,
+    stream documents, and the alert log equals batch percolation through
+    the same table — including expansion atoms resolved per batch. A
+    restart on the same checkpoint replays nothing."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions.percolate import (
+        percolate_from_table,
+        register_percolator_queries,
+        stream_percolate_alerts,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    vocab_all = FT.postings(docs).select("term").distinct()
+    t = register_percolator_queries(
+        spark,
+        [(1, "spark AND join"), (2, "quer* AND batch"), (3, '"data query"')],
+        table="t_stream_perc",
+        vocab=vocab_all,
+    )
+    src = f"file://{tmp_path}/sp_src"
+    out = f"file://{tmp_path}/sp_alerts"
+    ck = f"file://{tmp_path}/sp_ck"
+    for lo, hi in ((0, 200), (200, 10**9)):
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        q = stream_percolate_alerts(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            t, out, ck,
+        )
+        q.awaitTermination()
+
+    run()
+    got = {
+        (r.query_id, r.doc_id) for r in spark.read.parquet(out).collect()
+    }
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    want = {
+        (r.query_id, r.doc_id)
+        for r in percolate_from_table(
+            spark, rel, t, vocab=rel.select("term").distinct(), matches=True
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+    run()  # checkpointed restart: stable
+    got2 = {(r.query_id, r.doc_id) for r in spark.read.parquet(out).collect()}
+    assert got2 == want
+
+    # an EMPTY registry fails loudly at stream start, not silently
+    import pytest
+
+    from sparkfulltextquery_spark.functions.percolate import (
+        remove_percolator_queries,
+    )
+
+    remove_percolator_queries(spark, [1, 2, 3], table=t)
+    with pytest.raises(ValueError, match="is empty"):
+        stream_percolate_alerts(
+            spark.readStream.schema(docs.schema).parquet(src),
+            t, out, ck,
+        )
+
+
 def test_streaming_percolation_alerts_equal_batch(spark, tmp_path):
     """Streaming percolation / saved-search alerting (r8): documents
     arrive in micro-batches; each batch is percolated against the stored
