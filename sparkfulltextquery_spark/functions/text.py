@@ -42,9 +42,14 @@ def tokenize_duck(expr: str) -> str:
 
 def remove_stopwords(tokens: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     """Drop stopwords, preserving duplicates and order (array_except would
-    dedup — reference StopWordsRemover keeps duplicates, so filter)."""
-    sw = F.array(*[F.lit(s) for s in stopwords])
-    return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
+    dedup — reference StopWordsRemover keeps duplicates, so filter).
+
+    Membership is ``isin`` (r9): past spark.sql.optimizer
+    .inSetConversionThreshold entries it plans as InSet — an O(1) hash
+    probe per token instead of array_contains' O(|stopwords|) literal
+    array scan (A/B at sf0.1: ~1.5x on the membership sub-expression,
+    identical results)."""
+    return F.filter(tokens, lambda t: ~t.isin(*stopwords))
 
 
 def remove_stopwords_duck(expr: str, stopwords: tuple[str, ...] = STOPWORDS) -> str:

@@ -52,8 +52,8 @@ def stopword_ratio(col: Column | str) -> Column:
     """Fraction of tokens that are (English) stopwords — a classic
     natural-language-ness signal."""
     toks = tokenize(col)
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # isin → InSet: hash probe per token, not an O(|sw|) array scan (r9)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
         hits.cast("double") / F.size(toks)
     )

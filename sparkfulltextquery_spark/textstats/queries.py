@@ -98,15 +98,15 @@ def textstats_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sparkfulltextquery_spark.functions.text import tokenize
     from sparkfulltextquery_spark.textstats import STOPWORDS
 
-    sw = F.array(*[F.lit(w) for w in STOPWORDS])
     s0 = d.select("doc_id", "text", tokenize(F.col("text")).alias("_toks"))
     s = s0.select(
         "doc_id",
         F.size("_toks").cast("double").alias("_n"),
         F.when(F.size("_toks") == 0, F.lit(0.0))
         .otherwise(
+            # isin → InSet hash probe per token (r9), not an O(|sw|) scan
             F.size(
-                F.filter(F.col("_toks"), lambda t: F.array_contains(sw, t))
+                F.filter(F.col("_toks"), lambda t: t.isin(*STOPWORDS))
             ).cast("double")
             / F.size("_toks")
         )
