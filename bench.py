@@ -349,6 +349,13 @@ def _run(sf1_mode: bool, sf10_mode: bool = False) -> str:
     for name in HEADLINE:
         if name not in qs:
             continue
+        # same GC hygiene as the extras loop (r9): at sf10 the headline
+        # row AFTER dedup_minhash_pairs (27M output rows) otherwise
+        # carries its GC debris — textstats_quality measured 47s in-bench
+        # vs 28s isolated on the same host/session pattern
+        import gc
+
+        gc.collect()
         # one untimed warm run per query (whole-stage-codegen compilation),
         # then 3 timed runs; the graded number is the MEDIAN (carries its
         # own noise bar — VERDICT r05 watch item: judge-vs-driver absolute
