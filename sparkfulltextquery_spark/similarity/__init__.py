@@ -35,24 +35,186 @@ def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
     return len(row[0])
 
 
-def dot_expr(a: Column, b: Column) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate — sequential left fold, same
-    evaluation order as the DuckDB oracle's list_inner_product."""
+# --------------------------------------------------------------------------
+# Vector expression builders.
+#
+# Two forms, same IEEE-754 result bit-for-bit:
+#
+# - HOF fold (`F.aggregate`/`F.zip_with` lambdas): compact plan, but
+#   HigherOrderFunction is CodegenFallback — interpreted per element with a
+#   per-element allocation. Fine for one-off scoring; the hot-loop tax on
+#   n·k assignment / n² pair shapes measured ~2–7×.
+# - Statically-unrolled SQL text (`*_sql` builders below, parsed by ONE
+#   `F.expr` call): an ordinary Add tree inside whole-stage codegen.
+#   Bit-identical to the fold — both associate strictly left and IEEE
+#   0.0+x == x — asserted in tests. The text form matters: building the
+#   same tree out of Python `Column` arithmetic costs O(dim) Py4J
+#   round-trips PER PLAN (measured 3.3s of pure driver time at dim=64 on
+#   the k-means shape), which swamps the executor win; one parsed string
+#   costs ~1ms. element_at, NOT F.get: `get` compiles to a null-safe
+#   branch wrapper that measured 4.3× slower. Under ANSI (Spark 4 default)
+#   element_at throws on a ragged vector where zip_with would null-pad —
+#   for fixed-width embedding columns the louder failure is the better
+#   contract (a short vector is corrupt data).
+#
+# The `*_expr` wrappers accept `Column | str`: string operands are SQL
+# fragments (a column name, a cast, …) and — when `dim` is given — take the
+# unrolled path; Column operands always use the HOF fold (unrolling them
+# would pay the Py4J tax the text form exists to avoid).
+# --------------------------------------------------------------------------
+
+
+def _lit_d(x: float) -> str:
+    """SQL double literal with exact round-trip (repr = shortest exact)."""
+    v = float(x)
+    if v != v or v in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite vector component: {x!r}")
+    return f"{v!r}D"
+
+
+def vec_sql(values) -> str:
+    """SQL literal for a double array."""
+    return "array(" + ", ".join(_lit_d(x) for x in values) + ")"
+
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled Σ aᵢ·bᵢ over two SQL vector fragments (left-associated)."""
+    if dim < 1:
+        raise ValueError(f"dot_sql: dim must be >= 1, got {dim}")
+    return (
+        "("
+        + " + ".join(
+            f"element_at({a}, {i}) * element_at({b}, {i})"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def dot_lit_sql(a: str, q) -> str:
+    """Unrolled dot against a literal vector — each component inlined as a
+    double literal (NOT element_at over an array literal: that would inline
+    the whole array once per term)."""
+    q = [float(x) for x in q]
+    if not q:
+        raise ValueError("dot_lit_sql: empty query vector")
+    return (
+        "("
+        + " + ".join(
+            f"element_at({a}, {i}) * {_lit_d(x)}" for i, x in enumerate(q, 1)
+        )
+        + ")"
+    )
+
+
+def sqnorm_sql(a: str, dim: int) -> str:
+    """Unrolled Σ xᵢ²."""
+    if dim < 1:
+        raise ValueError(f"sqnorm_sql: dim must be >= 1, got {dim}")
+    return (
+        "("
+        + " + ".join(
+            f"element_at({a}, {i}) * element_at({a}, {i})"
+            for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def norm_sql(a: str, dim: int) -> str:
+    return f"sqrt({sqnorm_sql(a, dim)})"
+
+
+def l2sq_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled Σ (aᵢ−bᵢ)² — the k-means assignment distance."""
+    if dim < 1:
+        raise ValueError(f"l2sq_sql: dim must be >= 1, got {dim}")
+    terms = []
+    for i in range(1, dim + 1):
+        d = f"(element_at({a}, {i}) - element_at({b}, {i}))"
+        terms.append(f"{d} * {d}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def norm_lit(q) -> float:
+    """Driver-side L2 norm of a literal vector, computed with the SAME
+    IEEE-754 sequence as the engine fold (left-to-right acc + x·x, then
+    sqrt) — CPython floats are binary64, so the value is bit-identical to
+    what the engine would compute, and can be inlined as a literal."""
+    import math
+
+    acc = 0.0
+    for x in q:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def cosine_lit_sql(a: str, q) -> str:
+    """Unrolled cosine(a, literal q): dot term per component, the query
+    norm pre-computed driver-side (bit-exact — see norm_lit)."""
+    q = [float(x) for x in q]
+    return f"({dot_lit_sql(a, q)} / ({norm_sql(a, len(q))} * {_lit_d(norm_lit(q))}))"
+
+
+def cosine_sql(a: str, b: str, dim: int) -> str:
+    return f"({dot_sql(a, b, dim)} / ({norm_sql(a, dim)} * {norm_sql(b, dim)}))"
+
+
+def dot_expr(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
+    """Σ aᵢ·bᵢ — sequential left fold, same evaluation order as the DuckDB
+    oracle's list_inner_product. String operands + dim → unrolled codegen
+    text; Column operands → HOF fold (see module note above)."""
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b, dim))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def norm_expr(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+def sqnorm_expr(a: Column | str, dim: int | None = None) -> Column:
+    """Σ xᵢ² (squared L2 norm) — unrolled when `a` is a SQL fragment and
+    dim is known."""
+    if dim is not None and isinstance(a, str):
+        return F.expr(sqnorm_sql(a, dim))
+    a = F.col(a) if isinstance(a, str) else a
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
 
 
-def lp_norm_expr(a: Column, p: float) -> Column:
+def norm_expr(a: Column | str, dim: int | None = None) -> Column:
+    return F.sqrt(sqnorm_expr(a, dim))
+
+
+def lp_norm_expr(
+    a: Column | str, p: float, dim: int | None = None
+) -> Column:
     """Lp vector norm (Σ|xᵢ|^p)^(1/p); p=1 → manhattan, p=2 → euclidean."""
+    if p == 2.0:
+        return norm_expr(a, dim)
+    if dim is not None and isinstance(a, str):
+        if p == 1.0:
+            return F.expr(
+                "("
+                + " + ".join(
+                    f"abs(element_at({a}, {i}))" for i in range(1, dim + 1)
+                )
+                + ")"
+            )
+        return F.expr(
+            "pow("
+            + " + ".join(
+                f"pow(abs(element_at({a}, {i})), {_lit_d(p)})"
+                for i in range(1, dim + 1)
+            )
+            + f", {_lit_d(1.0 / p)})"
+        )
+    a = F.col(a) if isinstance(a, str) else a
     if p == 1.0:
         return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.abs(x))
-    if p == 2.0:
-        return norm_expr(a)
     return F.pow(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + F.pow(F.abs(x), F.lit(p))),
         F.lit(1.0 / p),
@@ -67,8 +229,12 @@ def normalize_expr(a: Column, p: float = 2.0) -> Column:
     return F.transform(a, lambda x: x / n)
 
 
-def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+def cosine_expr(
+    a: Column | str, b: Column | str, dim: int | None = None
+) -> Column:
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sql(a, b, dim))
+    return dot_expr(a, b, dim) / (norm_expr(a, dim) * norm_expr(b, dim))
 
 
 def cosine_topk(
@@ -172,10 +338,25 @@ def hyperplane_patterns(dim: int, n_planes: int = N_HYPERPLANES) -> list[list[in
     return [[sign(p, d) for d in range(dim)] for p in range(n_planes)]
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = N_HYPERPLANES) -> Column:
+def hyperplane_bucket(
+    vec: Column | str, dim: int, n_planes: int = N_HYPERPLANES
+) -> Column:
     """LSH bucket key (bigint bit pattern): bit p = [dot(vec, pattern_p) > 0].
-    Pure literal-array dot products — JVM-side, constant patterns."""
+    Pure literal dot products — JVM-side, constant patterns. A Column
+    operand keeps the HOF fold — the right default: the key projection is
+    once-per-row (not a pair/assign hot loop), and the unrolled form's
+    n_planes×dim expression tree costs ~3s of driver-side codegen/CSE per
+    ACTION (measured at 12×64), which only amortizes when a single action
+    scans ≫10⁶ rows. Pass a SQL fragment to opt into the unrolled form at
+    that scale."""
     pats = hyperplane_patterns(dim, n_planes)
+    if isinstance(vec, str):
+        terms = [
+            f"(CASE WHEN {dot_lit_sql(vec, pat)} > 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), {p}) ELSE CAST(0 AS BIGINT) END)"
+            for p, pat in enumerate(pats)
+        ]
+        return F.expr("(" + " + ".join(terms) + ")")
     key = F.lit(0).cast("bigint")
     for p, pat in enumerate(pats):
         lit_pat = F.array(*[F.lit(float(s)) for s in pat])
@@ -203,14 +384,30 @@ LSH_BANDS = 4
 LSH_PLANES_PER_BAND = 6
 
 
-def hyperplane_band_keys(vec: Column, dim: int) -> Column:
+def hyperplane_band_keys(vec: Column | str, dim: int) -> Column:
     """Banded hyperplane LSH: 24 planes split into 4 bands of 6; returns an
     array of 4 band keys (band_idx·2^6 + 6 sign bits). Two vectors are
     candidates if ANY band matches: P(candidate) = 1−(1−p⁶)⁴ for sign-
     agreement p = 1−θ/π — ~95% recall at cosine 0.95, a sharp near-dup
-    curve (single 12-bit bucketing recalls ~0% below cosine 0.7)."""
+    curve (single 12-bit bucketing recalls ~0% below cosine 0.7). A Column
+    operand keeps the HOF fold — the right default for this once-per-row
+    key projection (see hyperplane_bucket: the 24×dim unrolled tree costs
+    ~3s driver-side codegen per action); a SQL fragment opts into the
+    unrolled form for ≫10⁶-row single-action scans."""
     n_planes = LSH_BANDS * LSH_PLANES_PER_BAND
     pats = hyperplane_patterns(dim, n_planes)
+    if isinstance(vec, str):
+        band_terms = []
+        for band in range(LSH_BANDS):
+            terms = [f"CAST({band * (1 << LSH_PLANES_PER_BAND)} AS BIGINT)"]
+            for j in range(LSH_PLANES_PER_BAND):
+                p = band * LSH_PLANES_PER_BAND + j
+                terms.append(
+                    f"(CASE WHEN {dot_lit_sql(vec, pats[p])} > 0 "
+                    f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                )
+            band_terms.append("(" + " + ".join(terms) + ")")
+        return F.expr("array(" + ", ".join(band_terms) + ")")
     keys = []
     for band in range(LSH_BANDS):
         key = F.lit(band * (1 << LSH_PLANES_PER_BAND)).cast("bigint")
@@ -438,20 +635,26 @@ def pq_adc_topk(
 
 
 def kmeans_assign(
-    vectors: DataFrame, centroids: DataFrame, vec_col: str = "v"
+    vectors: DataFrame, centroids: DataFrame, vec_col: str = "v",
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, cluster): nearest-centroid assignment. Centroids (k rows)
     broadcast into the scan; squared-L2 rounded to 6dp so the argmin
     tie-break (cluster asc) is engine-portable; argmin is min(struct) —
-    partial-aggregable, no window sort."""
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(vec_col, "c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
+    partial-aggregable, no window sort. With ``dim`` the distance is the
+    statically-unrolled single-parse codegen sum (bit-identical to the fold
+    — see the module note); this is the n·k hot loop of every Lloyd round."""
+    if dim is not None:
+        d2 = F.round(F.expr(l2sq_sql(vec_col, "c", dim)), 6)
+    else:
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with(vec_col, "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
     return (
         vectors.crossJoin(F.broadcast(centroids))
         .select("vec_id", vec_col, "cluster", d2.alias("d2"))
@@ -497,7 +700,7 @@ def kmeans_iterate(
     assigned = None
     dim = _infer_dim(embeddings, vec_col)
     for _ in range(iters):
-        assigned = kmeans_assign(ev, cents)
+        assigned = kmeans_assign(ev, cents, dim=dim)
         aggs = [
             F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_m{i}") for i in range(dim)
         ]

@@ -96,7 +96,9 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return (
         e.select(
-            hyperplane_bucket(F.col("embedding").cast("array<double>"), EMB_DIM).alias(
+            hyperplane_bucket(
+                F.col("embedding").cast("array<double>"), EMB_DIM
+            ).alias(
                 "bucket"
             )
         )
@@ -129,24 +131,43 @@ def sim_lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.2. Banding fixes the recall cliff of a single monolithic bucket
     (~0% below cosine 0.7 → 1−(1−p⁶)⁴). The brute-force query
     dedup_embedding_cosine is the exactness baseline."""
-    from sparkfulltextquery_spark.similarity import cosine_expr, hyperplane_band_keys
+    from sparkfulltextquery_spark.similarity import (
+        dot_expr,
+        hyperplane_band_keys,
+        norm_expr,
+    )
 
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    # norm once per vector, before banding replicates rows ×4 and the
+    # band join pairs them — per-candidate work is the dot product alone
     keyed = e.select(
-        "vec_id", "v", F.explode(hyperplane_band_keys(F.col("v"), EMB_DIM)).alias("band_key")
+        "vec_id",
+        "v",
+        norm_expr(F.col("v")).alias("nrm"),
+        F.explode(hyperplane_band_keys(F.col("v"), EMB_DIM)).alias("band_key"),
     )
-    a = keyed.select(F.col("band_key"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = keyed.select(F.col("band_key"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    a = keyed.select(
+        F.col("band_key"), F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = keyed.select(
+        F.col("band_key"), F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
     return (
         a.join(b, "band_key")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cosine"),
         )
         .distinct()
         .filter(F.col("cosine") >= 0.2)
@@ -217,9 +238,9 @@ def sim_normalize_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     vn = normalize_expr(v, 2.0)
     return e.select(
         "vec_id",
-        F.round(lp_norm_expr(v, 2.0), 6).alias("l2_orig"),
-        F.round(lp_norm_expr(vn, 2.0), 6).alias("l2_normed"),
-        F.round(lp_norm_expr(vn, 1.0), 6).alias("l1_normed"),
+        F.round(lp_norm_expr(v, 2.0, EMB_DIM), 6).alias("l2_orig"),
+        F.round(lp_norm_expr(vn, 2.0, EMB_DIM), 6).alias("l2_normed"),
+        F.round(lp_norm_expr(vn, 1.0, EMB_DIM), 6).alias("l1_normed"),
     )
 
 
