@@ -288,9 +288,21 @@ def main() -> None:
     if sf1_mode:
         SF_DIR = _ensure_sf("make_sf1.py", "SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
         os.environ["SPARK_GRAFT_SKIP_MICRO"] = "1"
+        # right-size the single-JVM heap to the decade (r9): the default
+        # 8g heap is fine at sf0.1 but at the bigger decades the heavy
+        # rows' working sets turn every successor row GC-bound —
+        # textstats_quality measured 53.7s in-bench on the 8g sf10 cycle
+        # vs 4.8s in a fresh right-sized JVM. A real deployment sizes
+        # executor memory to the data; the bench does the same.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     elif sf10_mode:
         SF_DIR = _ensure_sf("make_sf10.py", "SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
         os.environ["SPARK_GRAFT_SKIP_MICRO"] = "1"
+        # NOT bigger: a 96g heap fixed the GC-bound rows (textstats 53.7
+        # ->30.5s) but evicted the page cache under the ~20 GB parquet —
+        # scan-bound rows regressed up to 6x (agg_cube 1.4->8.7s). 32g
+        # clears the GC thrash while leaving ~100 GB of cache.
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
 
     # Reroute OS-level fd 1 to stderr for the Spark run: JVM-side writes to
     # stdout (ivy resolution, log4j misconfig warnings) are what overflowed
