@@ -210,11 +210,24 @@ def verified_near_dups(
     Exchange-reuse discipline (measured 2.37s → 1.22s at sf0.1): each
     shared subtree gets ONE explicit repartition so its consumers reuse a
     single exchange instead of recomputing the map-side scan — bands on
-    the self-join keys, the (doc_id, sh, n) projection on doc_id (column
-    pruning drops the md5 hash computation from this second pass; only
-    the banding pass hashes). At 100 TB the profile relation IS the
-    signature store incremental.py persists — a long-lived corpus
-    materializes it once and both shuffles here disappear."""
+    the self-join keys, the (doc_id, hset, n) projection on doc_id. At
+    100 TB the profile relation IS the signature store incremental.py
+    persists — a long-lived corpus materializes it once and both shuffles
+    here disappear.
+
+    r9: verification intersects the 60-bit portable-hash sets (h60, one
+    md5 per shingle — the SAME digest whose first 7 hex chars feed the
+    h28 signatures), not the shingle string arrays: the two doc-keyed
+    join exchanges ship 8-byte longs instead of ~25-byte shingle strings
+    and the intersect compares longs (sf10: the row's shuffle payload is
+    its cost). The DuckDB oracle hashes identically, so reported
+    jaccards stay in lockstep BY CONSTRUCTION even in the astronomically
+    unlikely h60-collision case (both engines see the same collision;
+    the value drifts from true string jaccard by ≤1/n at ~n²/2⁶⁰
+    probability — the standard hashed-shingle trade, cf. Broder's
+    original sketches)."""
+    from sparkfulltextquery_spark.functions.hashes import h60
+
     prof = doc_shingle_profiles(docs, id_col, text_col)
     bands = lsh_band_keys(
         prof.select("doc_id", *signature_cols_from_hs())
@@ -227,14 +240,19 @@ def verified_near_dups(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = prof.select("doc_id", "sh", "n").repartition("doc_id")
+    hset = F.array_distinct(F.transform("sh", lambda s: h60(s)))
+    sets = (
+        prof.select("doc_id", hset.alias("hset"))
+        .select("doc_id", "hset", F.size("hset").alias("n"))
+        .repartition("doc_id")
+    )
     pa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+        F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a"), F.col("n").alias("n_a")
     )
     pb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+        F.col("doc_id").alias("doc_b"), F.col("hset").alias("hs_b"), F.col("n").alias("n_b")
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     return (
         cands.join(pa, "doc_a")
         .join(pb, "doc_b")

@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 from sparkfulltextquery_spark.dedup import minhash as MH
 from sparkfulltextquery_spark.dedup import simhash as SH
-from sparkfulltextquery_spark.functions.hashes import MINHASH_PRIME, h28_duck
+from sparkfulltextquery_spark.functions.hashes import (
+    MINHASH_PRIME,
+    h28_duck,
+    h60_duck,
+)
 from sparkfulltextquery_spark.functions.text import normalize_text, normalize_text_duck, shingles_duck
 from sparkfulltextquery_spark.registry import query
 from sparkfulltextquery_spark.sources import load_table
@@ -124,12 +128,16 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    -- r9: verification over the 60-bit portable-hash shingle sets, in
+    -- lockstep with verified_near_dups (same md5-derived h60 on both
+    -- engines, so even a hash collision perturbs both identically)
+    htoks AS (SELECT DISTINCT doc_id, {h60_duck('token')} AS h FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n FROM htoks GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
       FROM cands c
-      JOIN toks ta ON ta.doc_id = c.doc_a
-      JOIN toks tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+      JOIN htoks ta ON ta.doc_id = c.doc_a
+      JOIN htoks tb ON tb.doc_id = c.doc_b AND tb.h = ta.h
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b,
