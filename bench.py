@@ -291,9 +291,11 @@ def main() -> None:
         # right-size the single-JVM heap to the decade (r9): the default
         # 8g heap is fine at sf0.1 but at the bigger decades the heavy
         # rows' working sets turn every successor row GC-bound —
-        # textstats_quality measured 53.7s in-bench on the 8g sf10 cycle
-        # vs 4.8s in a fresh right-sized JVM. A real deployment sizes
-        # executor memory to the data; the bench does the same.
+        # textstats_quality measured 53.7s on the 8g sf10 cycle vs
+        # 31.2s on the 32g cycle (same commit, same position after the
+        # 27M-pair minhash row; intrinsic fresh-JVM cost 28.5s). A real
+        # deployment sizes executor memory to the data; the bench does
+        # the same.
         os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     elif sf10_mode:
         SF_DIR = _ensure_sf("make_sf10.py", "SPARK_GRAFT_SF10_DIR", "/tmp/sf10")
