@@ -198,14 +198,14 @@ def verified_near_dups(
     per doc MAP-SIDE; signatures and band keys are per-row array
     expressions; the only shuffles left are the band self-join (+pair
     distinct) and the two doc-keyed joins that fetch each side's shingle
-    array for exact verification — jaccard is then one
+    hash set for exact verification — jaccard is then one
     array_intersect/size expression per candidate pair, instead of
     exploding both sides' token sets through a 3-way join + count agg
     (the r03 form also shuffled the token relation once for distinct and
-    once for the signature groupBy; both are gone). Verification
-    intersects the shingle STRING arrays, so results are byte-identical
-    to the set-relation oracle — h28 only feeds signatures, where a
-    collision only perturbs banding recall, never a reported jaccard.
+    once for the signature groupBy; both are gone). h28 only feeds
+    signatures, where a collision only perturbs banding recall, never a
+    reported jaccard; verification runs on the h60 sets — see the r9
+    paragraph below for the exactness argument.
 
     Exchange-reuse discipline (measured 2.37s → 1.22s at sf0.1): each
     shared subtree gets ONE explicit repartition so its consumers reuse a

@@ -47,7 +47,12 @@ def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
 # - Statically-unrolled SQL text (`*_sql` builders below, parsed by ONE
 #   `F.expr` call): an ordinary Add tree inside whole-stage codegen.
 #   Bit-identical to the fold — both associate strictly left and IEEE
-#   0.0+x == x — asserted in tests. The text form matters: building the
+#   0.0+x == x — asserted in tests. One sign corner: the fold seeds
+#   acc=0.0 so an all-(-0.0) input folds to +0.0, while the unrolled tree
+#   starts from the first term and would keep -0.0; unreachable for the
+#   sum-of-squares shapes used here ((-0.0)² = +0.0) and harmless for
+#   dot products (−0.0 == 0.0 under every comparison we emit), noted for
+#   anyone adding a builder where the distinction could surface. The text form matters: building the
 #   same tree out of Python `Column` arithmetic costs O(dim) Py4J
 #   round-trips PER PLAN (measured 3.3s of pure driver time at dim=64 on
 #   the k-means shape), which swamps the executor win; one parsed string
@@ -62,6 +67,16 @@ def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
 # unrolled path; Column operands always use the HOF fold (unrolling them
 # would pay the Py4J tax the text form exists to avoid).
 # --------------------------------------------------------------------------
+
+
+def _sql_ident(name: str) -> str:
+    """Backtick-quote a column name for safe splicing into a `*_sql`
+    fragment (inner backticks doubled, Spark SQL identifier quoting).
+    Plain identifiers pass through unchanged so generated text stays
+    readable in `.explain` output."""
+    if name.isidentifier():
+        return name
+    return "`" + name.replace("`", "``") + "`"
 
 
 def _lit_d(x: float) -> str:
@@ -645,7 +660,7 @@ def kmeans_assign(
     statically-unrolled single-parse codegen sum (bit-identical to the fold
     — see the module note); this is the n·k hot loop of every Lloyd round."""
     if dim is not None:
-        d2 = F.round(F.expr(l2sq_sql(vec_col, "c", dim)), 6)
+        d2 = F.round(F.expr(l2sq_sql(_sql_ident(vec_col), "c", dim)), 6)
     else:
         d2 = F.round(
             F.aggregate(

@@ -235,12 +235,18 @@ def sim_normalize_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     v = F.col("embedding").cast("array<double>")
-    vn = normalize_expr(v, 2.0)
-    return e.select(
+    # Alias both vectors to plain identifiers so lp_norm_expr's string
+    # path fires and the norms unroll into whole-stage codegen (Column
+    # operands would silently fall back to the HOF fold — the unrolled
+    # text is pinned bit-identical to the fold in tests/test_vector_exprs).
+    staged = e.select(
+        "vec_id", v.alias("v"), normalize_expr(v, 2.0).alias("vn")
+    )
+    return staged.select(
         "vec_id",
-        F.round(lp_norm_expr(v, 2.0, EMB_DIM), 6).alias("l2_orig"),
-        F.round(lp_norm_expr(vn, 2.0, EMB_DIM), 6).alias("l2_normed"),
-        F.round(lp_norm_expr(vn, 1.0, EMB_DIM), 6).alias("l1_normed"),
+        F.round(lp_norm_expr("v", 2.0, EMB_DIM), 6).alias("l2_orig"),
+        F.round(lp_norm_expr("vn", 2.0, EMB_DIM), 6).alias("l2_normed"),
+        F.round(lp_norm_expr("vn", 1.0, EMB_DIM), 6).alias("l1_normed"),
     )
 
 
