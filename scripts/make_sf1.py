@@ -33,9 +33,23 @@ KEY_COLS = {
     "part": ["p_partkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
 }
 SMALL = ["region", "nation"]  # O(25) dims: copied, not replicated
+
+# embeddings are GENERATED, not replicated (r10, VERDICT r09 #2): the
+# sf0.1 fixture embeddings are isotropic — measured same-label mean
+# pairwise cosine 0.0000, so its `label` column carries zero neighborhood
+# information and every ANN/semdedup row at the generated scales measured
+# wall time but not retrieval quality. The scaled fixtures instead plant
+# label-correlated Gaussian clusters on the unit sphere (the recall
+# harness's construction: k=10 centers, sigma=0.2 → within-cluster mean
+# cosine ≈ 0.28, cross-cluster ≈ 0), keeping the replication contract —
+# same schema, same per-replica row count, replica r's ids = base ids +
+# r·OFF — while giving each replica FRESH per-replica noise (non-clone:
+# no vector repeats across replicas). Cluster centers are shared across
+# replicas and scales (one seed), so sf10 is a denser sampling of the
+# same geometry, not a different corpus.
+EMB = {"dim": 64, "k": 10, "sigma": 0.2, "seed": 2026}
 
 
 def replicate(src: str, dst: str, n_replicas: int, out_partitions: int = 32) -> None:
@@ -86,6 +100,54 @@ def replicate(src: str, dst: str, n_replicas: int, out_partitions: int = 32) -> 
                 "overwrite" if lo == 0 else "append"
             ).parquet(f"{dst}/{t}.parquet")
         print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
+
+    clustered_embeddings(spark, src, dst, n_replicas)
+    print("embeddings", spark.read.parquet(f"{dst}/embeddings.parquet").count())
+
+
+def clustered_embeddings(spark, src: str, dst: str, n_replicas: int) -> None:
+    """Write the planted-cluster embeddings table (see EMB note above).
+    Base count/ids come from the source table so the id-offset contract
+    matches the replicated tables exactly."""
+    import numpy as np
+    import pandas as pd
+
+    base_ids = [
+        r[0]
+        for r in spark.read.parquet(f"{src}/embeddings.parquet")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .collect()
+    ]
+    dim, k, sigma = EMB["dim"], EMB["k"], EMB["sigma"]
+    rng_c = np.random.default_rng(EMB["seed"])
+    centers = rng_c.normal(size=(k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    base_n = len(base_ids)
+    ids = np.asarray(base_ids, dtype=np.int64)
+    pdfs = []
+    for r in range(n_replicas):
+        rng = np.random.default_rng(EMB["seed"] + 1 + r)
+        labels = rng.integers(0, k, size=base_n)
+        v = centers[labels] + sigma * rng.normal(size=(base_n, dim))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        v = v.astype(np.float32)
+        pdfs.append(
+            pd.DataFrame(
+                {
+                    "vec_id": ids + r * OFF,
+                    "embedding": list(v),
+                    "label": labels.astype(np.int32),
+                }
+            )
+        )
+    pdf = pd.concat(pdfs, ignore_index=True)
+    df = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<float>, label int"
+    )
+    df.repartition(max(4, n_replicas // 4)).write.mode("overwrite").parquet(
+        f"{dst}/embeddings.parquet"
+    )
 
 
 def main() -> None:

@@ -16,6 +16,9 @@ against brute-force cosine for two corpora:
 IVF at n_probe ∈ {1,2,4,8}; IVF-PQ (m=8, exact re-rank) at
 (n_probe, shortlist_k) ∈ {(2,30), (2,200), (4,200)} — shortlist_k is the
 dial that matters with a label-centroid codebook (see ivfpq_topk).
+r10: also IVF-PQ with the TRAINED 256-code per-subspace codebook
+(pq_train codes=256) at (2,30), (2,50), (2,100) — the directive's fix
+for the shortlist_k ≈ cluster-size requirement.
 
 Usage: python scripts/measure_ann_recall.py [sf_dir] [n_queries]
 Paste the JSON lines / table into SCALE.md.
@@ -107,8 +110,25 @@ def measure(spark, emb, corpus_name, n_queries):
                 ).collect()
             },
         )
+
+    # trained 256-code per-subspace codebook (r10, VERDICT r09 #1)
+    lit_t = pq_train(emb, 8, codes=256, train_iters=4)
+    codes_t = pq_encode(emb, literals=lit_t).cache()
+    codes_t.count()
+    for n_probe, sk in ((2, 30), (2, 50), (2, 100)):
+        report(
+            "ivfpq(m=8, trained-256 codebook)", n_probe, {"shortlist_k": sk},
+            lambda v, p=n_probe, s=sk: {
+                r.vec_id
+                for r in ivfpq_topk(
+                    emb, v, k=10, n_probe=p, shortlist_k=s,
+                    literals=lit_t, codes=codes_t,
+                ).collect()
+            },
+        )
     emb.unpersist()
     codes.unpersist()
+    codes_t.unpersist()
 
 
 def main() -> None:

@@ -578,6 +578,24 @@ def pq_adc_topk(
     lit = literals if literals is not None else pq_train(embeddings, m, vec_col, label_col)
     labels, cent, sub = lit["labels"], lit["cent"], lit["sub"]
 
+    if len(labels) > 64:
+        # a large trained codebook would unroll to megabytes of generated
+        # code inline — encode via the broadcast-join path and score from
+        # codes (same 6dp/lowest-code argmin contract, identical results)
+        return pq_adc_topk_from_codes(
+            pq_encode(embeddings, m, id_col, vec_col, label_col, literals=lit),
+            embeddings,
+            query_vec,
+            k=k,
+            m=m,
+            shortlist_k=shortlist_k,
+            id_col=id_col,
+            vec_col=vec_col,
+            label_col=label_col,
+            literals=lit,
+            probe_labels=probe_labels,
+        )
+
     qnorm = sum(x * x for x in query_vec) ** 0.5 or 1.0
     qvec_n = [float(x) / qnorm for x in query_vec]
 
@@ -739,30 +757,151 @@ def pq_train(
     m: int = PQ_SUBSPACES,
     vec_col: str = "embedding",
     label_col: str = "label",
+    codes: int | None = None,
+    train_iters: int = 4,
+    id_col: str = "vec_id",
 ) -> dict:
-    """Train the PQ/IVF structures in ONE Spark job: the normalized-space
-    label centroids (one wide hash aggregate, L-row bounded collect),
-    returned as plan literals. Everything the ANN stack needs derives from
-    this dict without touching the cluster again: full centroids (IVF probe
-    ranking — driver-side, k·dim floats), per-subspace codebook slices
-    (encode + ADC LUT), subspace width. The previous shape re-ran the
-    centroid aggregate once for the probe and once for the codebook (plus a
-    dim-inference head()) — 3 jobs per query — and is the reason the
-    registered PQ queries cost >6s at sf0.1."""
+    """Train the PQ/IVF structures, returned as plan literals. Everything
+    the ANN stack needs derives from this dict without touching the
+    cluster again: full centroids (IVF probe ranking — driver-side, k·dim
+    floats), per-subspace codebook (encode + ADC LUT), subspace width.
+
+    Two codebook modes:
+
+    - ``codes=None`` (default): the label-centroid codebook — each coarse
+      cluster's centroid sliced into m pieces. ONE Spark job (a wide hash
+      aggregate), deterministic, but it only resolves BETWEEN coarse
+      clusters: same-cluster vectors share codes, so ADC shortlists on
+      tightly clustered data degrade to cluster-prefix order and
+      shortlist_k must grow toward the cluster size (SCALE.md r9 curve).
+    - ``codes=L`` (r10, VERDICT r09 #1; e.g. 256): a per-subspace k-means
+      codebook trained with ``train_iters`` Lloyd rounds over the
+      subvectors (the classic Jégou PQ trainer; reference analogue
+      mllib/.../ml/clustering/KMeans.scala). L codewords PER SUBSPACE
+      resolve within clusters too — recall@10 ≥ 0.9 at shortlist_k ≤ 100
+      on the planted clustered corpus (measured table in SCALE.md; the
+      label-centroid codebook needs shortlist_k ≈ cluster size there).
+      Consumed unchanged by pq_encode / pq_adc_topk / ivfpq_topk: code
+      values are 1-based positions into ``labels`` either way.
+
+    IVF coarse probing always uses the label centroids (``full`` +
+    ``ivf_labels``) — the trained codebook replaces only the ADC
+    resolution, not the partition-pruning structure."""
     dim = _infer_dim(embeddings, vec_col)
     emb_n = embeddings.withColumn(
         vec_col, normalize_expr(F.col(vec_col).cast("array<double>"))
     )
     rows = label_centroids(emb_n, label_col, vec_col, dim=dim).collect()
-    labels = sorted(r["label"] for r in rows)
+    ivf_labels = sorted(r["label"] for r in rows)
     full = {r["label"]: [float(x) for x in r["centroid"]] for r in rows}
     sub = dim // m
-    cent = {
-        (s, lab): full[lab][s * sub : (s + 1) * sub]
-        for lab in labels
-        for s in range(m)
+    if codes is None:
+        labels: list = ivf_labels
+        cent = {
+            (s, lab): full[lab][s * sub : (s + 1) * sub]
+            for lab in ivf_labels
+            for s in range(m)
+        }
+    else:
+        labels, cent = _train_subspace_codebook(
+            emb_n, m, sub, codes, train_iters, id_col, vec_col
+        )
+    return {
+        "labels": labels,
+        "full": full,
+        "cent": cent,
+        "sub": sub,
+        "dim": dim,
+        "m": m,
+        "ivf_labels": ivf_labels,
     }
-    return {"labels": labels, "full": full, "cent": cent, "sub": sub, "dim": dim, "m": m}
+
+
+def _train_subspace_codebook(
+    emb_n: DataFrame,
+    m: int,
+    sub: int,
+    L: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list, dict]:
+    """Per-subspace L-code k-means, all m subspaces trained JOINTLY:
+    one exploded (vec_id, s, subvector) relation, each Lloyd round =
+    broadcast(m·L codewords) join + min(struct) partial-agg argmin +
+    per-(s, code) component means. Shuffle volume per round is O(n·m)
+    map-side-combined rows for the argmin and O(m·L·sub) for the update —
+    never the n·m·L expanded relation (AggregateExec combines per task).
+
+    Determinism: init codewords are each subspace's L DISTINCT subvectors
+    with the lowest first-occurrence vec_id (duplicate init centroids
+    would waste codes); distances round at 6dp with lowest-code tie-break
+    — the same contract as pq_encode's argmin, so assignment is
+    engine-portable. Codes that lose all members in a round are dropped
+    (the returned `labels` list is the surviving codes); callers index the
+    LUT by position into `labels`, so a shrunken codebook stays
+    consistent by construction.
+
+    Each round's m·L-row centroid table is localCheckpointed — the join
+    input is a materialized bounded table, not a growing lineage — and
+    the exploded subvector relation is cached for the duration of the
+    `iters` passes (training is a one-off job; the cache is released
+    before returning)."""
+    from pyspark.sql import Window
+
+    ev = emb_n.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    slices = F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
+    sv = ev.select("vec_id", F.posexplode(slices).alias("s", "sv")).cache()
+    try:
+        first = sv.groupBy("s", "sv").agg(F.min("vec_id").alias("first_id"))
+        w = Window.partitionBy("s").orderBy("first_id")
+        cents = (
+            first.withColumn("code", F.row_number().over(w))
+            .filter(F.col("code") <= L)
+            .select("s", "code", F.col("sv").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        d2 = F.round(F.expr(l2sq_sql("sv", "c", sub)), 6)
+        comp_aggs = [
+            F.avg(F.element_at(F.col("msv"), j + 1)).alias(f"_m{j}")
+            for j in range(sub)
+        ]
+        for _ in range(iters):
+            assigned = (
+                sv.join(F.broadcast(cents), "s")
+                .select("vec_id", "s", "sv", "code", d2.alias("d2"))
+                .groupBy("vec_id", "s")
+                .agg(
+                    F.min(F.struct("d2", "code")).alias("best"),
+                    F.first("sv").alias("msv"),
+                )
+            )
+            cents = (
+                assigned.select("s", F.col("best.code").alias("code"), "msv")
+                .groupBy("s", "code")
+                .agg(*comp_aggs)
+                .select(
+                    "s",
+                    "code",
+                    F.array(*[F.col(f"_m{j}") for j in range(sub)]).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        rows = cents.collect()
+    finally:
+        sv.unpersist()
+    by_code: dict = {}
+    for r in rows:
+        by_code.setdefault(int(r["code"]), {})[int(r["s"])] = [
+            float(x) for x in r["c"]
+        ]
+    # survivors only, and only codes present in EVERY subspace (a code that
+    # emptied in one subspace has no consistent LUT row)
+    labels = sorted(c for c, per_s in by_code.items() if len(per_s) == m)
+    cent = {(s, c): by_code[c][s] for c in labels for s in range(m)}
+    return labels, cent
 
 
 def ivf_probe_labels(lit: dict, query_vec: list[float], n_probe: int) -> list:
@@ -773,8 +912,12 @@ def ivf_probe_labels(lit: dict, query_vec: list[float], n_probe: int) -> list:
     same IEEE sequence both engines evaluate."""
     qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
     qv = [float(x) / qn for x in query_vec]
+    # coarse probing always ranks the LABEL centroids — under a trained
+    # codebook (pq_train codes=L) lit["labels"] holds code ids, not
+    # cluster labels; ivf_labels carries the coarse list either way
+    coarse = lit.get("ivf_labels", lit["labels"])
     scored = sorted(
-        ((-round(sum(a * b for a, b in zip(lit["full"][lab], qv)), 6), lab) for lab in lit["labels"]),
+        ((-round(sum(a * b for a, b in zip(lit["full"][lab], qv)), 6), lab) for lab in coarse),
     )
     return [lab for _, lab in scored[:n_probe]]
 
@@ -803,14 +946,15 @@ def ivfpq_topk(
     reads m ints/row from the pruned code partitions.
 
     ``shortlist_k`` is the recall/cost dial (r9, VERDICT r08 #7): the
-    label-centroid codebook carries L codes per subspace, so ADC resolves
-    BETWEEN coarse clusters, not within them — on a tightly clustered
-    corpus, same-cluster vectors share codes and the ADC shortlist is a
-    tie-broken prefix. Size shortlist_k toward the probed clusters'
-    candidate-pool size for high recall (measured curve in SCALE.md); at
-    100 TB the structural fix is a trained 256-code k-means codebook per
-    subspace, which this plumbing accepts unchanged (codes/LUT just get
-    256 entries)."""
+    DEFAULT label-centroid codebook carries one code per coarse cluster
+    per subspace, so ADC resolves BETWEEN coarse clusters, not within
+    them — on a tightly clustered corpus, same-cluster vectors share
+    codes and the ADC shortlist is a tie-broken prefix; size shortlist_k
+    toward the probed clusters' candidate-pool size there. The structural
+    fix (r10, VERDICT r09 #1) is ``pq_train(..., codes=256)``: a trained
+    per-subspace k-means codebook restores WITHIN-cluster ADC resolution
+    and shrinks shortlist_k back to O(100) — measured recall table in
+    SCALE.md; this function consumes either dict unchanged."""
     lit = literals if literals is not None else pq_train(embeddings, m, vec_col, label_col)
     probes = ivf_probe_labels(lit, query_vec, n_probe)
     if codes is not None:
@@ -879,7 +1023,17 @@ def pq_encode(
     """(vec_id, label, codes array<int>) — the persistable PQ code table
     (m small ints per vector instead of 4·dim bytes). Stored partitioned
     by the coarse label, IVF-PQ queries prune to probed partitions and
-    never read raw vectors until the re-rank."""
+    never read raw vectors until the re-rank.
+
+    Small codebooks (≤64 codes) encode as one statically-unrolled
+    whole-stage-codegen expression over the scan — zero joins/shuffles.
+    A trained 256-code codebook would unroll to ~1 MB of generated code
+    per subspace, so large codebooks take the broadcast-join shape
+    instead: explode to (vec_id, s, subvector), join broadcast(m·L
+    codewords), argmin via min(struct) partial agg, reassemble the code
+    array ordered by subspace. Same 6dp rounding and lowest-code
+    tie-break on both paths (and the same left-to-right IEEE distance
+    sum), so the chosen codes are identical path-independently."""
     if literals is None:
         labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
     else:
@@ -889,9 +1043,54 @@ def pq_encode(
         F.col(label_col).alias("label"),
         normalize_expr(F.col(vec_col).cast("array<double>")).alias("v"),
     )
+    if len(labels) > 64:
+        return _pq_encode_join(ev, labels, cent, m, sub)
     code_exprs = _pq_code_exprs(labels, cent, m, sub)
     return ev.select(
         "vec_id", "label", F.expr("array(" + ", ".join(code_exprs) + ")").alias("codes")
+    )
+
+
+def _pq_encode_join(
+    ev: DataFrame, labels: list, cent: dict, m: int, sub: int
+) -> DataFrame:
+    """Broadcast-join encode for large codebooks (see pq_encode). Stored
+    code values are 1-based positions into `labels` — identical to the
+    unrolled array_position form."""
+    spark = ev.sparkSession
+    cw = spark.createDataFrame(
+        [
+            (s, pos + 1, cent[(s, lab)])
+            for s in range(m)
+            for pos, lab in enumerate(labels)
+        ],
+        "s int, code int, c array<double>",
+    )
+    slices = F.array(*[F.slice("v", s * sub + 1, sub) for s in range(m)])
+    sv = ev.select("vec_id", "label", F.posexplode(slices).alias("s", "sv"))
+    d2 = F.round(F.expr(l2sq_sql("sv", "c", sub)), 6)
+    best = (
+        sv.join(F.broadcast(cw), "s")
+        .select("vec_id", "label", "s", d2.alias("d2"), "code")
+        .groupBy("vec_id", "s")
+        .agg(
+            F.first("label").alias("label"),
+            F.min(F.struct("d2", "code")).alias("best"),
+        )
+    )
+    return (
+        best.groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.array_sort(
+                F.collect_list(F.struct("s", F.col("best.code").alias("code")))
+            ).alias("sc"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.transform("sc", lambda x: x["code"]).alias("codes"),
+        )
     )
 
 

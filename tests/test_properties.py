@@ -442,6 +442,87 @@ def test_ivf_recall_contract_at_default_probe(spark):
     assert mean_pq >= 0.9, f"IVF-PQ recall@10 {mean_pq:.3f} < 0.9 at n_probe=2"
 
 
+def test_trained_pq_codebook_recall_contract(spark):
+    """Trained-codebook contract (r10, VERDICT r09 #1): pq_train(codes=256)
+    replaces the label-centroid codebook with a per-subspace 256-code
+    k-means codebook, restoring WITHIN-cluster ADC resolution — IVF-PQ at
+    n_probe=2 must hold mean recall@10 ≥ 0.9 at shortlist_k ≤ 100 on the
+    planted clustered corpus (the label-centroid codebook needs
+    shortlist_k ≈ cluster size ≈ 200 on the same data — the r9 SCALE.md
+    finding this trainer exists to fix). The dict is consumed unchanged
+    by pq_encode/ivfpq_topk; measured 0.985 at (2, 100) on this corpus."""
+    from sparkfulltextquery_spark.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = _planted_cluster_corpus()
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    emb.count()
+    try:
+        lit = pq_train(emb, 8, codes=256, train_iters=4)
+        assert len(lit["labels"]) > 64, "trained codebook unexpectedly tiny"
+        assert lit["ivf_labels"] == sorted({l for _, _, l in rows})
+        codes = pq_encode(emb, literals=lit).cache()
+        assert codes.count() == len(rows)
+        queries = [(vid, v) for vid, v, _l in rows if vid % 150 == 0][:12]
+        rs = []
+        for _qid, v in queries:
+            truth = {r.vec_id for r in cosine_topk(emb, v, k=10).collect()}
+            got = {
+                r.vec_id
+                for r in ivfpq_topk(
+                    emb, v, k=10, n_probe=2, shortlist_k=100,
+                    literals=lit, codes=codes,
+                ).collect()
+            }
+            rs.append(len(got & truth) / 10.0)
+        mean_r = sum(rs) / len(rs)
+        assert mean_r >= 0.9, f"trained-PQ recall@10 {mean_r:.3f} < 0.9"
+    finally:
+        emb.unpersist()
+
+
+def test_pq_encode_join_path_matches_unrolled(spark):
+    """The two pq_encode paths — statically-unrolled argmin expression
+    (small codebooks) and broadcast-join + min(struct) (large trained
+    codebooks) — implement one contract: 6dp-rounded L2² argmin with
+    lowest-code tie-break. Same literals through both paths must yield
+    identical code tables."""
+    from sparkfulltextquery_spark.similarity import (
+        _pq_encode_join,
+        normalize_expr,
+        pq_encode,
+        pq_train,
+    )
+
+    rows = _planted_cluster_corpus(n=300)
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    lit = pq_train(emb, 8)  # label-centroid codebook: ≤64 codes → expr path
+    unrolled = {
+        r.vec_id: (r.label, list(r.codes))
+        for r in pq_encode(emb, literals=lit).collect()
+    }
+    ev = emb.select(
+        "vec_id",
+        "label",
+        normalize_expr(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    joined = {
+        r.vec_id: (r.label, list(r.codes))
+        for r in _pq_encode_join(
+            ev, lit["labels"], lit["cent"], lit["m"], lit["sub"]
+        ).collect()
+    }
+    assert unrolled == joined
+
+
 def test_hyperplane_lsh_recall_floor(spark):
     # planted near-identical vectors (tiny single-coordinate perturbation,
     # cosine ≈ 0.999) must essentially all surface as LSH band candidates —
