@@ -131,12 +131,14 @@ def clustered_embeddings(spark, src: str, dst: str, n_replicas: int) -> None:
         labels = rng.integers(0, k, size=base_n)
         v = centers[labels] + sigma * rng.normal(size=(base_n, dim))
         v /= np.linalg.norm(v, axis=1, keepdims=True)
+        # float32 round-trip BEFORE tolist so the stored floats are the
+        # exact parquet FLOAT values (python floats otherwise re-round)
         v = v.astype(np.float32)
         pdfs.append(
             pd.DataFrame(
                 {
                     "vec_id": ids + r * OFF,
-                    "embedding": list(v),
+                    "embedding": v.tolist(),
                     "label": labels.astype(np.int32),
                 }
             )

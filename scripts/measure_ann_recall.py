@@ -149,7 +149,10 @@ def main() -> None:
 
     spark = get_spark(app_name="ann-recall")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    measure(spark, emb, "sf1-as-generated (isotropic)", n_queries)
+    # r10: the generated fixture is now the planted-cluster corpus itself
+    # (make_sf1.clustered_embeddings) — this first sweep measures recall
+    # on the REGISTERED table, not a side corpus
+    measure(spark, emb, "sf1-as-generated (clustered r10)", n_queries)
 
     planted = spark.createDataFrame(
         planted_rows(), "vec_id long, embedding array<float>, label int"

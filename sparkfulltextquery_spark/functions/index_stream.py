@@ -127,31 +127,121 @@ def compact_posting_segments(spark: SparkSession, index_dir: str, out_dir: str) 
 # ---------------- generation pointer: crash-safe compaction swap (r8) ----
 
 
-def _local_pointer_path(path: str) -> str:
-    """Resolve a generation-pointer root to a LOCAL filesystem path —
-    fail-loud on any other scheme (ADVICE r08): the pointer protocol
-    below uses os-level fsync + atomic rename, which only exists for
-    local paths. A non-local root (hdfs://, s3a://, ...) used to be
-    silently treated as a relative local directory named 'hdfs:', i.e.
-    the publish "succeeded" somewhere no reader would ever look. Remote
-    stores need the Hadoop FileSystem create+rename protocol (what
-    register_percolator_queries uses for its directory ops); until that
-    path exists here, rejecting loudly is the only correct behavior."""
+def _local_pointer_path(path: str) -> str | None:
+    """Resolve a generation-pointer root to a LOCAL filesystem path for
+    the os-level fast path (fsync + atomic rename), or None when the root
+    has a non-local scheme (hdfs://, s3a://, ...) and must go through the
+    Hadoop FileSystem protocol below (r10, VERDICT r09 #3; previously
+    non-local schemes raised — ADVICE r08 had caught them being silently
+    treated as a relative local directory named 'hdfs:')."""
     if path.startswith("file://"):
         return path[7:]
     scheme, sep, _rest = path.partition("://")
     if sep:
-        raise ValueError(
-            f"generation pointer root {path!r} has non-local scheme "
-            f"{scheme!r} — the CURRENT-pointer protocol is os-level "
-            "(fsync + atomic rename) and supports only local paths / "
-            "file:// URIs; route remote roots through the Hadoop "
-            "FileSystem API instead"
-        )
+        return None
     return path
 
 
-def publish_generation(root: str, gen_dir: str) -> None:
+def _require_spark(spark: SparkSession | None, root: str, op: str) -> SparkSession:
+    if spark is not None:
+        return spark
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    raise ValueError(
+        f"{op}: root {root!r} has a non-local scheme, which routes through "
+        "the Hadoop FileSystem API — pass spark= (or call with an active "
+        "SparkSession) so the filesystem client can be reached"
+    )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, fs, Path) for a root through the Hadoop FileSystem API — the
+    same client register_percolator_queries uses for its directory ops;
+    works for any configured scheme (hdfs://, s3a://, file://, ...)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    return jvm, fs, p
+
+
+def _hadoop_publish(spark: SparkSession, root: str, gen_dir: str) -> None:
+    """CURRENT-pointer commit through Hadoop: create CURRENT.tmp
+    (overwrite), close (HDFS persists block data on close), then
+    FileContext.rename(..., Options.Rename.OVERWRITE) onto CURRENT —
+    atomic on HDFS (the HDFSMetadataLog/Lucene segments_N protocol). On
+    object stores (s3a://) rename is copy+delete, NOT atomic: the
+    protocol there assumes a SINGLE WRITER (one compactor publishing at a
+    time — the same assumption every rename-commit on S3 makes; see
+    SCALE.md). Readers racing the swap window fall back gracefully:
+    current_generation returning None routes them to the live segment
+    log, never to a half-written generation."""
+    sc = spark.sparkContext
+    jvm, fs, rootp = _hadoop_fs(spark, root)
+    fs.mkdirs(rootp)
+    tmp = jvm.org.apache.hadoop.fs.Path(rootp, "CURRENT.tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(gen_dir.encode("utf-8")))
+    finally:
+        out.close()
+    cur = jvm.org.apache.hadoop.fs.Path(rootp, "CURRENT")
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        rootp.toUri(), sc._jsc.hadoopConfiguration()
+    )
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = sc._gateway.new_array(ren, 1)
+    opts[0] = ren.OVERWRITE
+    fc.rename(tmp, cur, opts)
+
+
+def _hadoop_read_pointer(spark: SparkSession, root: str) -> str | None:
+    jvm, fs, rootp = _hadoop_fs(spark, root)
+    cur = jvm.org.apache.hadoop.fs.Path(rootp, "CURRENT")
+    if not fs.exists(cur):
+        return None
+    inp = fs.open(cur)
+    try:
+        br = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(inp))
+        line = br.readLine()
+        return line.strip() if line else None
+    finally:
+        inp.close()
+
+
+def _hadoop_gc(spark: SparkSession, root: str, retain: int) -> list[str]:
+    jvm, fs, rootp = _hadoop_fs(spark, root)
+    cur = _hadoop_read_pointer(spark, root)
+    curq = (
+        fs.makeQualified(jvm.org.apache.hadoop.fs.Path(cur)).toString()
+        if cur
+        else None
+    )
+    if not fs.exists(rootp):
+        return []
+    cands = []
+    for st in fs.listStatus(rootp):
+        p = st.getPath()
+        if st.isDirectory() and p.getName().startswith("gen-"):
+            cands.append((fs.makeQualified(p).toString(), st.getModificationTime(), p))
+    superseded = sorted(
+        ((q, mt, p) for q, mt, p in cands if q != curq),
+        key=lambda t: t[1],
+        reverse=True,
+    )
+    keep = {q for q, _mt, _p in superseded[: max(retain, 0)]}
+    removed = []
+    for q, _mt, p in superseded:
+        if q not in keep:
+            fs.delete(p, True)
+            removed.append(q)
+    return removed
+
+
+def publish_generation(
+    root: str, gen_dir: str, spark: SparkSession | None = None
+) -> None:
     """Atomically repoint readers at a freshly-compacted generation: the
     generation name is written to ``CURRENT.tmp`` and ``os.replace``d onto
     ``CURRENT`` — an atomic rename on POSIX, the same commit protocol as
@@ -164,10 +254,19 @@ def publish_generation(root: str, gen_dir: str) -> None:
     parquet commit protocol has moved task files out of ``_temporary``).
     The replaced-away generation stays on disk until pruned, so a reader
     that resolved the pointer just before the swap still reads complete
-    data (the standard read-view grace window)."""
+    data (the standard read-view grace window).
+
+    Local roots use os-level fsync + atomic rename; non-local schemes
+    (hdfs://, s3a://) route through the Hadoop FileSystem protocol
+    (_hadoop_publish — atomic on HDFS, single-writer on object stores)."""
     import os
 
     rootp = _local_pointer_path(root)
+    if rootp is None:
+        _hadoop_publish(
+            _require_spark(spark, root, "publish_generation"), root, gen_dir
+        )
+        return
     os.makedirs(rootp, exist_ok=True)
     tmp = os.path.join(rootp, "CURRENT.tmp")
     with open(tmp, "w") as f:
@@ -177,12 +276,19 @@ def publish_generation(root: str, gen_dir: str) -> None:
     os.replace(tmp, os.path.join(rootp, "CURRENT"))
 
 
-def current_generation(root: str) -> str | None:
+def current_generation(
+    root: str, spark: SparkSession | None = None
+) -> str | None:
     """The generation directory CURRENT points at, or None before the
     first publish (readers then fall back to the live segment log)."""
     import os
 
-    p = os.path.join(_local_pointer_path(root), "CURRENT")
+    rootp = _local_pointer_path(root)
+    if rootp is None:
+        return _hadoop_read_pointer(
+            _require_spark(spark, root, "current_generation"), root
+        )
+    p = os.path.join(rootp, "CURRENT")
     try:
         with open(p) as f:
             return f.read().strip()
@@ -190,7 +296,9 @@ def current_generation(root: str) -> str | None:
         return None
 
 
-def gc_generations(root: str, retain: int = 2) -> list[str]:
+def gc_generations(
+    root: str, retain: int = 2, spark: SparkSession | None = None
+) -> list[str]:
     """Delete superseded index generations (VERDICT r08 #3 — the Lucene
     IndexDeletionPolicy analogue): without this, every compaction's
     output directory lives forever and a long-running 100 TB index leaks
@@ -214,8 +322,12 @@ def gc_generations(root: str, retain: int = 2) -> list[str]:
     import shutil
 
     rootp = _local_pointer_path(root)
+    if rootp is None:
+        return _hadoop_gc(
+            _require_spark(spark, root, "gc_generations"), root, retain
+        )
     cur = current_generation(root)
-    curp = os.path.abspath(_local_pointer_path(cur)) if cur else None
+    curp = os.path.abspath(_local_pointer_path(cur) or cur) if cur else None
     try:
         names = os.listdir(rootp)
     except FileNotFoundError:
@@ -247,7 +359,7 @@ def read_current_postings(
     tombstone subtraction needed); before any publish, serve the live
     segment log. A half-written compaction directory is unreachable from
     here by construction — it is never named by CURRENT."""
-    gen = current_generation(root)
+    gen = current_generation(root, spark=spark)
     if gen is None:
         return read_live_postings_with_deletes(spark, live_dir)
     return (

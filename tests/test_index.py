@@ -652,33 +652,106 @@ def test_compaction_crash_never_exposes_half_merged_index(spark, tmp_path):
     assert glob.glob(f"{root}/gen-2/_SUCCESS")
 
 
-def test_generation_pointer_rejects_nonlocal_schemes(tmp_path):
-    """ADVICE r08: a non-local pointer root (hdfs://, s3a://) used to be
-    silently treated as a relative LOCAL directory named 'hdfs:' — the
-    publish 'succeeded' somewhere no reader would ever resolve. The
-    os-level fsync+rename protocol must reject non-local schemes loudly
-    (file:// and bare paths keep working)."""
-    from sparkfulltextquery_spark.functions.index import (
-        current_generation,
-        gc_generations,
-        publish_generation,
-    )
-
-    for bad in ("hdfs://nn/idx", "s3a://bucket/idx", "abfss://c@a/idx"):
-        with pytest.raises(ValueError, match="non-local scheme"):
-            publish_generation(bad, f"{bad}/gen-1")
-        with pytest.raises(ValueError, match="non-local scheme"):
-            current_generation(bad)
-        with pytest.raises(ValueError, match="non-local scheme"):
-            gc_generations(bad)
-    # and nothing got created as a bogus local relative directory
+def test_generation_pointer_routes_nonlocal_to_hadoop(monkeypatch, tmp_path):
+    """r10 (VERDICT r09 #3): non-local pointer roots (hdfs://, s3a://) no
+    longer raise — they route through the Hadoop FileSystem protocol.
+    ADVICE r08's original hazard stays covered: nothing may be created as
+    a bogus local relative directory named 'hdfs:'. The os-level fast
+    path keeps serving file:// and bare paths."""
     import os
 
+    from sparkfulltextquery_spark.functions import index_stream as IS
+
+    calls = []
+    monkeypatch.setattr(
+        IS, "_hadoop_publish", lambda sp, r, g: calls.append(("pub", r, g))
+    )
+    monkeypatch.setattr(
+        IS, "_hadoop_read_pointer", lambda sp, r: calls.append(("cur", r))
+    )
+    monkeypatch.setattr(
+        IS, "_hadoop_gc", lambda sp, r, n: calls.append(("gc", r)) or []
+    )
+    dummy = object()
+    for bad in ("hdfs://nn/idx", "s3a://bucket/idx", "abfss://c@a/idx"):
+        IS.publish_generation(bad, f"{bad}/gen-1", spark=dummy)
+        IS.current_generation(bad, spark=dummy)
+        assert IS.gc_generations(bad, spark=dummy) == []
+    assert [c[0] for c in calls] == ["pub", "cur", "gc"] * 3
+    assert {c[1] for c in calls} == {
+        "hdfs://nn/idx", "s3a://bucket/idx", "abfss://c@a/idx"
+    }
     assert not os.path.exists("hdfs:") and not os.path.exists("s3a:")
 
+    # without a SparkSession the Hadoop route fails LOUDLY, not silently
+    monkeypatch.setattr(
+        IS.SparkSession, "getActiveSession", staticmethod(lambda: None)
+    )
+    with pytest.raises(ValueError, match="Hadoop FileSystem"):
+        IS.publish_generation("hdfs://nn/idx", "hdfs://nn/idx/gen-1")
+
+    # the os fast path is untouched
     root = f"{tmp_path}/ptr_root"
-    publish_generation(f"file://{root}", f"file://{root}/gen-1")
-    assert current_generation(root) == f"file://{root}/gen-1"
+    IS.publish_generation(f"file://{root}", f"file://{root}/gen-1")
+    assert IS.current_generation(root) == f"file://{root}/gen-1"
+
+
+def test_generation_pointer_hadoop_path_on_file_scheme(spark, tmp_path):
+    """The Hadoop-FS pointer protocol exercised end-to-end on a file://
+    root (the same FileContext/FileSystem code that serves hdfs://):
+    publish commits atomically via Options.Rename.OVERWRITE, re-publish
+    overwrites, GC keeps CURRENT + the grace window, and the os-path
+    reader resolves a Hadoop-written pointer (same CURRENT file — the
+    two paths interoperate on local roots)."""
+    import os
+    import time
+
+    from sparkfulltextquery_spark.functions.index_stream import (
+        _hadoop_gc,
+        _hadoop_publish,
+        _hadoop_read_pointer,
+        current_generation,
+        read_current_postings,
+    )
+
+    root_local = f"{tmp_path}/hroot"
+    root = f"file://{root_local}"
+    post = spark.createDataFrame(
+        [("spark", 1, 2, 0), ("join", 2, 1, 0)],
+        "term string, doc_id long, tf long, segment int",
+    )
+    assert _hadoop_read_pointer(spark, root) is None
+    gens = []
+    for i in range(1, 5):
+        g = f"{root}/gen-{i}"
+        post.write.mode("overwrite").parquet(g)
+        _hadoop_publish(spark, root, g)
+        assert _hadoop_read_pointer(spark, root) == g  # re-publish overwrote
+        gens.append(g)
+        time.sleep(0.05)  # distinct mtimes for the recency ordering
+    # interop: the os-path reader resolves the Hadoop-written pointer
+    assert current_generation(root_local) == gens[3]
+
+    removed = _hadoop_gc(spark, root, retain=1)
+    assert sorted(p.rsplit("/", 1)[1] for p in removed) == ["gen-1", "gen-2"]
+    left = sorted(
+        n for n in os.listdir(root_local) if n.startswith("gen-")
+    )
+    assert left == ["gen-3", "gen-4"]
+
+    # retain=0 still never deletes the CURRENT generation
+    removed2 = _hadoop_gc(spark, root, retain=0)
+    assert sorted(p.rsplit("/", 1)[1] for p in removed2) == ["gen-3"]
+    assert _hadoop_read_pointer(spark, root) == gens[3]
+    got = sorted(
+        tuple(r)
+        for r in read_current_postings(spark, root_local, f"{root}/live").collect()
+    )
+    assert got == [("join", 2, 1), ("spark", 1, 2)]
+
+    # idempotent; missing root is a no-op
+    assert _hadoop_gc(spark, root, retain=0) == []
+    assert _hadoop_gc(spark, f"file://{tmp_path}/no_such_root", retain=0) == []
 
 
 def test_gc_generations_retains_current_and_grace_window(spark, tmp_path):
