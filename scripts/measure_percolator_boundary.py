@@ -9,6 +9,13 @@ produce the analyzed DataFrame), and (b) execution wall for the alerting
 form, against the persisted sf index. A final row measures the chunked
 path (MAX_COMPILE_QUERIES groups) at the full registry size.
 
+r10 (VERDICT r09 #5): a final section measures the query-term-index
+PREFILTER at 10,000 stored queries — a registry drawn from the df-ranked
+TAIL vocabulary percolates a narrow 50-document batch with prefilter off
+vs on; with it on, compile + execution run only over the candidate
+chunks (queries sharing a positive term with the batch), so wall is
+proportional to MATCHING chunks instead of registry size.
+
 Usage:
     python scripts/measure_percolator_boundary.py [sf_dir] [sizes...]
 Prints one JSON line per measurement; paste the table into SCALE.md.
@@ -121,6 +128,50 @@ def main() -> None:
         ),
         flush=True,
     )
+
+    # ---- r10: query-term-index prefilter at 10k stored queries --------
+    # registry over the df-ranked TAIL vocabulary (rare terms), narrow
+    # 50-doc batch: most stored queries share no positive term with the
+    # batch, so the prefilter should leave only a few candidate chunks
+    from sparkfulltextquery_spark.functions.percolate import (
+        _prefilter_candidates,
+    )
+
+    tail_terms = [
+        r.term
+        for r in spark.table(f"{prefix}_df")
+        .orderBy(F.col("df").asc(), "term")
+        .limit(8000)
+        .collect()
+    ]
+    big = gen_registry(tail_terms, 10_000)
+    batch_ids = [
+        r.doc_id
+        for r in rel.select("doc_id").distinct().orderBy("doc_id").limit(50).collect()
+    ]
+    batch_rel = rel.filter(F.col("doc_id").isin(batch_ids))
+    n_cand = len(_prefilter_candidates(batch_rel, big, None)[0])
+    for pf in (False, True):
+        t0 = time.perf_counter()
+        df = percolate_matches(batch_rel, big, prefilter=pf)
+        df.schema
+        t_compile = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        rows = df.count()
+        t_exec = time.perf_counter() - t1
+        print(
+            json.dumps(
+                {
+                    "mode": f"10k-narrow-batch prefilter={'on' if pf else 'off'}",
+                    "n_queries": 10_000,
+                    "n_candidates": n_cand if pf else 10_000,
+                    "compile_s": round(t_compile, 2),
+                    "exec_s": round(t_exec, 2),
+                    "match_rows": rows,
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

