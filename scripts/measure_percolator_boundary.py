@@ -10,11 +10,14 @@ form, against the persisted sf index. A final row measures the chunked
 path (MAX_COMPILE_QUERIES groups) at the full registry size.
 
 r10 (VERDICT r09 #5): a final section measures the query-term-index
-PREFILTER at 10,000 stored queries — a registry drawn from the df-ranked
-TAIL vocabulary percolates a narrow 50-document batch with prefilter off
-vs on; with it on, compile + execution run only over the candidate
-chunks (queries sharing a positive term with the batch), so wall is
-proportional to MATCHING chunks instead of registry size.
+PREFILTER at 10,000 stored queries. The fixture corpus has a ~60-word
+vocabulary (every document overlaps every realistic query), so registry
+breadth is simulated the way a real saved-search registry is broad: most
+stored queries are about TOPICS (terms) the current batch never
+mentions. 2.5% of the registry uses corpus vocabulary; the rest uses
+disjoint topic terms. With the prefilter on, compile + execution run
+only over the candidate chunks, so wall is proportional to MATCHING
+chunks instead of registry size.
 
 Usage:
     python scripts/measure_percolator_boundary.py [sf_dir] [sizes...]
@@ -130,21 +133,20 @@ def main() -> None:
     )
 
     # ---- r10: query-term-index prefilter at 10k stored queries --------
-    # registry over the df-ranked TAIL vocabulary (rare terms), narrow
-    # 50-doc batch: most stored queries share no positive term with the
-    # batch, so the prefilter should leave only a few candidate chunks
+    # 250 queries (one chunk's worth) over the corpus vocabulary; 9,750
+    # over disjoint topic vocabularies the batch never mentions — the
+    # broad-registry/narrow-batch alerting shape. Narrow 50-doc batch.
     from sparkfulltextquery_spark.functions.percolate import (
         _prefilter_candidates,
     )
 
-    tail_terms = [
-        r.term
-        for r in spark.table(f"{prefix}_df")
-        .orderBy(F.col("df").asc(), "term")
-        .limit(8000)
-        .collect()
-    ]
-    big = gen_registry(tail_terms, 10_000)
+    live = gen_registry(terms, 250)
+    dead = []
+    for i in range(9_750):
+        qid = 100_000 + i
+        a, b = f"topic{i}a", f"topic{i}b"
+        dead.append((qid, f"{a} AND {b}" if i % 2 else f"{a} OR {b}"))
+    big = live + dead
     batch_ids = [
         r.doc_id
         for r in rel.select("doc_id").distinct().orderBy("doc_id").limit(50).collect()
@@ -162,9 +164,9 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "mode": f"10k-narrow-batch prefilter={'on' if pf else 'off'}",
-                    "n_queries": 10_000,
-                    "n_candidates": n_cand if pf else 10_000,
+                    "mode": f"10k-broad-registry prefilter={'on' if pf else 'off'}",
+                    "n_queries": len(big),
+                    "n_candidates": n_cand if pf else len(big),
                     "compile_s": round(t_compile, 2),
                     "exec_s": round(t_exec, 2),
                     "match_rows": rows,

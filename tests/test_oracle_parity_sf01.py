@@ -80,6 +80,32 @@ SF01_SAMPLE = [
 ]
 
 
+# Seeded per-round rotation (r10, VERDICT r09 #8): the fixed sample above
+# pins the known heavy hitters, but 300+ registry pairs would otherwise
+# never see the second scale. Each round adds 10 extra pairs drawn
+# deterministically from the rest of the registry, seeded by the round
+# number (SPARK_GRAFT_ROUND, defaulting to the count of committed
+# BENCH_r*.json artifacts + 1 — monotone per round, stable within one),
+# so successive rounds sweep the never-gated pairs at sf0.1 over time.
+ROTATION_SEED = int(
+    os.environ.get(
+        "SPARK_GRAFT_ROUND",
+        len(list(Path(__file__).resolve().parent.parent.glob("BENCH_r*.json")))
+        + 1,
+    )
+)
+
+
+def _rotation_sample(seed: int, n: int = 10) -> list[str]:
+    import random
+
+    pool = sorted(set(REGISTRY) - set(SF01_SAMPLE))
+    return sorted(random.Random(seed).sample(pool, min(n, len(pool))))
+
+
+SF01_ROTATION = _rotation_sample(ROTATION_SEED)
+
+
 def _have_sf01() -> bool:
     return Path(SF01_DIR).is_dir()
 
@@ -102,9 +128,14 @@ def test_sample_names_are_registered():
     missing = [n for n in SF01_SAMPLE if n not in REGISTRY]
     assert not missing, f"sf0.1 sample names not in registry: {missing}"
     assert len(SF01_SAMPLE) >= 30
+    # rotation is drawn from the registry by construction; pin its shape
+    # and determinism so the seed is auditable from the test output
+    assert len(SF01_ROTATION) == 10, (ROTATION_SEED, SF01_ROTATION)
+    assert SF01_ROTATION == _rotation_sample(ROTATION_SEED)
+    assert not set(SF01_ROTATION) & set(SF01_SAMPLE)
 
 
-@pytest.mark.parametrize("name", SF01_SAMPLE)
+@pytest.mark.parametrize("name", SF01_SAMPLE + SF01_ROTATION)
 def test_oracle_parity_sf01(spark, duck01, name):
     spec = REGISTRY[name]
     assert spec.oracle, f"{name} has no oracle"
