@@ -84,7 +84,10 @@ _PUBLIC_API = {
     "build_ann_index": "sparkfulltextquery_spark.similarity",
     "ann_search_indexed": "sparkfulltextquery_spark.similarity",
     "pq_codebook": "sparkfulltextquery_spark.similarity",
+    "pq_train": "sparkfulltextquery_spark.similarity",
+    "pq_encode": "sparkfulltextquery_spark.similarity",
     "pq_adc_topk": "sparkfulltextquery_spark.similarity",
+    "pq_adc_topk_from_codes": "sparkfulltextquery_spark.similarity",
     "ivfpq_topk": "sparkfulltextquery_spark.similarity",
     "kmeans_iterate": "sparkfulltextquery_spark.similarity",
     # registered query catalog (the driver/bench surface)
