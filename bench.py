@@ -283,11 +283,14 @@ SF10_EXTRA = [name for name in EXTRA if name not in SF10_SKIP]
 
 def _default_heap(gb_wanted: int) -> str:
     """Driver-heap default for the big-decade benches: the wanted size,
-    capped at ~25% of MemTotal. The wanted sizes (16g sf1 / 32g sf10)
+    capped at ~1/3 of MemTotal. The wanted sizes (16g sf1 / 32g sf10)
     encode the 128 GB bench host's measured sweet spot (see the sf10
-    comment below); a smaller host must not swap or OOM before the
-    SPARK_GRAFT_DRIVER_MEM env override is discovered — export that to
-    pin an exact heap."""
+    comment below — bigger heaps evict the page cache under the ~20 GB
+    parquet, so the cap keeps that margin too); a smaller host must not
+    swap or OOM before the SPARK_GRAFT_DRIVER_MEM env override is
+    discovered — export that to pin an exact heap. 1/3, not 1/4: MemTotal
+    on the 128 GB host reads ~125 GiB, and a quarter would shave the
+    measured 32g default to 31g for no reason."""
     try:
         with open("/proc/meminfo") as f:
             total_kb = next(
@@ -295,7 +298,7 @@ def _default_heap(gb_wanted: int) -> str:
             )
     except (OSError, StopIteration):
         return f"{gb_wanted}g"
-    return f"{max(2, min(gb_wanted, total_kb // (1 << 20) // 4))}g"
+    return f"{max(2, min(gb_wanted, total_kb // (1 << 20) // 3))}g"
 
 
 def main() -> None:
