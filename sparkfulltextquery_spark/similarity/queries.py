@@ -657,3 +657,101 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("_c") >= 0.25) & (F.col("vec_id") != 0))
         .select("vec_id", F.round("_c", 6).alias("cosine"))
     )
+
+
+def _pq_train_duck(m: int = 4, L: int = 8, iters: int = 2) -> str:
+    """Unrolled per-subspace k-means PQ trainer oracle mirroring
+    similarity.pq_train(codes=L) + pq_encode: same L2-normalization, the
+    same deterministic init (each subspace's L distinct subvectors with
+    the lowest first-occurrence vec_id), the same 6dp-rounded squared-L2
+    argmin with lowest-code tie-break per Lloyd round (d2 as the
+    index-order sum — the IEEE sequence the unrolled Spark expression
+    evaluates), the same per-(subspace, code, dim) mean update, the same
+    survivorship rule (codes kept only if present in every subspace,
+    re-labeled by sorted position), and the final encode. The float-sum
+    order inside avg() is the only engine-divergence exposure — absorbed
+    by the 6dp d2 rounding, the same accepted exposure as _kmeans_duck."""
+    sub = EMB_DIM // m
+
+    def d2(vt, ct):
+        return (
+            "round(("
+            + " + ".join(
+                f"({vt}[{i}] - {ct}[{i}]) * ({vt}[{i}] - {ct}[{i}])"
+                for i in range(1, sub + 1)
+            )
+            + "), 6)"
+        )
+
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    en AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS v
+      FROM e
+    ),
+    sv AS (
+      SELECT vec_id, s, list_slice(v, s * {sub} + 1, s * {sub} + {sub}) AS sv
+      FROM en CROSS JOIN range({m}) t(s)
+    ),
+    f0 AS (SELECT s, sv, min(vec_id) AS first_id FROM sv GROUP BY s, sv),
+    c0 AS (
+      SELECT s, code, sv AS c FROM (
+        SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY first_id) AS code
+        FROM f0
+      ) WHERE code <= {L}
+    )"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        sql += f""",
+    a{i} AS (
+      SELECT vec_id, s, sv, code FROM (
+        SELECT sv.vec_id, sv.s, sv.sv, {prev}.code,
+               {d2('sv.sv', f'{prev}.c')} AS d2
+        FROM sv JOIN {prev} USING (s)
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) = 1
+    ),
+    c{i} AS (
+      SELECT s, code, list(mx ORDER BY dim) AS c FROM (
+        SELECT s, code, dim, avg(x) AS mx FROM (
+          SELECT s, code, unnest(range(1, {sub} + 1)) AS dim, unnest(sv) AS x
+          FROM a{i}
+        ) GROUP BY s, code, dim
+      ) GROUP BY s, code
+    )"""
+        prev = f"c{i}"
+    sql += f""",
+    keep AS (SELECT code FROM {prev} GROUP BY code HAVING count(*) = {m}),
+    lab AS (SELECT code, row_number() OVER (ORDER BY code) AS pos FROM keep),
+    cb AS (
+      SELECT {prev}.s, {prev}.code, lab.pos, {prev}.c
+      FROM {prev} JOIN lab USING (code)
+    )
+    SELECT vec_id, s, code FROM (
+      SELECT vec_id, s, pos AS code FROM (
+        SELECT sv.vec_id, sv.s, cb.pos, {d2('sv.sv', 'cb.c')} AS d2
+        FROM sv JOIN cb USING (s)
+      ) QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, pos) = 1
+    )
+    """
+    return sql
+
+
+@query("sim_pq_train_codebook", oracle=_pq_train_duck())
+def sim_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebook end-to-end (r10, VERDICT r09 #1): pq_train
+    with a per-subspace k-means codebook (here m=4 subspaces x 8 codes,
+    2 Lloyd rounds — small enough to mirror exactly in the DuckDB
+    oracle; production uses codes=256/m=16, same machinery) and the
+    resulting code assignment for every vector, exploded to flat
+    (vec_id, s, code) rows. Scale shape: training is iters x (one scan +
+    O(m*L*sub) update shuffle); encode is one scan with broadcast
+    codewords; the oracle replays the identical Lloyd rounds in SQL
+    (_pq_train_duck). Reference analogue: mllib KMeans
+    (mllib/.../ml/clustering/KMeans.scala) as the subspace trainer."""
+    from sparkfulltextquery_spark.similarity import pq_encode, pq_train
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lit = pq_train(e, m=4, codes=8, train_iters=2)
+    enc = pq_encode(e, m=4, literals=lit)
+    return enc.select("vec_id", F.posexplode("codes").alias("s", "code"))
