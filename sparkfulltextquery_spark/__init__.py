@@ -29,7 +29,7 @@ from sparkfulltextquery_spark.session import get_spark  # noqa: F401
 # Pinned public API (r9, VERDICT r08 #2). Everything listed here is the
 # supported surface: `from sparkfulltextquery_spark import build_index, ...`.
 # Resolution is lazy (PEP 562) so `import sparkfulltextquery_spark` stays
-# cheap — submodules load on first attribute access, and the 384-row query
+# cheap — submodules load on first attribute access, and the 386-row query
 # registry only materializes when a registry-backed module is touched.
 # ---------------------------------------------------------------------------
 

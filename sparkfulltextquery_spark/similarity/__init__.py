@@ -52,7 +52,8 @@ def _infer_dim(embeddings: DataFrame, vec_col: str) -> int:
 #   starts from the first term and would keep -0.0; unreachable for the
 #   sum-of-squares shapes used here ((-0.0)² = +0.0) and harmless for
 #   dot products (−0.0 == 0.0 under every comparison we emit), noted for
-#   anyone adding a builder where the distinction could surface. The text form matters: building the
+#   anyone adding a builder where the distinction could surface.
+#   The text form matters: building the
 #   same tree out of Python `Column` arithmetic costs O(dim) Py4J
 #   round-trips PER PLAN (measured 3.3s of pure driver time at dim=64 on
 #   the k-means shape), which swamps the executor win; one parsed string
