@@ -56,6 +56,7 @@ SF01_SAMPLE = [
     "sim_lsh_near_dup_pairs",
     "sim_cosine_topk",
     "sim_ivf_topk",
+    "sim_pq_train_codebook",  # r10: Lloyd rounds over 10x the subvectors
     # window composites — longer partitions, deeper frames
     "tpcds_q47_monthly_deviation",
     "tpcds_q67_rollup_rank",
