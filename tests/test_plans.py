@@ -968,3 +968,34 @@ def test_percolate_scored_one_scan_zero_join(spark):
         assert node not in plan, f"{node} leaked into the indexed scored plan"
     assert "SelectedBucketsCount" in plan, plan
     assert "documents" not in plan, plan
+
+
+def test_trained_pq_join_encode_broadcasts_and_partial_aggs(spark):
+    """Large-codebook encode (r10): the broadcast-join path must
+    broadcast the m·L codeword table into the subvector scan (never
+    shuffle the vectors against it, never a cartesian) and run both
+    argmin and reassembly as partial+final hash aggregates. The plan
+    properties, not the walls, are what survive a 100 TB encode job."""
+    from sparkfulltextquery_spark.similarity import (
+        _pq_encode_join,
+        normalize_expr,
+        pq_train,
+    )
+    from sparkfulltextquery_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    lit = pq_train(e, 4)
+    ev = e.select(
+        "vec_id",
+        "label",
+        normalize_expr(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    df = _pq_encode_join(ev, lit["labels"], lit["cent"], lit["m"], lit["sub"])
+    plan = physical_plan(df)
+    assert uses_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial" in plan.lower(), plan  # map-side combine on the argmin
+    # exactly the argmin agg + the reassembly agg shuffle on vec_id — the
+    # broadcast side must not add an exchange of the vector relation
+    assert count_exchanges(df) <= 2, plan
