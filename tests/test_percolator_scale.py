@@ -282,3 +282,50 @@ def test_percolator_prefilter_all_skipped_returns_typed_empty(spark):
     b = P._percolate_bool(rel, registry, chunk_size=100)
     assert b.count() == 0
     assert [f.name for f in b.schema] == ["query_id", "n_docs", "first_doc"]
+
+
+def test_percolator_prefilter_expansion_atoms_chunked(spark):
+    """Expansion atoms through the chunked+prefiltered path: the registry-
+    wide expansion cache (resolved ONCE in _registry_atom_terms, reused by
+    every chunk's compile) must yield exactly the single-compile result —
+    including NEGATED expansion atoms, whose term lists live only in the
+    cache's both-polarity half, and absent-prefix queries, which the
+    prefilter must drop without perturbing survivors."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions.percolate import percolate_matches
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab_terms = _vocab_by_freq(toks, 40)
+    nv = len(vocab_terms)
+    registry = []
+    qid = 1
+    for t in vocab_terms:  # prefix-expansion + negated plain term
+        registry.append((qid, f"{t[:4]}* AND NOT {vocab_terms[(qid * 3) % nv]}"))
+        qid += 1
+        registry.append((qid, f"{t} OR zzqabsent{qid}*"))
+        qid += 1
+    for i in range(40):  # absent-prefix queries the prefilter must drop
+        registry.append((qid, f"zzqnever{i}* AND data"))
+        # NOTE: positive atom 'data' keeps these candidates; truly dead:
+        registry.append((qid + 1, f"zzqnever{i}a* OR zzqnever{i}b*"))
+        qid += 2
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    vocab = rel.select("term").distinct()
+
+    single = {
+        (int(r.query_id), int(r.doc_id))
+        for r in percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=10**9
+        ).collect()
+    }
+    chunked_pref = {
+        (int(r.query_id), int(r.doc_id))
+        for r in percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=25, prefilter=True
+        ).collect()
+    }
+    assert chunked_pref == single
+    assert single, "expansion registry matched nothing — vocabulary drifted"
