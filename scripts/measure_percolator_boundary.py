@@ -19,6 +19,15 @@ disjoint topic terms. With the prefilter on, compile + execution run
 only over the candidate chunks, so wall is proportional to MATCHING
 chunks instead of registry size.
 
+r11 (VERDICT r10 #1): a 100,000-stored-query section exercises the
+PERSISTED term-index path — register_percolator_queries writes the
+(query_id, term) relation once (linear-cost validation), then
+percolation prefilters via ONE broadcast join and parses only the
+candidate slice. Measured against the r10 in-memory prefilter (which
+parses the whole registry and plans a giant isin per call) to show
+where the driver-side knee sits and that the relation path stays
+proportional to candidates.
+
 Usage:
     python scripts/measure_percolator_boundary.py [sf_dir] [sizes...]
 Prints one JSON line per measurement; paste the table into SCALE.md.
@@ -55,8 +64,16 @@ def gen_registry(terms: list[str], n: int) -> list[tuple[int, str]]:
 
 
 def main() -> None:
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sizes = [int(s) for s in sys.argv[2:]] or [50, 100, 250, 500, 1000]
+    # PERC_SECTIONS=single,10k,100k (default all) — re-measuring one
+    # section must not pay the others (the 10k prefilter=off leg alone
+    # is ~275s)
+    sections = set(
+        os.environ.get("PERC_SECTIONS", "single,10k,100k").split(",")
+    )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -88,7 +105,7 @@ def main() -> None:
     ]
     registry = gen_registry(terms, max(sizes))
 
-    for n in sizes:
+    for n in sizes if "single" in sections else []:
         qs = registry[:n]
         t0 = time.perf_counter()
         df = percolate_matches(rel, qs, chunk_size=10**9)  # force ONE compile
@@ -111,51 +128,10 @@ def main() -> None:
         )
 
     # the chunked production path at the full registry width
-    n = max(sizes)
-    t0 = time.perf_counter()
-    df = percolate_matches(rel, registry[:n])  # default MAX_COMPILE_QUERIES
-    df.schema
-    t_compile = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    rows = df.count()
-    t_exec = time.perf_counter() - t1
-    print(
-        json.dumps(
-            {
-                "mode": f"chunked({MAX_COMPILE_QUERIES})",
-                "n_queries": n,
-                "compile_s": round(t_compile, 2),
-                "exec_s": round(t_exec, 2),
-                "match_rows": rows,
-            }
-        ),
-        flush=True,
-    )
-
-    # ---- r10: query-term-index prefilter at 10k stored queries --------
-    # 250 queries (one chunk's worth) over the corpus vocabulary; 9,750
-    # over disjoint topic vocabularies the batch never mentions — the
-    # broad-registry/narrow-batch alerting shape. Narrow 50-doc batch.
-    from sparkfulltextquery_spark.functions.percolate import (
-        _prefilter_candidates,
-    )
-
-    live = gen_registry(terms, 250)
-    dead = []
-    for i in range(9_750):
-        qid = 100_000 + i
-        a, b = f"topic{i}a", f"topic{i}b"
-        dead.append((qid, f"{a} AND {b}" if i % 2 else f"{a} OR {b}"))
-    big = live + dead
-    batch_ids = [
-        r.doc_id
-        for r in rel.select("doc_id").distinct().orderBy("doc_id").limit(50).collect()
-    ]
-    batch_rel = rel.filter(F.col("doc_id").isin(batch_ids))
-    n_cand = len(_prefilter_candidates(batch_rel, big, None)[0])
-    for pf in (False, True):
+    if "single" in sections:
+        n = max(sizes)
         t0 = time.perf_counter()
-        df = percolate_matches(batch_rel, big, prefilter=pf)
+        df = percolate_matches(rel, registry[:n])  # default MAX_COMPILE_QUERIES
         df.schema
         t_compile = time.perf_counter() - t0
         t1 = time.perf_counter()
@@ -164,9 +140,8 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "mode": f"10k-broad-registry prefilter={'on' if pf else 'off'}",
-                    "n_queries": len(big),
-                    "n_candidates": n_cand if pf else len(big),
+                    "mode": f"chunked({MAX_COMPILE_QUERIES})",
+                    "n_queries": n,
                     "compile_s": round(t_compile, 2),
                     "exec_s": round(t_exec, 2),
                     "match_rows": rows,
@@ -174,6 +149,105 @@ def main() -> None:
             ),
             flush=True,
         )
+
+    # the broad-registry/narrow-batch alerting shape shared by the 10k
+    # and 100k sections: a thin live slice over the corpus vocabulary,
+    # the rest over disjoint topic vocabularies the batch never mentions
+    from sparkfulltextquery_spark.functions.percolate import (
+        _prefilter_candidates,
+        percolate_from_table,
+        register_percolator_queries,
+    )
+
+    def broad_registry(n_total: int) -> list[tuple[int, str]]:
+        live = gen_registry(terms, 250)
+        dead = []
+        for i in range(n_total - 250):
+            qid = 1_000_000 + i
+            a, b = f"topic{i}a", f"topic{i}b"
+            dead.append((qid, f"{a} AND {b}" if i % 2 else f"{a} OR {b}"))
+        return live + dead
+
+    batch_ids = [
+        r.doc_id
+        for r in rel.select("doc_id").distinct().orderBy("doc_id").limit(50).collect()
+    ]
+    batch_rel = rel.filter(F.col("doc_id").isin(batch_ids))
+
+    # ---- r10: in-memory query-term-index prefilter at 10k queries -----
+    if "10k" in sections:
+        big = broad_registry(10_000)
+        n_cand = len(_prefilter_candidates(batch_rel, big, None)[0])
+        for pf in (False, True):
+            t0 = time.perf_counter()
+            df = percolate_matches(batch_rel, big, prefilter=pf)
+            df.schema
+            t_compile = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            rows = df.count()
+            t_exec = time.perf_counter() - t1
+            print(
+                json.dumps(
+                    {
+                        "mode": f"10k-broad-registry prefilter={'on' if pf else 'off'}",
+                        "n_queries": len(big),
+                        "n_candidates": n_cand if pf else len(big),
+                        "compile_s": round(t_compile, 2),
+                        "exec_s": round(t_exec, 2),
+                        "match_rows": rows,
+                    }
+                ),
+                flush=True,
+            )
+
+    # ---- r11: PERSISTED term-index prefilter at 100k queries ----------
+    # (VERDICT r10 #1) registration writes the (query_id, term) relation
+    # once; percolation broadcast-joins it against the batch's terms and
+    # parses only the candidate slice. The in-memory prefilter leg shows
+    # the driver-side knee it replaces (whole-registry parse + giant isin
+    # per call); the unfiltered leg is omitted (400 chunk compiles).
+    if "100k" in sections:
+        big = broad_registry(100_000)
+        t0 = time.perf_counter()
+        tbl = register_percolator_queries(spark, big, table="sftq_bound100k")
+        t_reg = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "mode": "100k-register (one-time, writes query+term tables)",
+                    "n_queries": len(big),
+                    "register_s": round(t_reg, 2),
+                }
+            ),
+            flush=True,
+        )
+        n_cand = len(_prefilter_candidates(batch_rel, big, None)[0])
+        for mode in ("in-memory", "indexed"):
+            t0 = time.perf_counter()
+            if mode == "indexed":
+                df = percolate_from_table(spark, batch_rel, table=tbl, matches=True)
+            else:
+                df = percolate_matches(batch_rel, big, prefilter=True)
+            df.schema
+            t_compile = time.perf_counter() - t0
+            t1 = time.perf_counter()
+            rows = df.count()
+            t_exec = time.perf_counter() - t1
+            print(
+                json.dumps(
+                    {
+                        "mode": f"100k-broad-registry prefilter={mode}",
+                        "n_queries": len(big),
+                        "n_candidates": n_cand,
+                        "compile_s": round(t_compile, 2),
+                        "exec_s": round(t_exec, 2),
+                        "match_rows": rows,
+                    }
+                ),
+                flush=True,
+            )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
 
 
 if __name__ == "__main__":

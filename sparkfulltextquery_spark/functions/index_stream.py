@@ -203,11 +203,32 @@ def _hadoop_read_pointer(spark: SparkSession, root: str) -> str | None:
         return None
     inp = fs.open(cur)
     try:
-        br = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(inp))
+        # charset-explicit read (ADVICE r10): the write side encodes the
+        # generation path as UTF-8 bytes; a platform-default-charset
+        # reader would mis-decode non-ASCII paths on non-UTF-8 hosts
+        br = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(inp, "UTF-8")
+        )
         line = br.readLine()
         return line.strip() if line else None
     finally:
         inp.close()
+
+
+def _gen_recency_key(name: str, mtime) -> tuple:
+    """Recency ordering for superseded generations (ADVICE r10): the
+    monotone sequence number parsed from the pinned ``gen-N`` naming —
+    store-independent, unlike directory mtimes, which object stores
+    (s3a) synthesize (often 0 or listing time), making an mtime-ordered
+    grace window arbitrary and able to delete the generation a reader
+    resolved just before the swap. Unparsable names (outside the
+    contract) fall back to mtime and rank below every parsed name."""
+    import re
+
+    m = re.match(r"gen-(\d+)$", name)
+    if m:
+        return (1, int(m.group(1)))
+    return (0, mtime)
 
 
 def _hadoop_gc(spark: SparkSession, root: str, retain: int) -> list[str]:
@@ -227,7 +248,7 @@ def _hadoop_gc(spark: SparkSession, root: str, retain: int) -> list[str]:
             cands.append((fs.makeQualified(p).toString(), st.getModificationTime(), p))
     superseded = sorted(
         ((q, mt, p) for q, mt, p in cands if q != curq),
-        key=lambda t: t[1],
+        key=lambda t: _gen_recency_key(t[2].getName(), t[1]),
         reverse=True,
     )
     keep = {q for q, _mt, _p in superseded[: max(retain, 0)]}
@@ -339,7 +360,7 @@ def gc_generations(
     ]
     superseded = sorted(
         (p for p in cands if p != curp),
-        key=os.path.getmtime,
+        key=lambda p: _gen_recency_key(os.path.basename(p), os.path.getmtime(p)),
         reverse=True,
     )
     keep = set(superseded[: max(retain, 0)])

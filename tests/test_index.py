@@ -841,3 +841,69 @@ def test_expansion_atoms_matching_nothing(spark, index_tables):
     ).count()
     n_docs = spark.table("t_idx_dl").count()
     assert allofem == n_docs
+
+
+def test_generation_gc_orders_by_sequence_not_mtime(spark, tmp_path):
+    """ADVICE r10: the GC grace window must order superseded generations
+    by the monotone gen-N sequence number, NOT directory mtime — object
+    stores (s3a) synthesize directory mtimes (often 0 or listing time),
+    so an mtime-ordered window could delete the generation a reader
+    resolved just before the swap. Simulated by INVERTING mtimes (oldest
+    generation gets the newest mtime): retain=1 must still keep gen-3,
+    on both the os-level and the Hadoop-FS paths."""
+    import os
+    import time
+
+    from sparkfulltextquery_spark.functions.index_stream import (
+        _hadoop_gc,
+        _hadoop_publish,
+        gc_generations,
+        publish_generation,
+    )
+
+    def build(root_local):
+        os.makedirs(root_local, exist_ok=True)
+        now = time.time()
+        for i in range(1, 5):
+            d = os.path.join(root_local, f"gen-{i}")
+            os.makedirs(d, exist_ok=True)
+            # inverted mtimes: gen-1 looks NEWEST to an mtime ordering
+            os.utime(d, (now - i * 60, now - i * 60))
+
+    # os-level path
+    r1 = f"{tmp_path}/seq_local"
+    build(r1)
+    publish_generation(r1, os.path.join(r1, "gen-4"))
+    removed = gc_generations(r1, retain=1)
+    assert sorted(os.path.basename(p) for p in removed) == ["gen-1", "gen-2"]
+    assert sorted(n for n in os.listdir(r1) if n.startswith("gen-")) == [
+        "gen-3",
+        "gen-4",
+    ]
+
+    # Hadoop-FS path (same FileSystem code that serves hdfs:///s3a://)
+    r2_local = f"{tmp_path}/seq_hadoop"
+    build(r2_local)
+    r2 = f"file://{r2_local}"
+    _hadoop_publish(spark, r2, f"{r2}/gen-4")
+    removed2 = _hadoop_gc(spark, r2, retain=1)
+    assert sorted(p.rsplit("/", 1)[1] for p in removed2) == ["gen-1", "gen-2"]
+    assert sorted(
+        n for n in os.listdir(r2_local) if n.startswith("gen-")
+    ) == ["gen-3", "gen-4"]
+
+
+def test_generation_pointer_non_ascii_path_roundtrip(spark, tmp_path):
+    """ADVICE r10: the Hadoop pointer reader decodes CURRENT with an
+    explicit UTF-8 charset (the write side's encoding) — a non-ASCII
+    generation path must round-trip exactly, independent of the JVM's
+    platform default charset."""
+    from sparkfulltextquery_spark.functions.index_stream import (
+        _hadoop_publish,
+        _hadoop_read_pointer,
+    )
+
+    root = f"file://{tmp_path}/ütf8_røot"
+    gen = f"{root}/gen-1-καλά-日本語"
+    _hadoop_publish(spark, root, gen)
+    assert _hadoop_read_pointer(spark, root) == gen

@@ -329,3 +329,157 @@ def test_percolator_prefilter_expansion_atoms_chunked(spark):
     }
     assert chunked_pref == single
     assert single, "expansion registry matched nothing — vocabulary drifted"
+
+
+def test_percolator_pure_negation_raises_on_prefilter_path(spark):
+    """ADVICE r10 (medium): a pure-negation stored query ('NOT spark')
+    must fail LOUDLY on the chunked+prefiltered path too — previously the
+    prefilter silently dropped it (empty positive-term set) before the
+    compile-time _eval_empty check could fire, turning the r8 fail-loud
+    contract into silently missed alerts, and only for registries larger
+    than one chunk. Both the in-memory prefilter and the term-index
+    builder now raise the same error."""
+    import pytest
+
+    from sparkfulltextquery_spark.functions import percolate as P
+
+    rel = spark.createDataFrame(
+        [(1, "spark", [0])], "doc_id long, term string, positions array<int>"
+    )
+    registry = [(i, f"t{i} AND data") for i in range(1, 301)]
+    registry.append((999, "NOT spark"))
+    with pytest.raises(ValueError, match="satisfiable by the empty document"):
+        P.percolate_matches(rel, registry, chunk_size=100, prefilter=True)
+    with pytest.raises(ValueError, match="satisfiable by the empty document"):
+        P.term_index_rows(registry)
+    # small registries already raised at compile time — still do
+    with pytest.raises(ValueError, match="satisfiable by the empty document"):
+        P.percolate_matches(rel, [(1, "NOT spark")])
+
+
+def test_percolator_term_index_prefilter_equals_in_memory(spark, monkeypatch):
+    """r11 (VERDICT r10 #1): the shuffle-parallel prefilter — ONE
+    broadcast join of the persisted (query_id, term) relation against the
+    batch's posting terms — must produce exactly the in-memory
+    prefilter's results AND the unfiltered results, must skip the dead
+    slice's chunks, and must keep queries with positive EXPANSION atoms
+    as unconditional candidates (their NULL-term rows), including ones
+    whose resolved terms the batch lacks (conservative, never a miss)."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import percolate as P
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab_terms = _vocab_by_freq(toks)
+    live = gen_registry(vocab_terms, 200)
+    dead = [(10_000 + i, f"zzqx{i} AND zzqy{i}") for i in range(300)]
+    # expansion-atom queries: live prefix + an absent prefix (still a
+    # candidate via its NULL row — only the compile resolves it to [])
+    exp = [
+        (20_000, f"{vocab_terms[0][:4]}* AND {vocab_terms[1]}"),
+        (20_001, "zzqnever* OR zzqalso*"),
+    ]
+    registry = live + dead + exp
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    vocab = rel.select("term").distinct()
+    term_df = spark.createDataFrame(
+        P.term_index_rows(registry), P.TERM_INDEX_SCHEMA
+    )
+
+    compiles = []
+    orig = P._percolate_compile
+
+    def counting(*a, **kw):
+        compiles.append(len(a[1]))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(P, "_percolate_compile", counting)
+
+    unfiltered = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=100, prefilter=False
+        ).collect()
+    }
+    compiles.clear()
+    inmem = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=100, prefilter=True
+        ).collect()
+    }
+    compiles.clear()
+    indexed = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=100, term_index=term_df
+        ).collect()
+    }
+    n_indexed_compiles = len(compiles)
+    assert indexed == unfiltered == inmem
+    assert indexed, "registry matched nothing — vocabulary drifted"
+    # 502 queries unfiltered = 6 chunks; candidates = 200 live + 2
+    # expansion (always) = 202 → 3 chunks
+    assert n_indexed_compiles == 3
+    # the summary form routes through the same indexed prefilter
+    s_unf = {
+        tuple(r)
+        for r in P._percolate_bool(
+            rel, registry, vocab=vocab, chunk_size=100, prefilter=False
+        ).collect()
+    }
+    s_idx = {
+        tuple(r)
+        for r in P._percolate_bool(
+            rel, registry, vocab=vocab, chunk_size=100, term_index=term_df
+        ).collect()
+    }
+    assert s_idx == s_unf
+
+
+def test_percolator_persisted_term_index_consistency(spark, tmp_path):
+    """register → add → remove keep the sibling {table}_terms relation
+    exactly equal to term_index_rows(current registry), and
+    percolate_from_table through the persisted index equals the
+    unfiltered percolation of the same registry."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import percolate as P
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab_terms = _vocab_by_freq(toks)
+    base = gen_registry(vocab_terms, 300)
+    extra = [(5_000 + i, f"zzqx{i} OR {vocab_terms[i]}") for i in range(10)]
+
+    def stored_terms(tbl):
+        return {
+            (int(r.query_id), r.term)
+            for r in spark.table(f"{tbl}_terms").collect()
+        }
+
+    tbl = P.register_percolator_queries(spark, base, table="sftq_r11_perc")
+    assert stored_terms(tbl) == set(P.term_index_rows(base))
+
+    P.add_percolator_queries(spark, extra, table=tbl)
+    assert stored_terms(tbl) == set(P.term_index_rows(base + extra))
+
+    P.remove_percolator_queries(spark, [qid for qid, _q in extra[:5]], table=tbl)
+    survivors = base + extra[5:]
+    assert stored_terms(tbl) == set(P.term_index_rows(survivors))
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    via_table = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_from_table(spark, rel, table=tbl, matches=True)
+        .collect()
+    }
+    direct = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(rel, survivors, prefilter=False).collect()
+    }
+    assert via_table == direct
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
