@@ -59,6 +59,10 @@ def measure(spark, emb, corpus_name, n_queries):
     emb = emb.cache()
     n_vecs = emb.count()
     n_labels = emb.select("label").distinct().count()
+    # honest labeling (r11, VERDICT r10 #7): echo the measured corpus's
+    # actual size into every row — the name alone once claimed "sf1"
+    # for whatever directory was measured
+    corpus_name = f"{corpus_name} [{n_vecs} vectors, {n_labels} labels]"
     stride = max(n_vecs // n_queries, 1)
     qrows = (
         emb.filter(F.col("vec_id") % stride == 0)
@@ -157,8 +161,9 @@ def main() -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # r10: the generated fixture is now the planted-cluster corpus itself
     # (make_sf1.clustered_embeddings) — this first sweep measures recall
-    # on the REGISTERED table, not a side corpus
-    measure(spark, emb, "sf1-as-generated (clustered r10)", n_queries)
+    # on the REGISTERED table, not a side corpus. The label echoes the
+    # actual directory measured (r11, VERDICT r10 #7).
+    measure(spark, emb, f"registered:{sf_dir}", n_queries)
 
     planted = spark.createDataFrame(
         planted_rows(), "vec_id long, embedding array<float>, label int"

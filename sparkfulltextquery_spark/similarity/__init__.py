@@ -522,6 +522,47 @@ def ann_search_indexed(
 PQ_SUBSPACES = 8
 
 
+def auto_pq_config(
+    dim: int, n_vectors: int, n_clusters: int, k: int = 10
+) -> dict:
+    """Measured-grounded IVF-PQ defaults from corpus shape (r11, VERDICT
+    r10 #2 — the dials were proven in SCALE.md r10 but had to be passed
+    by hand). Returns {"m", "codes", "shortlist_k"}:
+
+    - ``m``: subspace count targeting 4-dim subspaces once the corpus
+      passes 10⁴ vectors (the SCALE.md finding: at 2k vectors/cluster
+      m=8's 8-dim quantization noise already spans true-neighbor cosine
+      gaps — m=16 lifts recall@10 from ~0.8 to 0.98 at shortlist 100,
+      and HOLDS 0.915 a decade later where m=8 falls to 0.52); 8-dim
+      subspaces suffice below that. Width snaps to the largest divisor
+      of ``dim`` not exceeding the target.
+    - ``codes``: a trained 256-code per-subspace codebook once the
+      corpus can populate it (n ≥ 10⁴); the label-centroid codebook
+      (codes=None) below that — small corpora lack the samples per code
+      and the brute-force baseline is cheap there anyway.
+    - ``shortlist_k``: scaled with DENSITY (vectors per coarse cluster).
+      Trained codebook: density/20 — the sf1 point (density 2,000 → 100)
+      measured 0.98. Label-centroid codebook (small corpora): 2·density —
+      ADC has no within-cluster resolution there, so the shortlist must
+      COVER the probed clusters' pool (the r9 SCALE.md finding). Both
+      floored at 10·k and capped at 400 (recall is monotone in
+      shortlist_k, so the cap only ever costs wall, not correctness;
+      past the cap the recall dial is m, per the SCALE.md decade table).
+    """
+    target_sub = 4 if n_vectors >= 10_000 else 8
+    sub = next(
+        s for s in range(min(target_sub, dim), 0, -1) if dim % s == 0
+    )
+    density = n_vectors / max(n_clusters, 1)
+    codes = 256 if n_vectors >= 10_000 else None
+    scaled = density // 20 if codes else 2 * density
+    return {
+        "m": dim // sub,
+        "codes": codes,
+        "shortlist_k": int(min(400, max(10 * k, scaled))),
+    }
+
+
 def pq_codebook(
     embeddings: DataFrame,
     m: int = PQ_SUBSPACES,
@@ -549,8 +590,8 @@ def pq_adc_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    m: int = PQ_SUBSPACES,
-    shortlist_k: int = 30,
+    m: int | None = None,
+    shortlist_k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -575,8 +616,18 @@ def pq_adc_topk(
     exchanges are the C-bounded shortlist heap and the broadcast of C ids
     into the re-rank scan. At 100 TB codes are precomputed and stored (m
     bytes per vector instead of 4·dim) so the shortlist pass never reads
-    the raw vectors — the classic IVF-PQ memory win."""
+    the raw vectors — the classic IVF-PQ memory win.
+
+    ``m=None`` / ``shortlist_k=None`` (r11): resolved from the literals
+    dict — ``m`` always travels with the codebook that was trained; the
+    auto shortlist is present only when pq_train ran in full-auto mode,
+    otherwise the fixed default 30 applies (the registered-oracle
+    operating point)."""
     lit = literals if literals is not None else pq_train(embeddings, m, vec_col, label_col)
+    if m is None:
+        m = lit["m"]
+    if shortlist_k is None:
+        shortlist_k = lit.get("shortlist_k", 30)
     labels, cent, sub = lit["labels"], lit["cent"], lit["sub"]
 
     if len(labels) > 64:
@@ -755,7 +806,7 @@ def kmeans_iterate(
 
 def pq_train(
     embeddings: DataFrame,
-    m: int = PQ_SUBSPACES,
+    m: int | None = None,
     vec_col: str = "embedding",
     label_col: str = "label",
     codes: int | None = None,
@@ -787,14 +838,33 @@ def pq_train(
 
     IVF coarse probing always uses the label centroids (``full`` +
     ``ivf_labels``) — the trained codebook replaces only the ADC
-    resolution, not the partition-pruning structure."""
+    resolution, not the partition-pruning structure.
+
+    FULL-AUTO mode (r11, VERDICT r10 #2): with ``m=None`` (the default),
+    (m, codes, shortlist_k) derive from the corpus shape via
+    auto_pq_config — 4-dim subspaces and a trained 256-code codebook
+    once the corpus passes 10⁴ vectors, shortlist scaled with cluster
+    density — and the returned dict carries ``shortlist_k`` which
+    ivfpq_topk/pq_adc_topk consume when the caller passes none. Any
+    explicitly passed arg overrides its auto value; an explicit ``m``
+    disables auto entirely (codes=None then means the label-centroid
+    codebook, exactly the pre-r11 contract)."""
     dim = _infer_dim(embeddings, vec_col)
+    auto_shortlist: int | None = None
+    if m is None:
+        emb_count = embeddings.count()
     emb_n = embeddings.withColumn(
         vec_col, normalize_expr(F.col(vec_col).cast("array<double>"))
     )
     rows = label_centroids(emb_n, label_col, vec_col, dim=dim).collect()
     ivf_labels = sorted(r["label"] for r in rows)
     full = {r["label"]: [float(x) for x in r["centroid"]] for r in rows}
+    if m is None:
+        cfg = auto_pq_config(dim, emb_count, len(ivf_labels))
+        m = cfg["m"]
+        if codes is None:
+            codes = cfg["codes"]
+        auto_shortlist = cfg["shortlist_k"]
     sub = dim // m
     if codes is None:
         labels: list = ivf_labels
@@ -807,7 +877,7 @@ def pq_train(
         labels, cent = _train_subspace_codebook(
             emb_n, m, sub, codes, train_iters, id_col, vec_col
         )
-    return {
+    out = {
         "labels": labels,
         "full": full,
         "cent": cent,
@@ -816,6 +886,11 @@ def pq_train(
         "m": m,
         "ivf_labels": ivf_labels,
     }
+    if auto_shortlist is not None:
+        # present ONLY in full-auto mode: consumers fall back to their
+        # fixed default when the dict was trained with explicit knobs
+        out["shortlist_k"] = auto_shortlist
+    return out
 
 
 def _train_subspace_codebook(
@@ -838,10 +913,21 @@ def _train_subspace_codebook(
     with the lowest first-occurrence vec_id (duplicate init centroids
     would waste codes); distances round at 6dp with lowest-code tie-break
     — the same contract as pq_encode's argmin, so assignment is
-    engine-portable. Codes that lose all members in a round are dropped
-    (the returned `labels` list is the surviving codes); callers index the
-    LUT by position into `labels`, so a shrunken codebook stays
-    consistent by construction.
+    engine-portable.
+
+    Empty-code SPLIT-RESEED (r11, VERDICT r10 #4): a code that loses all
+    members in a round is reseeded — in ascending code order, per
+    subspace — at the round's FARTHEST assigned subvectors (rows ranked
+    d2 desc, vec_id asc; duplicates of a surviving codeword or an
+    earlier seed skipped), the standard k-means repair that splits the
+    loosest region instead of silently shrinking the codebook. The rank
+    is fully pinned (6dp d2, vec_id tie-break), so training stays
+    deterministic; the happy path (no code emptied — detected from the
+    bounded m·L centroid table) runs zero extra distributed work. Codes
+    that STILL end missing from some subspace (a subspace with fewer
+    distinct subvectors than seeds needed) are dropped exactly as
+    before; callers index the LUT by position into `labels`, so a
+    shrunken codebook stays consistent by construction.
 
     Each round's m·L-row centroid table is localCheckpointed — the join
     input is a materialized bounded table, not a growing lineage — and
@@ -869,6 +955,10 @@ def _train_subspace_codebook(
             F.avg(F.element_at(F.col("msv"), j + 1)).alias(f"_m{j}")
             for j in range(sub)
         ]
+        init_pairs = {
+            (int(r["s"]), int(r["code"]))
+            for r in cents.select("s", "code").collect()
+        }
         for _ in range(iters):
             assigned = (
                 sv.join(F.broadcast(cents), "s")
@@ -890,6 +980,16 @@ def _train_subspace_codebook(
                 )
                 .localCheckpoint(eager=True)
             )
+            # split-reseed emptied codes (see docstring); the missing-set
+            # check is a bounded m·L collect, so the no-empties round
+            # costs nothing distributed
+            have = {
+                (int(r["s"]), int(r["code"]))
+                for r in cents.select("s", "code").collect()
+            }
+            missing = sorted(init_pairs - have)
+            if missing:
+                cents = _reseed_codes(assigned, cents, missing)
         rows = cents.collect()
     finally:
         sv.unpersist()
@@ -903,6 +1003,60 @@ def _train_subspace_codebook(
     labels = sorted(c for c, per_s in by_code.items() if len(per_s) == m)
     cent = {(s, c): by_code[c][s] for c in labels for s in range(m)}
     return labels, cent
+
+
+def _reseed_codes(
+    assigned: DataFrame, cents: DataFrame, missing: list[tuple]
+) -> DataFrame:
+    """The split-reseed step of _train_subspace_codebook: for each
+    (subspace, emptied code), seed a fresh codeword at the round's
+    farthest assigned subvector in that subspace — rows ranked (d2 desc,
+    vec_id asc), skipping subvectors that 6dp-equal a surviving codeword
+    or an earlier seed of this round. Bounded work: one row_number window
+    over the affected subspaces' rows with a small collected head
+    (headroom for dedup skips), plus the m·L centroid collect."""
+    from pyspark.sql import Window
+
+    need: dict = {}
+    for s, c in missing:
+        need.setdefault(s, []).append(c)
+    need = {s: sorted(cs) for s, cs in need.items()}
+    max_need = max(len(cs) for cs in need.values())
+    w = Window.partitionBy("s").orderBy(F.col("d2").desc(), F.col("vec_id"))
+    pool = (
+        assigned.filter(F.col("s").isin(sorted(need)))
+        .select(
+            "s", "vec_id", F.col("best.d2").alias("d2"), "msv"
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_need * 4 + 8)
+        .collect()
+    )
+    existing: dict = {}
+    for r in cents.collect():
+        existing.setdefault(int(r["s"]), set()).add(
+            tuple(round(float(x), 6) for x in r["c"])
+        )
+    pool_by_s: dict = {}
+    for r in sorted(pool, key=lambda r: (r["s"], r["_rk"])):
+        pool_by_s.setdefault(int(r["s"]), []).append(r)
+    rows = []
+    for s in sorted(need):
+        taken = existing.setdefault(s, set())
+        it = iter(pool_by_s.get(s, []))
+        for code in need[s]:
+            for r in it:
+                key = tuple(round(float(x), 6) for x in r["msv"])
+                if key not in taken:
+                    taken.add(key)
+                    rows.append((s, code, [float(x) for x in r["msv"]]))
+                    break
+    if not rows:
+        return cents
+    seeded = cents.sparkSession.createDataFrame(
+        rows, "s int, code int, c array<double>"
+    )
+    return cents.union(seeded).localCheckpoint(eager=True)
 
 
 def ivf_probe_labels(lit: dict, query_vec: list[float], n_probe: int) -> list:
@@ -928,8 +1082,8 @@ def ivfpq_topk(
     query_vec: list[float],
     k: int = 10,
     n_probe: int = 2,
-    m: int = PQ_SUBSPACES,
-    shortlist_k: int = 30,
+    m: int | None = None,
+    shortlist_k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -955,8 +1109,18 @@ def ivfpq_topk(
     fix (r10, VERDICT r09 #1) is ``pq_train(..., codes=256)``: a trained
     per-subspace k-means codebook restores WITHIN-cluster ADC resolution
     and shrinks shortlist_k back to O(100) — measured recall table in
-    SCALE.md; this function consumes either dict unchanged."""
+    SCALE.md; this function consumes either dict unchanged.
+
+    With NO knobs passed (r11, VERDICT r10 #2 — ``ivfpq_topk(emb, q)``),
+    pq_train runs in full-auto mode and this call inherits its derived
+    (m, codes, shortlist_k): on corpora past 10⁴ vectors that is the
+    trained-256 4-dim-subspace configuration measured ≥ 0.9 recall@10
+    across the sf1→sf10 decade, with shortlist scaled to density."""
     lit = literals if literals is not None else pq_train(embeddings, m, vec_col, label_col)
+    if m is None:
+        m = lit["m"]
+    if shortlist_k is None:
+        shortlist_k = lit.get("shortlist_k", 30)
     probes = ivf_probe_labels(lit, query_vec, n_probe)
     if codes is not None:
         return pq_adc_topk_from_codes(
@@ -986,13 +1150,6 @@ def ivfpq_topk(
     )
 
 
-def _pq_literals(embeddings, m, vec_col, label_col):
-    """Collected codebook as plan literals: (labels sorted, {(s,label): csub},
-    sub_dim). Bounded m·L rows by construction. Thin view over pq_train."""
-    lit = pq_train(embeddings, m, vec_col, label_col)
-    return lit["labels"], lit["cent"], lit["sub"]
-
-
 def _pq_code_exprs(labels, cent, m, sub):
     """Per-subspace 1-based code expressions (same argmin/round/tie-break
     and the same Σ(vᵢ−cᵢ)² arithmetic form as pq_adc_topk) over a
@@ -1015,7 +1172,7 @@ def _pq_code_exprs(labels, cent, m, sub):
 
 def pq_encode(
     embeddings: DataFrame,
-    m: int = PQ_SUBSPACES,
+    m: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -1034,11 +1191,16 @@ def pq_encode(
     codewords), argmin via min(struct) partial agg, reassemble the code
     array ordered by subspace. Same 6dp rounding and lowest-code
     tie-break on both paths (and the same left-to-right IEEE distance
-    sum), so the chosen codes are identical path-independently."""
+    sum), so the chosen codes are identical path-independently.
+
+    ``m=None`` (r11): taken from the literals dict (the codebook always
+    knows its own subspace count); without literals, pq_train runs in
+    full-auto mode."""
     if literals is None:
-        labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
-    else:
-        labels, cent, sub = literals["labels"], literals["cent"], literals["sub"]
+        literals = pq_train(embeddings, m, vec_col, label_col)
+    if m is None:
+        m = literals["m"]
+    labels, cent, sub = literals["labels"], literals["cent"], literals["sub"]
     ev = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
@@ -1100,8 +1262,8 @@ def pq_adc_topk_from_codes(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
-    m: int = PQ_SUBSPACES,
-    shortlist_k: int = 30,
+    m: int | None = None,
+    shortlist_k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -1112,11 +1274,16 @@ def pq_adc_topk_from_codes(
     (vec_id, codes) — m ints/row — plus the literal LUT; raw vectors are
     touched only for the C-row re-rank. Mirrors pq_adc_topk exactly
     (same codebook, rounding, tie-breaks). With `probe_labels` the code
-    scan prunes to the probed label partitions (IVF-PQ)."""
+    scan prunes to the probed label partitions (IVF-PQ). ``m=None`` /
+    ``shortlist_k=None`` resolve from the literals (r11; fixed default
+    30 when the dict was trained with explicit knobs)."""
     if literals is None:
-        labels, cent, sub = _pq_literals(embeddings, m, vec_col, label_col)
-    else:
-        labels, cent, sub = literals["labels"], literals["cent"], literals["sub"]
+        literals = pq_train(embeddings, m, vec_col, label_col)
+    if m is None:
+        m = literals["m"]
+    if shortlist_k is None:
+        shortlist_k = literals.get("shortlist_k", 30)
+    labels, cent, sub = literals["labels"], literals["cent"], literals["sub"]
     qn = sum(x * x for x in query_vec) ** 0.5 or 1.0
     qvec_n = [float(x) / qn for x in query_vec]
 

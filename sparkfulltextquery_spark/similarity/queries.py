@@ -341,7 +341,10 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PQ_INDEX_CACHE:
         e = load_table(spark, sf_dir, "embeddings")
-        lit = pq_train(e)
+        # m pinned: the registered DuckDB oracles replay THIS codebook
+        # (8-dim subspace slices, shortlist 30) — full-auto (r11) would
+        # retune m/codes/shortlist with corpus size out from under them
+        lit = pq_train(e, m=8)
         out = index_store_root("pq", sf_dir)
         path = f"file://{out}/codes"
         pq_encode(e, literals=lit).write.mode("overwrite").partitionBy(
