@@ -137,6 +137,8 @@ EXTRA = [
     "fulltext_query_boost_indexed",
     "fulltext_highlight_indexed",
     "fulltext_percolate_indexed",
+    # r11: skewed-key shuffle join (AQE skew-split evidence at the decades)
+    "skew_join_zipf",
 ]
 
 

