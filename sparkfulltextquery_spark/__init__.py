@@ -90,6 +90,13 @@ _PUBLIC_API = {
     "pq_adc_topk_from_codes": "sparkfulltextquery_spark.similarity",
     "ivfpq_topk": "sparkfulltextquery_spark.similarity",
     "kmeans_iterate": "sparkfulltextquery_spark.similarity",
+    "auto_pq_config": "sparkfulltextquery_spark.similarity",
+    # ANN index lifecycle (streaming ingest -> compaction -> swap, r11)
+    "init_ann_index": "sparkfulltextquery_spark.similarity.lifecycle",
+    "stream_append_vectors": "sparkfulltextquery_spark.similarity.lifecycle",
+    "ann_search_live": "sparkfulltextquery_spark.similarity.lifecycle",
+    "compact_ann_index": "sparkfulltextquery_spark.similarity.lifecycle",
+    "read_live_vectors": "sparkfulltextquery_spark.similarity.lifecycle",
     # registered query catalog (the driver/bench surface)
     "query": "sparkfulltextquery_spark.registry",
 }

@@ -1,0 +1,236 @@
+"""ANN index lifecycle (r11, VERDICT r10 #3): streaming vector ingest →
+live reads → offline compaction with centroid RETRAIN → atomic
+generation swap. The vector-side twin of the posting lifecycle in
+functions/index_stream.py, sharing its generation-pointer protocol
+(publish_generation / current_generation / gc_generations) — plus the
+one property postings don't have: retrieval QUALITY depends on
+coarse-structure freshness. Between compactions a live search probes
+with the centroids trained at the LAST compaction (the Lucene
+"new segments, old analyzer" analogue); compaction retrains centroids
+from the full live corpus and restores label-partition pruning. The
+recall story is measured in SCALE.md r11 and pinned in
+tests/test_index.py::test_ann_index_lifecycle_recall_and_swap
+(live-view recall under stale centroids; compacted == fresh-rebuild
+search parity; read-view grace across the swap).
+
+Layout under ``root``:
+  segments/            the append-only vector log (segment = batch id;
+                       the initial corpus seeds it at segment = -1)
+  gen-N/               generations: build_ann_index output (vectors
+                       partitioned by label + centroids) + _hwm parquet
+                       recording the highest segment id folded in
+  CURRENT              the generation pointer (index_stream protocol)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkfulltextquery_spark.functions.index_stream import (
+    current_generation,
+    publish_generation,
+)
+from sparkfulltextquery_spark.similarity import (
+    build_ann_index,
+    cosine_expr,
+)
+
+
+def _seg_dir(root: str) -> str:
+    return f"{root}/segments"
+
+
+def init_ann_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    root: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """Seed the lifecycle: the initial corpus becomes segment -1 of the
+    vector log, gen-1 is built from it (partitioned vectors + centroids,
+    hwm = -1), and the pointer publishes gen-1. Returns the generation
+    directory."""
+    (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col(label_col).alias("label"),
+        )
+        .withColumn("segment", F.lit(-1).cast("long"))
+        .write.mode("overwrite")
+        .parquet(_seg_dir(root))
+    )
+    return compact_ann_index(spark, root, publish=True)
+
+
+def stream_append_vectors(
+    vec_stream: DataFrame,
+    root: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+):
+    """Keep the vector log fresh as embeddings stream in: each
+    micro-batch appends as a batch-id-stamped segment — log-structured,
+    O(batch) ingest, exactly-once from checkpointed offsets + idempotent
+    batch-stamped files (the stream_update_postings discipline).
+
+    Coarse assignment at ingest (the IVF "add" semantics): by default
+    each arriving vector is assigned to the NEAREST centroid of the
+    CURRENT generation — one broadcast(k centroids) × batch job, the
+    kmeans_assign contract (6dp/lowest-cluster tie-break) — so it is
+    immediately probe-able via ann_search_live even when its true
+    neighborhood is one the index has never seen (a foreign label would
+    be invisible to probing until compaction). The pointer is re-resolved
+    PER BATCH, so a compaction mid-stream upgrades assignment of later
+    batches to the retrained centroids. Pass ``label_col`` to trust
+    upstream coarse labels instead (the given-label embeddings schema)."""
+    from sparkfulltextquery_spark.similarity import kmeans_assign
+
+    def update(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ev = batch_df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            *([F.col(label_col).alias("label")] if label_col else []),
+        )
+        if label_col is None:
+            gen = current_generation(root, spark=spark)
+            if gen is None:
+                raise ValueError(
+                    f"no published generation under {root!r} — run "
+                    "init_ann_index before streaming appends (ingest "
+                    "assignment needs centroids)"
+                )
+            cents = (
+                spark.read.parquet(f"{gen}/centroids")
+                .select(
+                    F.col("label").cast("int").alias("cluster"),
+                    F.col("centroid").alias("c"),
+                )
+            )
+            dim = len(cents.select("c").head()["c"])
+            assigned = kmeans_assign(ev, cents, dim=dim)
+            ev = ev.join(assigned, "vec_id").select(
+                "vec_id", "v", F.col("cluster").alias("label")
+            )
+        (
+            ev.withColumn("segment", F.lit(batch_id).cast("long"))
+            .write.mode("append")
+            .parquet(_seg_dir(root))
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(update)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_live_vectors(spark: SparkSession, root: str) -> DataFrame:
+    """The full live corpus — every segment of the vector log — as the
+    canonical (vec_id, v, label) relation. Compaction input; also the
+    fresh-rebuild reference the lifecycle tests compare against."""
+    return spark.read.parquet(_seg_dir(root)).select("vec_id", "v", "label")
+
+
+def _gen_hwm(spark: SparkSession, gen_dir: str) -> int:
+    return int(spark.read.parquet(f"{gen_dir}/_hwm").head()["hwm"])
+
+
+def ann_search_live(
+    spark: SparkSession,
+    root: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF top-k over the LIVE view: the published generation's vectors
+    (label-partition-pruned to the probed clusters) UNION the log
+    segments newer than the generation's high-water mark, filtered to
+    the probed labels. Probing ranks the CURRENT generation's centroids
+    — trained at the last compaction, i.e. deliberately stale for
+    post-compaction arrivals; SCALE.md r11 measures what that staleness
+    costs (on stationary data: nothing measurable) and compaction
+    retrains it away. The unfolded tail is scanned as a filter (no
+    label partitioning until folded) — the freshness/pruning trade every
+    log-structured index makes."""
+    gen = current_generation(root, spark=spark)
+    if gen is None:
+        raise ValueError(
+            f"no published generation under {root!r} — run init_ann_index "
+            "(readers need centroids to probe with)"
+        )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cents = spark.read.parquet(f"{gen}/centroids")
+    probes = [
+        r.label
+        for r in cents.select(
+            "label", cosine_expr(F.col("centroid"), q).alias("ccos")
+        )
+        .orderBy(F.col("ccos").desc(), F.col("label"))
+        .limit(n_probe)
+        .collect()
+    ]
+    hwm = _gen_hwm(spark, gen)
+    base = (
+        spark.read.parquet(f"{gen}/vectors")
+        .filter(F.col("label").isin(probes))
+        .select("vec_id", "v", "label")
+    )
+    tail = (
+        spark.read.parquet(_seg_dir(root))
+        .filter((F.col("segment") > hwm) & F.col("label").isin(probes))
+        .select("vec_id", "v", "label")
+    )
+    return (
+        base.unionByName(tail)
+        .select(
+            "vec_id", F.round(cosine_expr(F.col("v"), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def compact_ann_index(
+    spark: SparkSession, root: str, publish: bool = False
+) -> str:
+    """Fold the vector log into a fresh generation: build_ann_index over
+    ALL live vectors — which RETRAINS the centroids from the grown corpus
+    (the staleness fix) and restores label partitioning — stamped with
+    the high-water segment id it folded, written to the next gen-N
+    directory (never in place). The swap is the separate atomic step
+    (publish_generation; pass publish=True to do both), so a compaction
+    killed at any point leaves readers on the previous complete
+    generation — the index_stream crash-safety contract, inherited."""
+    import re
+
+    live = spark.read.parquet(_seg_dir(root))
+    hwm_row = live.agg(F.max("segment").alias("hwm")).head()
+    hwm = int(hwm_row["hwm"])
+    cur = current_generation(root, spark=spark)
+    n = 0
+    if cur is not None:
+        m = re.search(r"gen-(\d+)$", cur)
+        if m:
+            n = int(m.group(1))
+    gen_dir = f"{root}/gen-{n + 1}"
+    build_ann_index(
+        live.select("vec_id", "v", "label"),
+        gen_dir,
+        id_col="vec_id",
+        vec_col="v",
+        label_col="label",
+    )
+    spark.createDataFrame([(hwm,)], "hwm long").write.mode(
+        "overwrite"
+    ).parquet(f"{gen_dir}/_hwm")
+    if publish:
+        publish_generation(root, gen_dir, spark=spark)
+    return gen_dir
