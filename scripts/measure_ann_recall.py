@@ -137,6 +137,31 @@ def measure(spark, emb, corpus_name, n_queries):
                 },
             )
         codes_t.unpersist()
+
+    # r11 (VERDICT r10 #2): FULL-AUTO config — pq_train/pq_encode/
+    # ivfpq_topk with no knobs; the dict carries the derived
+    # (m, codes, shortlist_k). This row is the no-knobs contract the
+    # adaptive defaults must hold (>= 0.9 on clustered corpora).
+    lit_a = pq_train(emb)
+    codes_a = pq_encode(emb, literals=lit_a).cache()
+    codes_a.count()
+    trained = len(lit_a["labels"]) > len(lit_a["ivf_labels"])
+    report(
+        (
+            f"ivfpq(FULL-AUTO: m={lit_a['m']}, "
+            f"codes={'trained-' + str(len(lit_a['labels'])) if trained else 'label-centroid'}, "
+            f"shortlist={lit_a.get('shortlist_k')})"
+        ),
+        2,
+        {"shortlist_k": lit_a.get("shortlist_k")},
+        lambda v: {
+            r.vec_id
+            for r in ivfpq_topk(
+                emb, v, k=10, literals=lit_a, codes=codes_a
+            ).collect()
+        },
+    )
+    codes_a.unpersist()
     emb.unpersist()
     codes.unpersist()
 

@@ -199,16 +199,35 @@ def ann_search_live(
 
 
 def compact_ann_index(
-    spark: SparkSession, root: str, publish: bool = False
+    spark: SparkSession,
+    root: str,
+    publish: bool = False,
+    recluster_k: int | None = None,
+    kmeans_iters: int = 4,
 ) -> str:
     """Fold the vector log into a fresh generation: build_ann_index over
-    ALL live vectors — which RETRAINS the centroids from the grown corpus
-    (the staleness fix) and restores label partitioning — stamped with
-    the high-water segment id it folded, written to the next gen-N
-    directory (never in place). The swap is the separate atomic step
-    (publish_generation; pass publish=True to do both), so a compaction
-    killed at any point leaves readers on the previous complete
-    generation — the index_stream crash-safety contract, inherited."""
+    ALL live vectors — re-deriving centroids from the grown corpus and
+    restoring label partitioning — stamped with the high-water segment id
+    it folded, written to the next gen-N directory (never in place). The
+    swap is the separate atomic step (publish_generation; pass
+    publish=True to do both), so a compaction killed at any point leaves
+    readers on the previous complete generation — the index_stream
+    crash-safety contract, inherited.
+
+    Default compaction keeps the ingest-time assignments and recomputes
+    centroids as per-label means — exact fresh-rebuild parity with the
+    live log, and the right call on STATIONARY corpora (measured: recall
+    1.0 before and after at 10× growth). Under DISTRIBUTION SHIFT it is
+    NOT enough: vectors from unseen neighborhoods were scattered across
+    the old labels at ingest, frozen assignments keep them scattered, and
+    per-label means barely move (measured, 2k base + 18k appends from 5
+    unseen clusters: live recall@10 0.77 at n_probe=3, still 0.74 after a
+    means-only compaction). ``recluster_k`` runs Lloyd k-means over the
+    full live corpus instead (kmeans_iterate — broadcast-centroid
+    assign + O(k·dim) update shuffles per round) and assigns labels from
+    scratch, which is what actually re-carves the space (same measure:
+    1.00 at n_probe≥2 with k=15). Size it to the believed cluster count;
+    the SCALE.md r11 table carries the measured trade."""
     import re
 
     live = spark.read.parquet(_seg_dir(root))
@@ -221,8 +240,23 @@ def compact_ann_index(
         if m:
             n = int(m.group(1))
     gen_dir = f"{root}/gen-{n + 1}"
+    vecs = live.select("vec_id", "v", "label")
+    if recluster_k is not None:
+        from sparkfulltextquery_spark.similarity import kmeans_iterate
+
+        assigned = kmeans_iterate(
+            vecs,
+            k=recluster_k,
+            iters=kmeans_iters,
+            id_col="vec_id",
+            vec_col="v",
+            truncate_lineage=True,
+        )
+        vecs = vecs.drop("label").join(assigned, "vec_id").select(
+            "vec_id", "v", F.col("cluster").alias("label")
+        )
     build_ann_index(
-        live.select("vec_id", "v", "label"),
+        vecs,
         gen_dir,
         id_col="vec_id",
         vec_col="v",

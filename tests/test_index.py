@@ -1043,3 +1043,80 @@ def test_ann_index_lifecycle_recall_and_swap(spark, tmp_path):
     removed = gc_generations(root, retain=0)
     assert [p.rsplit("/", 1)[1] for p in removed] == ["gen-1"]
     full.unpersist()
+
+
+def test_ann_lifecycle_drift_reclustered_compaction(spark, tmp_path):
+    """Distribution-shift lifecycle contract (r11): appends drawn from 5
+    clusters the gen-1 structure never saw are ingest-assigned to the
+    nearest OLD centroid (scattered, but searchable); a RECLUSTERED
+    compaction (compact_ann_index recluster_k=) re-carves the space with
+    Lloyd k-means over the full live corpus and must restore recall@10
+    to >= 0.9 at n_probe=2 for drifted-cluster queries — where the
+    means-only compaction measurably cannot (SCALE.md r11: 0.58 at the
+    same operating point). Smaller than the SCALE.md measurement for CI
+    wall; same construction."""
+    import numpy as np
+
+    from sparkfulltextquery_spark.similarity import (
+        ann_search_indexed,
+        cosine_topk,
+    )
+    from sparkfulltextquery_spark.similarity.lifecycle import (
+        compact_ann_index,
+        init_ann_index,
+        stream_append_vectors,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(15, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def draw(seed, n, start, lo, hi):
+        r = np.random.default_rng(seed)
+        lab = r.integers(lo, hi, size=n)
+        v = centers[lab] + 0.2 * r.normal(size=(n, 64))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return [
+            (start + i, [float(x) for x in v[i]], int(lab[i]))
+            for i in range(n)
+        ]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    base = draw(11, 800, 0, 0, 10)           # clusters 0-9
+    appends = draw(12, 3200, 800, 10, 15)    # DRIFT: clusters 10-14
+
+    root = f"{tmp_path}/drift_root"
+    init_ann_index(spark, spark.createDataFrame(base, schema), root)
+    src = f"{tmp_path}/drift_src"
+    spark.createDataFrame(appends, schema).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_append_vectors(stream, root, f"{tmp_path}/drift_ck")
+    q.awaitTermination()
+
+    full = spark.createDataFrame(base + appends, schema).cache()
+    qs = [(vid, v) for vid, v, _l in appends if vid % 307 == 0][:8]
+    truth = {
+        qid: {r.vec_id for r in cosine_topk(full, v, k=10).collect()}
+        for qid, v in qs
+    }
+    gen2 = compact_ann_index(spark, root, publish=True, recluster_k=15)
+    rs = [
+        len(
+            {
+                r.vec_id
+                for r in ann_search_indexed(
+                    spark, gen2, v, k=10, n_probe=2
+                ).collect()
+            }
+            & truth[qid]
+        )
+        / 10.0
+        for qid, v in qs
+    ]
+    mean_r = sum(rs) / len(rs)
+    assert mean_r >= 0.9, f"reclustered drift recall {mean_r:.2f} < 0.9"
+    full.unpersist()
