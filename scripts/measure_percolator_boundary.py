@@ -249,6 +249,61 @@ def main() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
 
+    # ---- r11: STREAMING alerting against the 100k registry ------------
+    # The production question: with the persisted term index cached at
+    # stream start, what does a micro-batch cost when the registry is
+    # 100k stored queries and the batch's topics overlap only the 250
+    # live ones? (Pre-r11, every batch re-parsed the registry and
+    # re-planned the giant isin — the 180s leg above, per batch.)
+    if "stream" in sections:
+        import shutil
+        import tempfile
+
+        from sparkfulltextquery_spark.functions.percolate import (
+            stream_percolate_alerts,
+        )
+
+        big = broad_registry(100_000)
+        tbl = register_percolator_queries(spark, big, table="sftq_stream100k")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        tmp = tempfile.mkdtemp()
+        src, out, ck = f"file://{tmp}/src", f"file://{tmp}/alerts", f"file://{tmp}/ck"
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        t0 = time.perf_counter()
+        q = stream_percolate_alerts(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            tbl, out, ck,
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        n_batches = (
+            spark.read.parquet(out).select("batch_id").distinct().count()
+        )
+        alerts = spark.read.parquet(out).count()
+        print(
+            json.dumps(
+                {
+                    "mode": "100k-registry STREAMING alerting",
+                    "n_queries": len(big),
+                    "n_batches": n_batches,
+                    "total_s": round(wall, 2),
+                    "per_batch_s": round(wall / max(n_batches, 1), 2),
+                    "alerts": alerts,
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
+
 
 if __name__ == "__main__":
     main()
