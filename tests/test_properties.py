@@ -1345,6 +1345,11 @@ def test_auto_pq_config_recall_and_retention_contract(spark):
         "codes": 256,
         "shortlist_k": 100,
     }
+    # subspace width snaps to the largest divisor of dim <= target: dim 50
+    # has no 4- or 3-dim split, so 2-dim subspaces (m=25); dim 96 takes 4
+    assert auto_pq_config(50, 20_000, 10)["m"] == 25
+    assert auto_pq_config(96, 20_000, 10)["m"] == 24
+    assert auto_pq_config(96, 2_000, 10)["m"] == 12  # 8-dim below 10^4
 
     rows = _planted_cluster_corpus(n=12_000)
     emb = spark.createDataFrame(
