@@ -222,6 +222,15 @@ def _registry_atom_terms(
     return per_q_terms, expansion_cache
 
 
+#: Registry-term-union width past which the AD-HOC (unregistered)
+#: prefilter switches from one isin literal to the same broadcast-join
+#: shape as the persisted index: planning an In-list of 10^5+ string
+#: literals is minutes of Catalyst work per call (the measured 100k-leg
+#: knee), while a local-relation broadcast join is one bounded job whose
+#: collect is candidate-ids, not registry vocabulary.
+PREFILTER_ISIN_MAX_TERMS = 10_000
+
+
 def _prefilter_candidates(
     rel: DataFrame,
     queries: list[tuple[int, str]],
@@ -231,13 +240,33 @@ def _prefilter_candidates(
     batch's term set (they cannot match — see _registry_atom_terms), so
     chunk compilation and execution scale with the CANDIDATE registry
     slice, not the registry size. One bounded job: the batch's distinct
-    terms intersected with the registry vocabulary (≤ registry terms
-    rows, collected). Returns (surviving queries in original order,
+    terms intersected with the registry vocabulary (isin + collect for
+    small registries; the broadcast-join shape past
+    PREFILTER_ISIN_MAX_TERMS union terms — r11, so ad-hoc large
+    registries don't pay the In-list planning knee either; registered
+    registries get the better deal still, parsing only candidates via
+    the persisted index). Returns (surviving queries in original order,
     expansion cache for the compiler)."""
     qterms, expansion_cache = _registry_atom_terms(queries, vocab)
     union_all = sorted(set().union(*qterms.values()) if qterms else set())
     if not union_all:
         return [], expansion_cache
+    if len(union_all) > PREFILTER_ISIN_MAX_TERMS:
+        # expansion atoms are already resolved into qterms, so no
+        # NULL-term always-candidate rows are needed on this path
+        term_df = rel.sparkSession.createDataFrame(
+            [(qid, t) for qid, ts in qterms.items() for t in sorted(ts)],
+            TERM_INDEX_SCHEMA,
+        )
+        cand = {
+            int(r.query_id)
+            for r in rel.select("term")
+            .join(F.broadcast(term_df), "term")
+            .select("query_id")
+            .distinct()
+            .collect()
+        }
+        return [q for q in queries if q[0] in cand], expansion_cache
     present = {
         r[0]
         for r in rel.filter(F.col("term").isin(union_all))

@@ -483,3 +483,44 @@ def test_percolator_persisted_term_index_consistency(spark, tmp_path):
     assert via_table == direct
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
+
+
+def test_percolator_adhoc_join_prefilter_equals_isin(spark, monkeypatch):
+    """r11: past PREFILTER_ISIN_MAX_TERMS union terms, the AD-HOC
+    (unregistered) prefilter switches from the isin literal to the same
+    broadcast-join shape as the persisted index — forced here by
+    lowering the threshold to 0; results must be identical to the isin
+    path and the unfiltered baseline, expansion atoms included."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import percolate as P
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab_terms = _vocab_by_freq(toks)
+    registry = gen_registry(vocab_terms, 150)
+    registry += [(10_000 + i, f"zzqx{i} AND zzqy{i}") for i in range(200)]
+    registry.append((20_000, f"{vocab_terms[0][:4]}* OR zzqnever*"))
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    vocab = rel.select("term").distinct()
+
+    def run():
+        return {
+            (int(r.query_id), int(r.doc_id))
+            for r in P.percolate_matches(
+                rel, registry, vocab=vocab, chunk_size=100
+            ).collect()
+        }
+
+    via_isin = run()
+    monkeypatch.setattr(P, "PREFILTER_ISIN_MAX_TERMS", 0)
+    via_join = run()
+    unfiltered = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=100, prefilter=False
+        ).collect()
+    }
+    assert via_join == via_isin == unfiltered
+    assert via_join, "registry matched nothing — vocabulary drifted"
