@@ -28,6 +28,15 @@ parses the whole registry and plans a giant isin per call) to show
 where the driver-side knee sits and that the relation path stays
 proportional to candidates.
 
+r12 (VERDICT r11 #1): a 1,000,000-stored-query section (PERC_SECTIONS=1m)
+exercises the FLIPPED broadcast side — past
+PREFILTER_INDEX_BROADCAST_MAX_ROWS index rows the batch's distinct
+terms broadcast into a join streamed over the term-bucketed persisted
+index, so per-percolate cost stays proportional to batch + candidates
+while the shipped data is bounded by batch vocabulary. The stream
+section (PERC_SECTIONS=stream) also reports the r12 compile-cache
+with/without split (VERDICT r11 #5).
+
 Usage:
     python scripts/measure_percolator_boundary.py [sf_dir] [sizes...]
 Prints one JSON line per measurement; paste the table into SCALE.md.
@@ -249,6 +258,61 @@ def main() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
 
+    # ---- r12: 1M-query registry through the FLIPPED broadcast side ----
+    # (VERDICT r11 #1) the persisted index is ~2M rows here — past
+    # PREFILTER_INDEX_BROADCAST_MAX_ROWS, so the prefilter broadcasts the
+    # BATCH's distinct terms into the bucketed index instead of shipping
+    # the index. The in-memory leg is omitted (it would parse 1M queries
+    # per call — the 100k section already shows that knee); what matters
+    # is that compile+exec stay proportional to batch + candidates as
+    # the registry grows another decade.
+    if "1m" in sections:
+        from sparkfulltextquery_spark.functions.percolate import (
+            PREFILTER_INDEX_BROADCAST_MAX_ROWS,
+            _usable_term_index,
+        )
+
+        big = broad_registry(1_000_000)
+        t0 = time.perf_counter()
+        tbl = register_percolator_queries(spark, big, table="sftq_bound1m")
+        t_reg = time.perf_counter() - t0
+        ti, ti_rows = _usable_term_index(spark, tbl)
+        print(
+            json.dumps(
+                {
+                    "mode": "1m-register (one-time, writes query+term tables)",
+                    "n_queries": len(big),
+                    "register_s": round(t_reg, 2),
+                    "term_index_rows": ti_rows,
+                    "flipped_broadcast": bool(
+                        ti_rows > PREFILTER_INDEX_BROADCAST_MAX_ROWS
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        df = percolate_from_table(spark, batch_rel, table=tbl, matches=True)
+        df.schema
+        t_compile = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        rows = df.count()
+        t_exec = time.perf_counter() - t1
+        print(
+            json.dumps(
+                {
+                    "mode": "1m-broad-registry prefilter=indexed(batch-bcast)",
+                    "n_queries": len(big),
+                    "compile_s": round(t_compile, 2),
+                    "exec_s": round(t_exec, 2),
+                    "match_rows": rows,
+                }
+            ),
+            flush=True,
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
+
     # ---- r11: STREAMING alerting against the 100k registry ------------
     # The production question: with the persisted term index cached at
     # stream start, what does a micro-batch cost when the registry is
@@ -268,39 +332,62 @@ def main() -> None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        tmp = tempfile.mkdtemp()
-        src, out, ck = f"file://{tmp}/src", f"file://{tmp}/alerts", f"file://{tmp}/ck"
-        for i in range(3):
-            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-        t0 = time.perf_counter()
-        q = stream_percolate_alerts(
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src),
-            tbl, out, ck,
+        # r12 (VERDICT r11 #5): measure the stream with and without the
+        # per-stream chunk-compile memo — the candidate set is stable
+        # batch-to-batch here (same corpus vocabulary every batch), the
+        # steady-state case the cache targets
+        alerts_by_mode = {}
+        for cached in (False, True):
+            tmp = tempfile.mkdtemp()
+            src, out, ck = (
+                f"file://{tmp}/src",
+                f"file://{tmp}/alerts",
+                f"file://{tmp}/ck",
+            )
+            for i in range(3):
+                docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            t0 = time.perf_counter()
+            q = stream_percolate_alerts(
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                tbl, out, ck,
+                use_compile_cache=cached,
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            n_batches = (
+                spark.read.parquet(out).select("batch_id").distinct().count()
+            )
+            alerts = spark.read.parquet(out).count()
+            alerts_by_mode[cached] = {
+                (r.query_id, r.doc_id)
+                for r in spark.read.parquet(out)
+                .select("query_id", "doc_id")
+                .collect()
+            }
+            print(
+                json.dumps(
+                    {
+                        "mode": (
+                            "100k-registry STREAMING alerting "
+                            f"compile_cache={'on' if cached else 'off'}"
+                        ),
+                        "n_queries": len(big),
+                        "n_batches": n_batches,
+                        "total_s": round(wall, 2),
+                        "per_batch_s": round(wall / max(n_batches, 1), 2),
+                        "alerts": alerts,
+                    }
+                ),
+                flush=True,
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        assert alerts_by_mode[True] == alerts_by_mode[False], (
+            "compile cache changed the alert set"
         )
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
-        n_batches = (
-            spark.read.parquet(out).select("batch_id").distinct().count()
-        )
-        alerts = spark.read.parquet(out).count()
-        print(
-            json.dumps(
-                {
-                    "mode": "100k-registry STREAMING alerting",
-                    "n_queries": len(big),
-                    "n_batches": n_batches,
-                    "total_s": round(wall, 2),
-                    "per_batch_s": round(wall / max(n_batches, 1), 2),
-                    "alerts": alerts,
-                }
-            ),
-            flush=True,
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
 

@@ -335,6 +335,15 @@ def gc_generations(
     scanning the previous generation — the same reason publish never
     deletes what it replaces). Everything older is removed.
 
+    The grace window is counted in SWAPS, not time (r12, VERDICT r11
+    #7): retain=1 protects a reader across ONE publish — a reader that
+    resolved gen-N and then slept through TWO compaction+publish cycles
+    can lose its directory to the next GC. Size ``retain`` to the number
+    of publishes that can occur within the longest read you must
+    protect (retain=2 covers the two-swap window; the default), or run
+    GC on a cadence slower than publish× retain. Pinned in
+    tests/test_index.py::test_gc_two_swap_window_contract.
+
     Crash-safe by construction: deletion happens only AFTER pointer
     resolution, and only of directories CURRENT does not name — a GC
     killed mid-delete leaves some extra directories, never a dangling

@@ -284,6 +284,35 @@ def _prefilter_candidates(
 #: of each percolated batch, so they cannot be pinned at registration.
 TERM_INDEX_SCHEMA = "query_id int, term string"
 
+#: Bucket count for the PERSISTED query-term index (r12, VERDICT r11 #1 —
+#: the build_index posting-bucketing discipline applied to the registry
+#: side): bucketing by term keeps a future shuffle join term-co-located
+#: and the per-term row groups tight; 16 buckets sizes a multi-million-row
+#: index (1M stored queries ≈ 2-3M rows) at ~10⁵ rows/bucket.
+TERM_INDEX_BUCKETS = 16
+
+#: Term-index row count past which _prefilter_candidates_indexed FLIPS the
+#: broadcast side (r12, VERDICT r11 #1): below it the whole (bounded) term
+#: index broadcasts into the batch scan — one hash join, no batch-side
+#: shuffle — the shape MEASURED fine through the ~2·10⁵-row 100k-query
+#: regime (SCALE.md r11); above it broadcasting the index is the knee (a
+#: 1M-query registry is millions of rows shipped to every task, per
+#: percolate), so the BATCH's distinct terms broadcast instead — bounded
+#: by the batch vocabulary, independent of registry size — and the
+#: (term-bucketed) index side streams.
+PREFILTER_INDEX_BROADCAST_MAX_ROWS = 500_000
+
+#: Registration stamp column (r12, ADVICE r11): registry + term index are
+#: two tables written non-atomically; a shared fresh-per-write stamp lets
+#: readers detect a crash between the writes (stamp mismatch → fall back
+#: to the in-memory prefilter) instead of prefiltering off a stale index
+#: and silently missing alerts.
+REG_STAMP_COL = "reg_stamp"
+
+TERM_INDEX_STAMPED_SCHEMA = (
+    f"query_id int, term string, {REG_STAMP_COL} string"
+)
+
 
 def term_index_rows(
     queries: list[tuple[int, str]]
@@ -359,22 +388,41 @@ def _prefilter_candidates_indexed(
     queries: list[tuple[int, str]],
     vocab: DataFrame | None,
     term_index: DataFrame,
+    term_index_rows: int | None = None,
 ) -> tuple[list[tuple[int, str]], dict]:
     """Shuffle-parallel prefilter against a query-term-index RELATION
     (r11, VERDICT r10 #1): candidate query ids come from ONE broadcast
-    hash join of the (bounded) term index against the batch's posting
-    terms — no driver-side per-query term sets, no giant isin literal,
-    and crucially the driver parses ONLY the candidate slice (the
-    in-memory prefilter parses the whole registry per call, the knee at
-    100k+ stored queries). NULL-term rows (positive expansion atoms) are
-    unconditional candidates. The collect is bounded by the number of
-    DISTINCT candidate ids ≤ registry size, typically the small matching
-    slice. Returns (surviving queries in original order, expansion cache
-    for the chunk compiles — resolved once over the survivors)."""
-    nn = term_index.filter(F.col("term").isNotNull())
-    hit = rel.select("term").join(
-        F.broadcast(nn.select("term", "query_id")), "term"
-    ).select("query_id")
+    hash join of the term index against the batch's posting terms — no
+    driver-side per-query term sets, no giant isin literal, and crucially
+    the driver parses ONLY the candidate slice (the in-memory prefilter
+    parses the whole registry per call, the knee at 100k+ stored
+    queries). NULL-term rows (positive expansion atoms) are unconditional
+    candidates. The collect is bounded by the number of DISTINCT
+    candidate ids ≤ registry size, typically the small matching slice.
+    Returns (surviving queries in original order, expansion cache for the
+    chunk compiles — resolved once over the survivors).
+
+    Build-side auto-select (r12, VERDICT r11 #1): up to
+    PREFILTER_INDEX_BROADCAST_MAX_ROWS index rows the index is the
+    broadcast side (one hash join streamed over the batch); past it —
+    the 1M-stored-query regime — the BATCH's distinct terms broadcast
+    into a join streamed over the (term-bucketed) persisted index, so
+    the shipped side is bounded by batch vocabulary, not registry size.
+    ``term_index_rows`` lets long-lived callers (streams, table readers)
+    pin the count once instead of paying a count job per percolate."""
+    nn = term_index.filter(F.col("term").isNotNull()).select(
+        "term", "query_id"
+    )
+    if term_index_rows is None:
+        term_index_rows = term_index.count()
+    if term_index_rows > PREFILTER_INDEX_BROADCAST_MAX_ROWS:
+        hit = nn.join(
+            F.broadcast(rel.select("term").distinct()), "term"
+        ).select("query_id")
+    else:
+        hit = rel.select("term").join(F.broadcast(nn), "term").select(
+            "query_id"
+        )
     always = term_index.filter(F.col("term").isNull()).select("query_id")
     cand = {int(r.query_id) for r in hit.union(always).distinct().collect()}
     survivors = [q for q in queries if q[0] in cand]
@@ -392,6 +440,56 @@ def _chunks(queries, chunk_size: int):
     ]
 
 
+def _cached_chunk(
+    compile_cache: dict | None,
+    queries: list[tuple[int, str]],
+    vocab: DataFrame | None,
+    extra_aggs: tuple,
+    expansion_cache: dict | None,
+    key_extra: tuple = (),
+) -> _CompiledChunk:
+    """Memoized chunk compile (r12, VERDICT r11 #5): the bundle is keyed
+    by the chunk's exact (qid, query) tuple, so a hit is definitionally
+    the same registry slice — and the bundle's Columns are unbound, so it
+    re-applies to every batch's posting relation. Bundles with expansion
+    atoms resolve against each batch's vocabulary and are never cached
+    (``vocab_dependent``); ``extra_aggs`` callers (the scored form) pin
+    their literals at registration and fold a literal signature into the
+    key via ``key_extra``, so their bundles cache safely too."""
+    key = (tuple(queries), key_extra)
+    if compile_cache is not None:
+        hit = compile_cache.get(key)
+        if hit is not None:
+            return hit
+    bundle = _compile_chunk(queries, vocab, extra_aggs, expansion_cache)
+    if compile_cache is not None and not bundle.vocab_dependent:
+        compile_cache[key] = bundle
+    return bundle
+
+
+class _CompiledChunk:
+    """A chunk's compiled flag-expression bundle (r12, VERDICT r11 #5):
+    the pruning term union, the per-doc aggregation columns, and the
+    per-query match columns — all UNBOUND Column expressions (built from
+    F.col over the canonical (doc_id, term, positions[, tf, dl]) posting
+    schema), so the same bundle applies to every micro-batch's relation.
+    ``vocab_dependent`` marks bundles containing expansion atoms, whose
+    isin lists resolve against EACH batch's vocabulary — those must never
+    be reused across batches."""
+
+    __slots__ = ("union", "aggs", "match_of", "vocab_dependent")
+
+    def __init__(self, union, aggs, match_of, vocab_dependent):
+        self.union = union
+        self.aggs = aggs
+        self.match_of = match_of
+        self.vocab_dependent = vocab_dependent
+
+    def per_doc(self, rel: DataFrame) -> DataFrame:
+        pruned = rel.filter(F.col("term").isin(self.union))
+        return pruned.groupBy("doc_id").agg(*self.aggs)
+
+
 def _percolate_compile(
     rel: DataFrame,
     queries: list[tuple[int, str]],
@@ -399,15 +497,26 @@ def _percolate_compile(
     extra_aggs: tuple = (),
     expansion_cache: dict | None = None,
 ):
+    b = _compile_chunk(queries, vocab, extra_aggs, expansion_cache)
+    return b.per_doc(rel), b.match_of
+
+
+def _compile_chunk(
+    queries: list[tuple[int, str]],
+    vocab: DataFrame | None = None,
+    extra_aggs: tuple = (),
+    expansion_cache: dict | None = None,
+) -> _CompiledChunk:
     """Boolean-query percolation core (r8, VERDICT r07 #3): compile a
     registry of stored ARBITRARY boolean queries (AND/OR/NOT + term +
     phrase atoms, the querylang grammar) against ONE shared scan of a
     positional posting relation — per-query match expressions fold as
-    columns into a single doc_id aggregation. Returns ``(per_doc,
-    {query_id: match Column})``; the summary (_percolate_bool) and
-    alerting (percolate_matches) forms build on it. No join, no
-    per-query corpus scan; the same flag machinery as search_indexed but
-    with N stored queries sharing the flag/slot columns.
+    columns into a single doc_id aggregation. Returns a ``_CompiledChunk``
+    (pruning union + agg columns + per-query match Columns, all unbound);
+    the summary (_percolate_bool) and alerting (percolate_matches) forms
+    build on it. No join, no per-query corpus scan; the same flag
+    machinery as search_indexed but with N stored queries sharing the
+    flag/slot columns.
 
     Contract: every stored query must have at least one positive atom
     (``_eval_empty`` false) — a query satisfiable by the EMPTY document
@@ -506,8 +615,6 @@ def _percolate_compile(
     eflag = {k: f"_e{i}" for i, k in enumerate(sorted(exp_keys))}
     slot = {t: f"_s{i}" for i, t in enumerate(ptok_union)}
 
-    pruned = rel.filter(F.col("term").isin(union))
-
     def _exp_isin(k):
         ts = expansion.get(k, [])
         return F.col("term").isin(ts) if ts else F.lit(False)
@@ -525,7 +632,6 @@ def _percolate_compile(
         for t, c in slot.items()
     ]
     aggs += list(extra_aggs)
-    per_doc = pruned.groupBy("doc_id").agg(*aggs)
 
     def phrase_col(p):
         toks = phrase_toks[p]
@@ -564,7 +670,12 @@ def _percolate_compile(
             out = out | as_col(c)
         return out
 
-    return per_doc, {qid: as_col(ast) for qid, ast in asts.items()}
+    return _CompiledChunk(
+        union,
+        aggs,
+        {qid: as_col(ast) for qid, ast in asts.items()},
+        vocab_dependent=bool(exp_keys),
+    )
 
 
 def _percolate_bool(
@@ -574,6 +685,8 @@ def _percolate_bool(
     chunk_size: int | None = None,
     prefilter: bool = True,
     term_index: DataFrame | None = None,
+    term_index_rows: int | None = None,
+    compile_cache: dict | None = None,
     _expansion_cache: dict | None = None,
 ) -> DataFrame:
     """Summary form of boolean percolation: every stored query's
@@ -591,7 +704,13 @@ def _percolate_bool(
     execution scale with the CANDIDATE slice of the registry.
     ``term_index`` (r11) routes the prefilter through a persisted
     query-term-index relation instead (broadcast join, candidates-only
-    parse — see _prefilter_candidates_indexed)."""
+    parse — see _prefilter_candidates_indexed, including the r12
+    build-side auto-select ``term_index_rows`` pins). ``compile_cache``
+    (r12, VERDICT r11 #5) memoizes each chunk's compiled flag bundle by
+    its (qid, query) tuple — streaming callers pass one dict for the
+    stream's lifetime so a stable candidate set compiles once, not per
+    micro-batch; vocab-dependent bundles (expansion atoms) are never
+    cached."""
     cs = chunk_size or MAX_COMPILE_QUERIES
     if len(queries) > cs:
         _check_distinct_ids(queries)
@@ -599,7 +718,7 @@ def _percolate_bool(
         if prefilter:
             if term_index is not None:
                 queries, cache = _prefilter_candidates_indexed(
-                    rel, queries, vocab, term_index
+                    rel, queries, vocab, term_index, term_index_rows
                 )
             else:
                 queries, cache = _prefilter_candidates(rel, queries, vocab)
@@ -611,13 +730,15 @@ def _percolate_bool(
         out = None
         for part in _chunks(queries, cs):
             p = _percolate_bool(
-                rel, part, vocab, prefilter=False, _expansion_cache=cache
+                rel, part, vocab, prefilter=False,
+                compile_cache=compile_cache, _expansion_cache=cache,
             )
             out = p if out is None else out.unionByName(p)
         return out.orderBy("query_id")
-    per_doc, match_of = _percolate_compile(
-        rel, queries, vocab, expansion_cache=_expansion_cache
+    bundle = _cached_chunk(
+        compile_cache, queries, vocab, (), _expansion_cache
     )
+    per_doc, match_of = bundle.per_doc(rel), bundle.match_of
     outs = []
     for qid, m in match_of.items():
         outs.append(F.sum(F.when(m, 1).otherwise(0)).alias(f"_n{qid}"))
@@ -667,6 +788,8 @@ def percolate_matches(
     chunk_size: int | None = None,
     prefilter: bool = True,
     term_index: DataFrame | None = None,
+    term_index_rows: int | None = None,
+    compile_cache: dict | None = None,
     _expansion_cache: dict | None = None,
 ) -> DataFrame:
     """Alerting form of boolean percolation (r8): the full (query_id,
@@ -693,7 +816,15 @@ def percolate_matches(
     ``term_index`` (r11, VERDICT r10 #1) routes the prefilter through a
     persisted (query_id, term) relation via ONE broadcast join — no
     driver-side term sets, no isin literal, candidates-only parse — the
-    shape that survives 100k+ stored-query registries."""
+    shape that survives 100k+ stored-query registries (past
+    PREFILTER_INDEX_BROADCAST_MAX_ROWS index rows the BATCH's distinct
+    terms become the broadcast side — r12, VERDICT r11 #1 — so 1M+
+    registries ship batch-vocab-bounded data, with ``term_index_rows``
+    letting long-lived callers pin the count once). ``compile_cache``
+    (r12, VERDICT r11 #5): one dict per stream memoizes each chunk's
+    compiled flag bundle, so a batch-to-batch-stable candidate set
+    compiles once; expansion-atom bundles are vocab-dependent and never
+    cached."""
     cs = chunk_size or MAX_COMPILE_QUERIES
     if len(queries) > cs:
         _check_distinct_ids(queries)
@@ -701,7 +832,7 @@ def percolate_matches(
         if prefilter:
             if term_index is not None:
                 queries, cache = _prefilter_candidates_indexed(
-                    rel, queries, vocab, term_index
+                    rel, queries, vocab, term_index, term_index_rows
                 )
             else:
                 queries, cache = _prefilter_candidates(rel, queries, vocab)
@@ -712,13 +843,15 @@ def percolate_matches(
         out = None
         for part in _chunks(queries, cs):
             p = percolate_matches(
-                rel, part, vocab, prefilter=False, _expansion_cache=cache
+                rel, part, vocab, prefilter=False,
+                compile_cache=compile_cache, _expansion_cache=cache,
             )
             out = p if out is None else out.unionByName(p)
         return out
-    per_doc, match_of = _percolate_compile(
-        rel, queries, vocab, expansion_cache=_expansion_cache
+    bundle = _cached_chunk(
+        compile_cache, queries, vocab, (), _expansion_cache
     )
+    per_doc, match_of = bundle.per_doc(rel), bundle.match_of
     cols = [
         F.when(m, F.lit(qid)).alias(f"_q{qid}") for qid, m in match_of.items()
     ]
@@ -758,12 +891,22 @@ def register_percolator_queries(
     ES loading stored queries into the percolator's memory index.
 
     r11 (VERDICT r10 #1): registration ALSO persists the query-term
-    index as a sibling ``{table}_terms`` relation (TERM_INDEX_SCHEMA) —
-    the rows _prefilter_candidates_indexed broadcast-joins against the
-    batch's terms, so percolate-time cost is proportional to the
-    CANDIDATE slice and the driver parses only candidates; the whole
-    registry is parsed exactly once, here, at write time."""
+    index as a sibling ``{table}_terms`` relation (TERM_INDEX_SCHEMA,
+    bucketed by term — r12) — the rows _prefilter_candidates_indexed
+    joins against the batch's terms, so percolate-time cost is
+    proportional to the CANDIDATE slice and the driver parses only
+    candidates; the whole registry is parsed exactly once, here, at
+    write time.
+
+    Crash-consistency contract (r12, ADVICE r11): the two tables are NOT
+    one atomic write, so both carry a shared ``reg_stamp`` column written
+    fresh per registration; the TERM INDEX is written FIRST, then the
+    registry — a crash between the writes leaves the old registry paired
+    with a new-stamped index, which readers detect (stamp mismatch) and
+    fall back to the in-memory prefilter instead of silently missing
+    alerts off a stale index. See _usable_term_index."""
     import re
+    import uuid
 
     # the name is interpolated into SQL and into the managed-location
     # path below (ADVICE r08): restrict it to a bare safe identifier —
@@ -775,16 +918,25 @@ def register_percolator_queries(
             "unqualified identifier ([A-Za-z_][A-Za-z0-9_]*) — "
             "database-qualified or quoted names are not supported"
         )
-    _validate_registry(spark, queries, vocab)
-    _overwrite_managed_table(
-        spark,
-        table,
-        spark.createDataFrame(queries, "query_id int, query string"),
-    )
+    rows = _validate_registry(spark, queries, vocab)
+    stamp = uuid.uuid4().hex
     _overwrite_managed_table(
         spark,
         f"{table}_terms",
-        spark.createDataFrame(term_index_rows(queries), TERM_INDEX_SCHEMA),
+        spark.createDataFrame(
+            [(qid, t, stamp) for qid, t in rows],
+            TERM_INDEX_STAMPED_SCHEMA,
+        ),
+        buckets=TERM_INDEX_BUCKETS,
+        bucket_col="term",
+    )
+    _overwrite_managed_table(
+        spark,
+        table,
+        spark.createDataFrame(
+            [(qid, q, stamp) for qid, q in queries],
+            f"query_id int, query string, {REG_STAMP_COL} string",
+        ),
     )
     return table
 
@@ -793,7 +945,7 @@ def _validate_registry(
     spark: SparkSession,
     queries: list[tuple[int, str]],
     vocab: DataFrame | None,
-) -> None:
+) -> list[tuple[int, str | None]]:
     """Write-time registry validation at LINEAR cost (r11): the former
     discipline compiled the whole registry as one empty-relation
     _percolate_compile call, whose per-query flag columns make Catalyst
@@ -803,13 +955,16 @@ def _validate_registry(
     parse + distinct ids + no pure negation + supported atom kinds via
     term_index_rows, expansion atoms rejected without a vocab, and — when
     a vocab is supplied — every expansion atom resolved in ONE bounded
-    pass under the fail-loud max_expansions cap."""
+    pass under the fail-loud max_expansions cap. Returns the term-index
+    rows the validation pass built, so registration never parses the
+    registry twice (r12 — at 1M stored queries the second parse was the
+    larger half of the registration wall)."""
     from sparkfulltextquery_spark.functions import querylang as QL
     from sparkfulltextquery_spark.functions.index_expand import (
         resolve_expansions_over,
     )
 
-    term_index_rows(queries)
+    rows = term_index_rows(queries)
     keys: dict = {}
 
     def walk(n):
@@ -835,14 +990,23 @@ def _validate_registry(
             vocab.select("term"),
             [(k, _exp_pred(k)) for k in sorted(keys)],
         )
+    return rows
 
 
-def _overwrite_managed_table(spark: SparkSession, name: str, df: DataFrame):
+def _overwrite_managed_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    buckets: int | None = None,
+    bucket_col: str | None = None,
+):
     """Overwrite a managed registry table, also adopting a location
     ORPHANED by another session/process (catalog metadata is per-session
     in-memory here, the warehouse directory is not) — saveAsTable refuses
     an existing unowned directory (LOCATION_ALREADY_EXISTS), so drop +
-    delete the leftover through the Hadoop FS API (portable to HDFS/S3A)."""
+    delete the leftover through the Hadoop FS API (portable to HDFS/S3A).
+    ``buckets`` writes the table bucketed+sorted by ``bucket_col`` (the
+    build_index posting discipline — r12, for the term index)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     jvm = spark.sparkContext._jvm
     wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -850,7 +1014,10 @@ def _overwrite_managed_table(spark: SparkSession, name: str, df: DataFrame):
     fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if fs.exists(loc):
         fs.delete(loc, True)
-    df.write.mode("overwrite").saveAsTable(name)
+    w = df.write.mode("overwrite")
+    if buckets is not None:
+        w = w.bucketBy(buckets, bucket_col).sortBy(bucket_col)
+    w.saveAsTable(name)
 
 
 def add_percolator_queries(
@@ -869,37 +1036,74 @@ def add_percolator_queries(
     sibling ``{table}_terms`` index gets the new batch's rows appended in
     the same call, so the prefilter relation stays consistent (r11; a
     legacy registry without a term index gets one built from the full
-    post-add registry)."""
-    _validate_registry(spark, queries, vocab)
-    existing = {int(r.query_id) for r in spark.table(table).select("query_id").collect()}
+    post-add registry).
+
+    r12 (ADVICE r11): the TERM-INDEX rows append FIRST, carrying the
+    registry's current ``reg_stamp`` — a crash between the appends
+    leaves extra term rows under a matching stamp, which is harmless
+    (candidate ids are intersected with the registry), never a query
+    present in the registry but missing from the index (the silent-miss
+    direction)."""
+    new_terms = _validate_registry(spark, queries, vocab)
+    main = spark.table(table)
+    existing = {int(r.query_id) for r in main.select("query_id").collect()}
     clash = sorted(existing & {qid for qid, _q in queries})
     if clash:
         raise ValueError(
             f"query_id(s) {clash} already registered in {table} — remove "
             "first or use distinct ids"
         )
-    (
-        spark.createDataFrame(queries, "query_id int, query string")
-        .write.mode("append")
-        .saveAsTable(table)
-    )
+    stamped = REG_STAMP_COL in main.columns
+    stamp = None
+    if stamped:
+        head = main.select(REG_STAMP_COL).head()
+        stamp = head[0] if head is not None else None
     terms_tbl = f"{table}_terms"
     if spark.catalog.tableExists(terms_tbl):
-        (
-            spark.createDataFrame(term_index_rows(queries), TERM_INDEX_SCHEMA)
-            .write.mode("append")
-            .saveAsTable(terms_tbl)
-        )
+        if REG_STAMP_COL in spark.table(terms_tbl).columns:
+            # stamped tables are bucketed (written together since r12);
+            # appends must declare the same bucket spec
+            (
+                spark.createDataFrame(
+                    [(qid, t, stamp) for qid, t in new_terms],
+                    TERM_INDEX_STAMPED_SCHEMA,
+                )
+                .write.mode("append")
+                .bucketBy(TERM_INDEX_BUCKETS, "term")
+                .sortBy("term")
+                .saveAsTable(terms_tbl)
+            )
+        else:
+            (
+                spark.createDataFrame(new_terms, TERM_INDEX_SCHEMA)
+                .write.mode("append")
+                .saveAsTable(terms_tbl)
+            )
     else:
         full = [
             (int(r.query_id), r.query)
-            for r in spark.table(table).orderBy("query_id").collect()
-        ]
+            for r in main.orderBy("query_id").collect()
+        ] + list(queries)
+        rows = term_index_rows(full)
+        if stamped:
+            tdf = spark.createDataFrame(
+                [(qid, t, stamp) for qid, t in rows],
+                TERM_INDEX_STAMPED_SCHEMA,
+            )
+        else:
+            tdf = spark.createDataFrame(rows, TERM_INDEX_SCHEMA)
         _overwrite_managed_table(
-            spark,
-            terms_tbl,
-            spark.createDataFrame(term_index_rows(full), TERM_INDEX_SCHEMA),
+            spark, terms_tbl, tdf,
+            buckets=TERM_INDEX_BUCKETS, bucket_col="term",
         )
+    if stamped:
+        mdf = spark.createDataFrame(
+            [(qid, q, stamp) for qid, q in queries],
+            f"query_id int, query string, {REG_STAMP_COL} string",
+        )
+    else:
+        mdf = spark.createDataFrame(queries, "query_id int, query string")
+    mdf.write.mode("append").saveAsTable(table)
     return table
 
 
@@ -913,6 +1117,8 @@ def remove_percolator_queries(
     the surviving rows rather than tombstones; an id that is not
     registered raises (a no-op delete usually means an alerting
     misconfiguration). Returns the number removed."""
+    import uuid
+
     rows = [
         (int(r.query_id), r.query)
         for r in spark.table(table).orderBy("query_id").collect()
@@ -922,21 +1128,72 @@ def remove_percolator_queries(
     if missing:
         raise ValueError(f"query_id(s) {missing} not registered in {table}")
     keep = [(qid, q) for qid, q in rows if qid not in set(ids)]
+    # rewrite order (r12, ADVICE r11): REGISTRY first under a FRESH stamp
+    # — a crash before the term-index rewrite leaves mismatched stamps,
+    # so readers fall back to the in-memory prefilter instead of serving
+    # removed-id candidates off the stale index (harmless either way,
+    # but the stamp keeps the pair's consistency observable); both
+    # tables upgrade to the stamped schema on rewrite
+    stamp = uuid.uuid4().hex
     (
-        spark.createDataFrame(keep, "query_id int, query string")
+        spark.createDataFrame(
+            [(qid, q, stamp) for qid, q in keep],
+            f"query_id int, query string, {REG_STAMP_COL} string",
+        )
         .write.mode("overwrite")
         .saveAsTable(table)
     )
-    if spark.catalog.tableExists(f"{table}_terms"):
-        # the prefilter index rewrites with the survivors — stale rows
-        # for removed ids would only cost spurious candidates, but a
-        # consistent index is the contract (r11)
-        _overwrite_managed_table(
-            spark,
-            f"{table}_terms",
-            spark.createDataFrame(term_index_rows(keep), TERM_INDEX_SCHEMA),
-        )
+    _overwrite_managed_table(
+        spark,
+        f"{table}_terms",
+        spark.createDataFrame(
+            [(qid, t, stamp) for qid, t in term_index_rows(keep)],
+            TERM_INDEX_STAMPED_SCHEMA,
+        ),
+        buckets=TERM_INDEX_BUCKETS,
+        bucket_col="term",
+    )
     return len(rows) - len(keep)
+
+
+def _usable_term_index(
+    spark: SparkSession, table: str
+) -> tuple[DataFrame | None, int | None]:
+    """Read-time consistency guard for the persisted query-term index
+    (r12, ADVICE r11): the registry and its ``{table}_terms`` sibling are
+    written non-atomically, so before trusting the index for
+    prefiltering, verify the pair is consistent — stamped pairs compare
+    their shared ``reg_stamp`` (one head() row per table; adds append
+    under the same stamp, register/remove rewrite fresh); legacy
+    unstamped pairs verify the index's id set COVERS the registry (one
+    bounded anti-join count — extra index rows are harmless, a registry
+    id missing from the index would be a silently-never-candidate query,
+    the exact miss class this guards against). On any mismatch returns
+    (None, None) and callers fall back to the in-memory prefilter.
+    Otherwise returns the (query_id, term) relation and its row count —
+    the count feeds the prefilter's broadcast-side auto-select without a
+    per-percolate count job."""
+    terms_tbl = f"{table}_terms"
+    if not spark.catalog.tableExists(terms_tbl):
+        return None, None
+    main = spark.table(table)
+    ti = spark.table(terms_tbl)
+    if REG_STAMP_COL in main.columns and REG_STAMP_COL in ti.columns:
+        mh = main.select(REG_STAMP_COL).head()
+        th = ti.select(REG_STAMP_COL).head()
+        if (mh[0] if mh else None) != (th[0] if th else None):
+            return None, None
+    else:
+        n_missing = (
+            main.select("query_id")
+            .distinct()
+            .join(ti.select("query_id").distinct(), "query_id", "left_anti")
+            .count()
+        )
+        if n_missing:
+            return None, None
+    sel = ti.select("query_id", "term")
+    return sel, sel.count()
 
 
 def percolate_from_table(
@@ -951,18 +1208,86 @@ def percolate_from_table(
     the (query_id, doc_id) alerting table with ``matches=True``. When the
     registry was written with its ``{table}_terms`` query-term index
     (r11), the chunked path prefilters through it — one broadcast join,
-    candidates-only parse — instead of building driver-side term sets."""
+    candidates-only parse — instead of building driver-side term sets;
+    the index is trusted only after the _usable_term_index consistency
+    guard (r12, ADVICE r11), and its pinned row count drives the
+    prefilter's broadcast-side auto-select."""
     stored = [
         (int(r.query_id), r.query)
         for r in spark.table(table).orderBy("query_id").collect()
     ]
-    term_index = (
-        spark.table(f"{table}_terms")
-        if spark.catalog.tableExists(f"{table}_terms")
-        else None
-    )
+    term_index, ti_rows = _usable_term_index(spark, table)
     fn = percolate_matches if matches else _percolate_bool
-    return fn(rel, stored, vocab=vocab, term_index=term_index)
+    return fn(
+        rel, stored, vocab=vocab,
+        term_index=term_index, term_index_rows=ti_rows,
+    )
+
+
+from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
+
+
+class _UnpersistOnStop(StreamingQueryListener):
+    """StreamingQueryListener that unpersists a cached DataFrame when its
+    stream terminates (r12, ADVICE r11): the term index cached at stream
+    start would otherwise hold executor storage for the session's
+    lifetime across repeated stream starts. Bound to the query's runId
+    AFTER start() (the id isn't known earlier); termination events seen
+    before bind are buffered so an availableNow stream that finishes
+    first still cleans up."""
+
+    def __init__(self, spark: SparkSession, df: DataFrame):
+        self._spark = spark
+        self._df = df
+        self._run_id: str | None = None
+        self._seen: set[str] = set()
+        self._done = False
+
+    def bind(self, run_id) -> None:
+        self._run_id = str(run_id)
+        if self._run_id in self._seen:
+            self._finish()
+
+    def _finish(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        try:
+            self._df.unpersist()
+        finally:
+            try:
+                self._spark.streams.removeListener(self)
+            except Exception:
+                pass  # listener already removed / session torn down
+
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        pass
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        rid = str(event.runId)
+        if self._run_id is None:
+            self._seen.add(rid)
+        elif rid == self._run_id:
+            self._finish()
+
+
+def _attach_unpersist(spark: SparkSession, df: DataFrame, query):
+    """Register an _UnpersistOnStop for ``query`` (best-effort: a
+    listener registry error must not take the alerting stream down —
+    the fallback is the pre-r12 behavior, cache lives until session
+    end)."""
+    try:
+        lst = _UnpersistOnStop(spark, df)
+        spark.streams.addListener(lst)
+        lst.bind(query.runId)
+    except Exception:
+        pass
 
 
 def stream_percolate_alerts(
@@ -972,6 +1297,7 @@ def stream_percolate_alerts(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_compile_cache: bool = True,
 ):
     """The production alerting loop in one call (r9): documents stream
     in; every micro-batch is percolated against the PERSISTED registry
@@ -989,10 +1315,21 @@ def stream_percolate_alerts(
 
     r11 (ADVICE r10): the query-term index is materialized ONCE at
     stream start (from the persisted ``{table}_terms`` relation when the
-    registry was written with one, else built here) and CACHED, so every
-    micro-batch prefilters via one broadcast join against it — the
+    registry was written with one AND the _usable_term_index consistency
+    guard passes — r12, ADVICE r11 — else built here) and CACHED, so
+    every micro-batch prefilters via one broadcast join against it — the
     registry is no longer re-parsed, and no isin literal is re-planned,
-    per batch."""
+    per batch. The index row count is pinned once for the prefilter's
+    broadcast-side auto-select, and the cache is unpersisted when the
+    stream terminates (_UnpersistOnStop).
+
+    r12 (VERDICT r11 #5): each chunk's compiled flag bundle is memoized
+    for the stream's lifetime (``compile_cache``) — the candidate set is
+    usually stable batch-to-batch, so steady-state batches skip the
+    per-chunk Python/Catalyst compile entirely; a batch whose candidates
+    differ misses the cache and compiles exactly its new chunks.
+    ``use_compile_cache=False`` disables the memo — the measurement/
+    debug knob behind SCALE.md r12's with/without table."""
     from sparkfulltextquery_spark.functions.fulltext import positional_postings
 
     spark = doc_stream.sparkSession
@@ -1006,12 +1343,16 @@ def stream_percolate_alerts(
             "queries before starting the alerting stream"
         )
     _check_distinct_ids(stored)
-    if spark.catalog.tableExists(f"{table}_terms"):
-        term_index = spark.table(f"{table}_terms").cache()
-    else:
-        term_index = spark.createDataFrame(
+    ti, ti_rows = _usable_term_index(spark, table)
+    if ti is None:
+        ti = spark.createDataFrame(
             term_index_rows(stored), TERM_INDEX_SCHEMA
-        ).cache()
+        )
+        ti_rows = None
+    term_index = ti.cache()
+    if ti_rows is None:
+        ti_rows = term_index.count()
+    compile_cache: dict | None = {} if use_compile_cache else None
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         rel = positional_postings(batch_df, id_col, text_col).select(
@@ -1019,18 +1360,24 @@ def stream_percolate_alerts(
         )
         vocab = rel.select("term").distinct()
         (
-            percolate_matches(rel, stored, vocab=vocab, term_index=term_index)
+            percolate_matches(
+                rel, stored, vocab=vocab,
+                term_index=term_index, term_index_rows=ti_rows,
+                compile_cache=compile_cache,
+            )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .parquet(f"{out_dir}/batch={batch_id}")
         )
 
-    return (
+    q = (
         doc_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    _attach_unpersist(spark, term_index, q)
+    return q
 
 
 # stored percolator queries: arbitrary boolean (AND/OR/NOT + phrase)
@@ -1312,6 +1659,8 @@ def percolate_scored(
     chunk_size: int | None = None,
     prefilter: bool = True,
     term_index: DataFrame | None = None,
+    term_index_rows: int | None = None,
+    compile_cache: dict | None = None,
     _expansion_cache: dict | None = None,
 ) -> DataFrame:
     """Ranked percolation (the Elasticsearch percolate-with-scoring
@@ -1343,7 +1692,7 @@ def percolate_scored(
             # in their (per-query, independent) top-k either
             if term_index is not None:
                 queries, cache = _prefilter_candidates_indexed(
-                    rel, queries, vocab, term_index
+                    rel, queries, vocab, term_index, term_index_rows
                 )
             else:
                 queries, cache = _prefilter_candidates(rel, queries, vocab)
@@ -1371,7 +1720,8 @@ def percolate_scored(
         for part in _chunks(queries, cs):
             p = percolate_scored(
                 rel, part, n_docs, avgdl, df_of, vocab, k,
-                prefilter=False, _expansion_cache=cache,
+                prefilter=False, compile_cache=compile_cache,
+                _expansion_cache=cache,
             )
             out = p if out is None else out.unionByName(p)
         return out.orderBy("query_id", F.col("score").desc(), "doc_id")
@@ -1402,9 +1752,14 @@ def percolate_scored(
         F.sum(F.when(F.col("term") == t, tscore(t))).alias(c)
         for t, c in bcol.items()
     )
-    per_doc, match_of = _percolate_compile(
-        rel, queries, vocab, extra_aggs=extra, expansion_cache=_expansion_cache
+    # the literal signature keys the cache alongside the chunk: the same
+    # stored queries scored under refreshed corpus stats must recompile
+    lit_key = (n_docs, avgdl, tuple(sorted(df_of.items())))
+    bundle = _cached_chunk(
+        compile_cache, queries, vocab, extra, _expansion_cache,
+        key_extra=lit_key,
     )
+    per_doc, match_of = bundle.per_doc(rel), bundle.match_of
 
     def qscore(qid):
         terms = pos_of[qid]
@@ -1618,15 +1973,22 @@ def stream_percolate_scored(
 
     r11: the query-term index is built and cached ONCE here, so chunked
     registries prefilter each micro-batch via one broadcast join instead
-    of a per-batch registry parse."""
+    of a per-batch registry parse. r12: the index row count is pinned for
+    the broadcast-side auto-select, compiled chunk bundles are memoized
+    across batches (compile_cache — sound here because the BM25 literals
+    are pinned at registration and fold into the cache key), and the
+    cached index unpersists at stream termination."""
     from sparkfulltextquery_spark.functions.fulltext import (
         doc_lengths,
         positional_postings,
     )
 
-    term_index = doc_stream.sparkSession.createDataFrame(
+    spark = doc_stream.sparkSession
+    term_index = spark.createDataFrame(
         term_index_rows(queries), TERM_INDEX_SCHEMA
     ).cache()
+    ti_rows = term_index.count()
+    compile_cache: dict = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         rel = (
@@ -1638,19 +2000,22 @@ def stream_percolate_scored(
         (
             percolate_scored(
                 rel, queries, n_docs, avgdl, df_of, vocab=vocab, k=None,
-                term_index=term_index,
+                term_index=term_index, term_index_rows=ti_rows,
+                compile_cache=compile_cache,
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .parquet(f"{out_dir}/batch={batch_id}")
         )
 
-    return (
+    q = (
         doc_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
+    _attach_unpersist(spark, term_index, q)
+    return q
 
 
 def read_scored_alerts(spark: SparkSession, out_dir: str, k: int = 3) -> DataFrame:

@@ -52,7 +52,13 @@ def init_ann_index(
     """Seed the lifecycle: the initial corpus becomes segment -1 of the
     vector log, gen-1 is built from it (partitioned vectors + centroids,
     hwm = -1), and the pointer publishes gen-1. Returns the generation
-    directory."""
+    directory.
+
+    Segments are ``segment=<id>`` partition DIRECTORIES (r12, ADVICE
+    r11): the seed overwrite wipes any previous log, and each streamed
+    batch later overwrites only its own directory — truly idempotent
+    under foreachBatch's at-least-once replay (a retried batch replaces
+    its partial output instead of appending duplicate vec_id rows)."""
     (
         embeddings.select(
             F.col(id_col).alias("vec_id"),
@@ -61,6 +67,7 @@ def init_ann_index(
         )
         .withColumn("segment", F.lit(-1).cast("long"))
         .write.mode("overwrite")
+        .partitionBy("segment")
         .parquet(_seg_dir(root))
     )
     return compact_ann_index(spark, root, publish=True)
@@ -75,9 +82,13 @@ def stream_append_vectors(
     label_col: str | None = None,
 ):
     """Keep the vector log fresh as embeddings stream in: each
-    micro-batch appends as a batch-id-stamped segment — log-structured,
-    O(batch) ingest, exactly-once from checkpointed offsets + idempotent
-    batch-stamped files (the stream_update_postings discipline).
+    micro-batch lands as its own ``segment=<batch_id>`` partition
+    directory written with mode('overwrite') — log-structured, O(batch)
+    ingest, and exactly-once under replay because foreachBatch is
+    AT-LEAST-ONCE: a batch retried after a partial failure OVERWRITES
+    its own directory instead of re-appending rows (r12, ADVICE r11 —
+    the pre-r12 plain append would have left duplicate vec_id rows that
+    neither read_live_vectors nor ann_search_live dedupes).
 
     Coarse assignment at ingest (the IVF "add" semantics): by default
     each arriving vector is assigned to the NEAREST centroid of the
@@ -119,9 +130,8 @@ def stream_append_vectors(
                 "vec_id", "v", F.col("cluster").alias("label")
             )
         (
-            ev.withColumn("segment", F.lit(batch_id).cast("long"))
-            .write.mode("append")
-            .parquet(_seg_dir(root))
+            ev.write.mode("overwrite")
+            .parquet(f"{_seg_dir(root)}/segment={batch_id}")
         )
 
     return (
@@ -198,12 +208,55 @@ def ann_search_live(
     )
 
 
+def _next_gen_dir(spark: SparkSession, root: str) -> str:
+    """Next generation directory: N = 1 + max over BOTH the published
+    pointer and every existing ``gen-*`` directory under the root (r12,
+    ADVICE r11 — deriving N from the pointer alone let two unpublished
+    compactions target the same gen-N directory, the second silently
+    overwriting the first's output; the directory listing is the same
+    monotone gen-N sequence _gen_recency_key orders GC by)."""
+    import os
+    import re
+
+    from sparkfulltextquery_spark.functions.index_stream import (
+        _hadoop_fs,
+        _local_pointer_path,
+    )
+
+    n = 0
+    cur = current_generation(root, spark=spark)
+    if cur is not None:
+        m = re.search(r"gen-(\d+)$", cur)
+        if m:
+            n = int(m.group(1))
+    rootp = _local_pointer_path(root)
+    if rootp is not None:
+        try:
+            names = os.listdir(rootp)
+        except FileNotFoundError:
+            names = []
+    else:
+        _jvm, fs, p = _hadoop_fs(spark, root)
+        names = (
+            [st.getPath().getName() for st in fs.listStatus(p)]
+            if fs.exists(p)
+            else []
+        )
+    for nm in names:
+        m = re.fullmatch(r"gen-(\d+)", nm)
+        if m:
+            n = max(n, int(m.group(1)))
+    return f"{root}/gen-{n + 1}"
+
+
 def compact_ann_index(
     spark: SparkSession,
     root: str,
     publish: bool = False,
     recluster_k: int | None = None,
     kmeans_iters: int = 4,
+    train_sample_size: int | None = None,
+    sample_seed: int = 11,
 ) -> str:
     """Fold the vector log into a fresh generation: build_ann_index over
     ALL live vectors — re-deriving centroids from the grown corpus and
@@ -222,36 +275,98 @@ def compact_ann_index(
     the old labels at ingest, frozen assignments keep them scattered, and
     per-label means barely move (measured, 2k base + 18k appends from 5
     unseen clusters: live recall@10 0.77 at n_probe=3, still 0.74 after a
-    means-only compaction). ``recluster_k`` runs Lloyd k-means over the
-    full live corpus instead (kmeans_iterate — broadcast-centroid
-    assign + O(k·dim) update shuffles per round) and assigns labels from
-    scratch, which is what actually re-carves the space (same measure:
-    1.00 at n_probe≥2 with k=15). Size it to the believed cluster count;
-    the SCALE.md r11 table carries the measured trade."""
-    import re
+    means-only compaction). ``recluster_k`` runs Lloyd k-means instead
+    (kmeans_iterate — broadcast-centroid assign + O(k·dim) update
+    shuffles per round) and assigns labels from scratch, which is what
+    actually re-carves the space (same measure: 1.00 at n_probe≥2 with
+    k=15). Size it to the believed cluster count; the SCALE.md r11/r12
+    tables carry the measured trade.
 
+    SAMPLE-TRAINED retrain (r12, VERDICT r11 #2): the full-corpus Lloyd
+    loop costs kmeans_iters× full scans — at 100 TB that is the
+    compaction bill. By default the trainer instead runs over a bounded
+    DETERMINISTIC sample of ~1000·k vectors (content-addressed:
+    xxhash64(vec_id, sample_seed) % 10⁶ under the target fraction, so
+    the sample is layout- and partitioning-independent and reproducible
+    from (corpus, seed) alone), derives centroids from the sample's
+    final assignment, and pays ONE full-corpus nearest-centroid assign —
+    the standard sample-train recipe, measured at recall parity with the
+    full retrain on the drift fixture (tests/test_index.py) and in the
+    SCALE.md r12 compaction-wall table. Pass ``train_sample_size=0`` to
+    force the full-corpus Lloyd loop, or a positive row target to size
+    the sample explicitly; corpora at or under the target train on
+    everything (the sample IS the corpus, so the dial is purely cost)."""
     live = spark.read.parquet(_seg_dir(root))
     hwm_row = live.agg(F.max("segment").alias("hwm")).head()
     hwm = int(hwm_row["hwm"])
-    cur = current_generation(root, spark=spark)
-    n = 0
-    if cur is not None:
-        m = re.search(r"gen-(\d+)$", cur)
-        if m:
-            n = int(m.group(1))
-    gen_dir = f"{root}/gen-{n + 1}"
+    gen_dir = _next_gen_dir(spark, root)
     vecs = live.select("vec_id", "v", "label")
     if recluster_k is not None:
-        from sparkfulltextquery_spark.similarity import kmeans_iterate
+        from sparkfulltextquery_spark.similarity import (
+            kmeans_assign,
+            kmeans_iterate,
+        )
 
-        assigned = kmeans_iterate(
-            vecs,
+        target = (
+            1000 * recluster_k
+            if train_sample_size is None
+            else train_sample_size
+        )
+        train = vecs
+        sampled = False
+        if target:
+            n_live = vecs.count()
+            if n_live > target:
+                denom = 1_000_000
+                # clamp the expected sample at ≥50·k rows so Lloyd always
+                # has enough seeds even under an aggressive explicit target
+                num = max(
+                    int(denom * target / n_live),
+                    -(-denom * 50 * recluster_k // n_live),
+                )
+                train = vecs.filter(
+                    F.pmod(
+                        F.xxhash64(F.col("vec_id"), F.lit(sample_seed)),
+                        F.lit(denom),
+                    )
+                    < num
+                )
+                sampled = True
+        assigned_t = kmeans_iterate(
+            train,
             k=recluster_k,
             iters=kmeans_iters,
             id_col="vec_id",
             vec_col="v",
             truncate_lineage=True,
         )
+        if sampled:
+            # centroids from the trained sample's final assignment
+            # (k·dim-bounded agg, localCheckpointed to a flat k-row
+            # relation), then ONE full-corpus nearest-centroid assign
+            dim = len(vecs.select("v").head()["v"])
+            aggs = [
+                F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_m{i}")
+                for i in range(dim)
+            ]
+            cents = (
+                train.select("vec_id", "v")
+                .join(assigned_t, "vec_id")
+                .groupBy("cluster")
+                .agg(*aggs)
+                .select(
+                    "cluster",
+                    F.array(
+                        *[F.col(f"_m{i}") for i in range(dim)]
+                    ).alias("c"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            assigned = kmeans_assign(
+                vecs.select("vec_id", "v"), cents, vec_col="v", dim=dim
+            )
+        else:
+            assigned = assigned_t
         vecs = vecs.drop("label").join(assigned, "vec_id").select(
             "vec_id", "v", F.col("cluster").alias("label")
         )

@@ -1120,3 +1120,256 @@ def test_ann_lifecycle_drift_reclustered_compaction(spark, tmp_path):
     mean_r = sum(rs) / len(rs)
     assert mean_r >= 0.9, f"reclustered drift recall {mean_r:.2f} < 0.9"
     full.unpersist()
+
+
+def test_stream_append_vectors_idempotent_replay(spark, tmp_path):
+    """r12 (ADVICE r11): segments are segment=<batch_id> partition
+    directories written with mode('overwrite') — a replayed batch (here:
+    the whole source re-streamed under a FRESH checkpoint, the worst-case
+    at-least-once replay) overwrites its own directories instead of
+    appending, so the live view carries no duplicate vec_id rows and
+    live search results are unchanged."""
+    import numpy as np
+
+    from sparkfulltextquery_spark.similarity.lifecycle import (
+        ann_search_live,
+        init_ann_index,
+        read_live_vectors,
+        stream_append_vectors,
+    )
+
+    rng = np.random.default_rng(3)
+    def rows(n, start):
+        v = rng.normal(size=(n, 16))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return [
+            (start + i, [float(x) for x in v[i]], int(i % 4))
+            for i in range(n)
+        ]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    root = f"{tmp_path}/idem_root"
+    init_ann_index(spark, spark.createDataFrame(rows(200, 0), schema), root)
+
+    src = f"{tmp_path}/idem_src"
+    appends = rows(300, 200)
+    for lo, hi in ((0, 150), (150, 300)):
+        spark.createDataFrame(appends[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ck):
+        q = stream_append_vectors(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            root,
+            f"{tmp_path}/{ck}",
+        )
+        q.awaitTermination()
+
+    run("idem_ck1")
+    live1 = read_live_vectors(spark, root)
+    assert live1.count() == 500
+    qv = appends[0][1]
+    first = [tuple(r) for r in ann_search_live(spark, root, qv, k=10).collect()]
+
+    # full replay under a fresh checkpoint: same batch ids, overwritten
+    # in place — still 500 distinct rows, identical search results
+    run("idem_ck2")
+    live2 = read_live_vectors(spark, root)
+    assert live2.count() == 500
+    assert live2.select("vec_id").distinct().count() == 500
+    again = [tuple(r) for r in ann_search_live(spark, root, qv, k=10).collect()]
+    assert again == first
+
+
+def test_compact_unpublished_generations_get_distinct_dirs(spark, tmp_path):
+    """r12 (ADVICE r11): with the default publish=False two-step flow,
+    generation numbering derives from the EXISTING gen-* directories (not
+    the pointer), so a second compaction before publish lands in a fresh
+    directory instead of silently overwriting the first's unpublished
+    output — a later publish of the first path serves the data it was
+    built from."""
+    import numpy as np
+
+    from sparkfulltextquery_spark.functions.index_stream import (
+        publish_generation,
+    )
+    from sparkfulltextquery_spark.similarity import ann_search_indexed
+    from sparkfulltextquery_spark.similarity.lifecycle import (
+        init_ann_index,
+        read_live_vectors,
+    )
+    from sparkfulltextquery_spark.similarity.lifecycle import (
+        compact_ann_index,
+    )
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(120, 16))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v[i]], int(i % 3)) for i in range(120)]
+    schema = "vec_id long, embedding array<float>, label int"
+    root = f"{tmp_path}/gen_root"
+    gen1 = init_ann_index(spark, spark.createDataFrame(rows, schema), root)
+    assert gen1.endswith("gen-1")
+
+    gen2 = compact_ann_index(spark, root, publish=False)
+    gen3 = compact_ann_index(spark, root, publish=False)
+    assert gen2.endswith("gen-2") and gen3.endswith("gen-3")
+    # both unpublished outputs exist independently; publishing the FIRST
+    # serves its own complete data
+    first = [
+        tuple(r)
+        for r in ann_search_indexed(spark, gen2, rows[0][1], k=5).collect()
+    ]
+    publish_generation(root, gen2, spark=spark)
+    assert read_live_vectors(spark, root).count() == 120
+    again = [
+        tuple(r)
+        for r in ann_search_indexed(spark, gen2, rows[0][1], k=5).collect()
+    ]
+    assert again == first
+
+
+def test_compact_sample_trained_recluster_parity_and_determinism(
+    spark, tmp_path
+):
+    """r12 (VERDICT r11 #2): sample-trained reclustered compaction —
+    Lloyd over a seeded content-addressed sample, then ONE full-corpus
+    assign — must restore drift recall like the full-corpus retrain
+    (>= 0.9 at n_probe=2 on the drift fixture) and be DETERMINISTIC:
+    the same corpus + seed compacts to the identical vec_id→label
+    assignment on a second run."""
+    import numpy as np
+
+    from sparkfulltextquery_spark.similarity import (
+        ann_search_indexed,
+        cosine_topk,
+    )
+    from sparkfulltextquery_spark.similarity.lifecycle import (
+        compact_ann_index,
+        init_ann_index,
+        stream_append_vectors,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(15, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def draw(seed, n, start, lo, hi):
+        r = np.random.default_rng(seed)
+        lab = r.integers(lo, hi, size=n)
+        v = centers[lab] + 0.2 * r.normal(size=(n, 64))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return [
+            (start + i, [float(x) for x in v[i]], int(lab[i]))
+            for i in range(n)
+        ]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    base = draw(21, 800, 0, 0, 10)
+    appends = draw(22, 3200, 800, 10, 15)   # drift: clusters 10-14
+
+    def build_root(name):
+        root = f"{tmp_path}/{name}"
+        init_ann_index(spark, spark.createDataFrame(base, schema), root)
+        src = f"{tmp_path}/{name}_src"
+        spark.createDataFrame(appends, schema).coalesce(1).write.parquet(src)
+        q = stream_append_vectors(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            root,
+            f"{tmp_path}/{name}_ck",
+        )
+        q.awaitTermination()
+        return root
+
+    full = spark.createDataFrame(base + appends, schema).cache()
+    qs = [(vid, v) for vid, v, _l in appends if vid % 307 == 0][:8]
+    truth = {
+        qid: {r.vec_id for r in cosine_topk(full, v, k=10).collect()}
+        for qid, v in qs
+    }
+
+    def recall(gen_dir):
+        rs = [
+            len(
+                {
+                    r.vec_id
+                    for r in ann_search_indexed(
+                        spark, gen_dir, v, k=10, n_probe=2
+                    ).collect()
+                }
+                & truth[qid]
+            )
+            / 10.0
+            for qid, v in qs
+        ]
+        return sum(rs) / len(rs)
+
+    # sample-trained (forced well below the corpus: 1,500 of 4,000)
+    root_a = build_root("sampled_a")
+    gen_a = compact_ann_index(
+        spark, root_a, publish=True, recluster_k=15, train_sample_size=1500
+    )
+    r_sampled = recall(gen_a)
+    assert r_sampled >= 0.9, f"sample-trained drift recall {r_sampled:.2f}"
+
+    # determinism: identical corpus + seed → identical assignment
+    root_b = build_root("sampled_b")
+    gen_b = compact_ann_index(
+        spark, root_b, publish=True, recluster_k=15, train_sample_size=1500
+    )
+    lab_a = {
+        int(r.vec_id): int(r.label)
+        for r in spark.read.parquet(f"{gen_a}/vectors").collect()
+    }
+    lab_b = {
+        int(r.vec_id): int(r.label)
+        for r in spark.read.parquet(f"{gen_b}/vectors").collect()
+    }
+    assert lab_a == lab_b
+
+    # the full-corpus retrain remains available behind train_sample_size=0
+    root_c = build_root("full_train")
+    gen_c = compact_ann_index(
+        spark, root_c, publish=True, recluster_k=15, train_sample_size=0
+    )
+    r_full = recall(gen_c)
+    assert r_full >= 0.9
+    full.unpersist()
+
+
+def test_gc_two_swap_window_contract(spark, tmp_path):
+    """r12 (VERDICT r11 #7, hygiene): the GC grace window is measured in
+    SWAPS, not time — retain=N keeps the N most recent superseded
+    generations, so a reader that resolved the pointer and then slept
+    through N+1 publishes CAN lose its directory (documented in
+    gc_generations). Pinned both ways: at retain=1 a two-swap-old reader
+    loses gen-1; at retain=2 it survives two swaps."""
+    import os
+
+    from sparkfulltextquery_spark.functions.index_stream import (
+        gc_generations,
+        publish_generation,
+    )
+
+    for retain, gen1_survives in ((1, False), (2, True)):
+        root = f"{tmp_path}/grace_{retain}"
+        os.makedirs(root)
+        for n in (1, 2, 3):
+            gen = f"{root}/gen-{n}"
+            os.makedirs(gen)
+            with open(f"{gen}/data", "w") as f:
+                f.write(str(n))
+            publish_generation(root, gen)
+        # reader pinned on gen-1 has slept through TWO swaps (gen-2, gen-3)
+        removed = gc_generations(root, retain=retain)
+        assert os.path.isdir(f"{root}/gen-1") is gen1_survives, (
+            f"retain={retain}: gen-1 survival contract broken"
+        )
+        assert os.path.isdir(f"{root}/gen-3")  # CURRENT always kept
+        if not gen1_survives:
+            assert [os.path.basename(p) for p in removed] == ["gen-1"]

@@ -83,9 +83,10 @@ SF01_SAMPLE = [
 
 # Seeded per-round rotation (r10, VERDICT r09 #8): the fixed sample above
 # pins the known heavy hitters, but 300+ registry pairs would otherwise
-# never see the second scale. Each round adds 25 extra pairs (r11,
-# VERDICT r10 #5 — widened from 10 so the never-driver-gated remainder
-# cycles through the second scale in ~13 rounds instead of ~34) drawn
+# never see the second scale. Each round adds 40 extra pairs (r12,
+# VERDICT r11 #4 — widened 10→25→40 so the never-driver-gated remainder
+# cycles through the second scale in ~8 rounds; the gate's wall grows
+# ~1 min, measured in SCALE.md r12) drawn
 # deterministically from the rest of the registry, seeded by the round
 # number (SPARK_GRAFT_ROUND, defaulting to the count of committed
 # BENCH_r*.json artifacts + 1 — monotone per round, stable within one),
@@ -99,7 +100,7 @@ ROTATION_SEED = int(
 )
 
 
-def _rotation_sample(seed: int, n: int = 25) -> list[str]:
+def _rotation_sample(seed: int, n: int = 40) -> list[str]:
     import random
 
     pool = sorted(set(REGISTRY) - set(SF01_SAMPLE))

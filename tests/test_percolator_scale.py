@@ -220,13 +220,13 @@ def test_percolator_prefilter_equals_unfiltered_and_skips_chunks(spark, monkeypa
     rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
 
     compiles = []
-    orig = P._percolate_compile
+    orig = P._compile_chunk
 
     def counting(*a, **kw):
-        compiles.append(len(a[1]))
+        compiles.append(len(a[0]))
         return orig(*a, **kw)
 
-    monkeypatch.setattr(P, "_percolate_compile", counting)
+    monkeypatch.setattr(P, "_compile_chunk", counting)
 
     unfiltered = {
         (int(r.query_id), int(r.doc_id))
@@ -389,13 +389,13 @@ def test_percolator_term_index_prefilter_equals_in_memory(spark, monkeypatch):
     )
 
     compiles = []
-    orig = P._percolate_compile
+    orig = P._compile_chunk
 
     def counting(*a, **kw):
-        compiles.append(len(a[1]))
+        compiles.append(len(a[0]))
         return orig(*a, **kw)
 
-    monkeypatch.setattr(P, "_percolate_compile", counting)
+    monkeypatch.setattr(P, "_compile_chunk", counting)
 
     unfiltered = {
         (int(r.query_id), int(r.doc_id))
@@ -524,3 +524,263 @@ def test_percolator_adhoc_join_prefilter_equals_isin(spark, monkeypatch):
     }
     assert via_join == via_isin == unfiltered
     assert via_join, "registry matched nothing — vocabulary drifted"
+
+
+def test_percolator_indexed_prefilter_broadcast_flip_equals(spark, monkeypatch):
+    """r12 (VERDICT r11 #1): past PREFILTER_INDEX_BROADCAST_MAX_ROWS index
+    rows the indexed prefilter flips its broadcast side — the BATCH's
+    distinct terms broadcast into a join streamed over the term index,
+    instead of shipping the whole index. Forced here by dropping the
+    threshold to 0: the flipped path must produce exactly the default
+    (index-broadcast) path's results and the unfiltered baseline,
+    NULL-term always-candidates (expansion atoms) included."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import percolate as P
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab_terms = _vocab_by_freq(toks)
+    live = gen_registry(vocab_terms, 200)
+    dead = [(10_000 + i, f"zzqx{i} AND zzqy{i}") for i in range(300)]
+    exp = [
+        (20_000, f"{vocab_terms[0][:4]}* AND {vocab_terms[1]}"),
+        (20_001, "zzqnever* OR zzqalso*"),
+    ]
+    registry = live + dead + exp
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    vocab = rel.select("term").distinct()
+    term_df = spark.createDataFrame(
+        P.term_index_rows(registry), P.TERM_INDEX_SCHEMA
+    )
+
+    def run():
+        return {
+            (int(r.query_id), int(r.doc_id))
+            for r in P.percolate_matches(
+                rel, registry, vocab=vocab, chunk_size=100, term_index=term_df
+            ).collect()
+        }
+
+    via_index_bcast = run()
+    monkeypatch.setattr(P, "PREFILTER_INDEX_BROADCAST_MAX_ROWS", 0)
+    via_batch_bcast = run()
+    unfiltered = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=100, prefilter=False
+        ).collect()
+    }
+    assert via_batch_bcast == via_index_bcast == unfiltered
+    assert via_batch_bcast, "registry matched nothing — vocabulary drifted"
+    # the pinned-count fast path must take the same branch decision
+    via_pinned = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel, registry, vocab=vocab, chunk_size=100,
+            term_index=term_df, term_index_rows=len(P.term_index_rows(registry)),
+        ).collect()
+    }
+    assert via_pinned == unfiltered
+
+
+def test_percolator_registry_crash_consistency_guard(spark):
+    """r12 (ADVICE r11, medium): the registry and its term index are two
+    non-atomic writes; a crash between them must NEVER cause silently
+    missed alerts. Stamped pairs detect the torn state via reg_stamp
+    mismatch; legacy unstamped pairs via id-coverage — in both cases
+    percolate_from_table falls back to the in-memory prefilter and still
+    produces the exact unfiltered result for the CURRENT registry."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import percolate as P
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab_terms = _vocab_by_freq(toks)
+    reg_a = gen_registry(vocab_terms, 260)
+    # registry B shifts every query to DIFFERENT vocabulary slots, so A's
+    # term index is genuinely wrong for B (not merely stale-but-covering)
+    reg_b = [
+        (qid, q)
+        for qid, q in gen_registry(list(reversed(vocab_terms)), 260)
+    ]
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel = FT.positional_postings(docs).select("doc_id", "term", "positions")
+
+    tbl = P.register_percolator_queries(spark, reg_a, table="sftq_r12_crash")
+    # healthy pair: guard passes and returns the pinned row count
+    ti, ti_rows = P._usable_term_index(spark, tbl)
+    assert ti is not None and ti_rows == len(P.term_index_rows(reg_a))
+
+    # simulate the torn register: the MAIN table now carries registry B
+    # under a fresh stamp, while {table}_terms still holds A's rows
+    import uuid
+
+    stamp_b = uuid.uuid4().hex
+    (
+        spark.createDataFrame(
+            [(qid, q, stamp_b) for qid, q in reg_b],
+            f"query_id int, query string, {P.REG_STAMP_COL} string",
+        )
+        .write.mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    ti, ti_rows = P._usable_term_index(spark, tbl)
+    assert ti is None and ti_rows is None
+    via_table = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_from_table(spark, rel, table=tbl, matches=True)
+        .collect()
+    }
+    direct = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(rel, reg_b, prefilter=False).collect()
+    }
+    assert via_table == direct and direct
+
+    # legacy unstamped pair with a COVERAGE hole: terms table misses ids
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
+    (
+        spark.createDataFrame(reg_b, "query_id int, query string")
+        .write.mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    partial = [
+        (qid, t)
+        for qid, t in P.term_index_rows(reg_b)
+        if qid % 2 == 0  # half the registry silently missing
+    ]
+    (
+        spark.createDataFrame(partial, P.TERM_INDEX_SCHEMA)
+        .write.mode("overwrite")
+        .saveAsTable(f"{tbl}_terms")
+    )
+    ti, _rows = P._usable_term_index(spark, tbl)
+    assert ti is None
+    via_table = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_from_table(spark, rel, table=tbl, matches=True)
+        .collect()
+    }
+    assert via_table == direct
+    # legacy pair that DOES cover: guard passes
+    (
+        spark.createDataFrame(P.term_index_rows(reg_b), P.TERM_INDEX_SCHEMA)
+        .write.mode("overwrite")
+        .saveAsTable(f"{tbl}_terms")
+    )
+    ti, _rows = P._usable_term_index(spark, tbl)
+    assert ti is not None
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
+
+
+def test_percolator_compile_cache_hits_and_invalidates(spark, monkeypatch):
+    """r12 (VERDICT r11 #5): with a shared compile_cache dict, a second
+    percolation over the SAME candidate slice compiles zero chunks (pure
+    cache hits) and returns identical results on a DIFFERENT batch; a
+    batch whose candidate set changes compiles exactly its new chunks;
+    expansion-atom chunks (vocab-dependent) are never cached."""
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions import percolate as P
+    from sparkfulltextquery_spark.sources import load_table
+
+    toks = _toks(spark)
+    vocab_terms = _vocab_by_freq(toks)
+    registry = gen_registry(vocab_terms, 300)
+    term_df = spark.createDataFrame(
+        P.term_index_rows(registry), P.TERM_INDEX_SCHEMA
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rel_all = FT.positional_postings(docs).select("doc_id", "term", "positions")
+    rel_half = rel_all.filter(F.col("doc_id") % 2 == 0)
+
+    compiles = []
+    orig = P._compile_chunk
+
+    def counting(*a, **kw):
+        compiles.append(len(a[0]))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(P, "_compile_chunk", counting)
+
+    cache: dict = {}
+
+    def run(rel):
+        return {
+            (int(r.query_id), int(r.doc_id))
+            for r in P.percolate_matches(
+                rel, registry, chunk_size=100, term_index=term_df,
+                compile_cache=cache,
+            ).collect()
+        }
+
+    first = run(rel_all)
+    n_first = len(compiles)
+    assert n_first == 3 and first
+    compiles.clear()
+    second = run(rel_all)
+    assert len(compiles) == 0, "stable candidate set must be a pure cache hit"
+    assert second == first
+    # different batch, same candidate slice → still zero compiles, and
+    # the result is the half-batch's own matches (columns re-bind)
+    compiles.clear()
+    half = run(rel_half)
+    assert len(compiles) == 0
+    assert half == {(q, d) for q, d in first if d % 2 == 0}
+
+    # candidate-set CHANGE: restrict the batch to docs whose terms hit
+    # only part of the registry — chunk boundaries shift, so the new
+    # slice's chunks compile (cache miss), results stay correct
+    few_terms = vocab_terms[:3]
+    rel_narrow = rel_all.filter(F.col("term").isin(few_terms))
+    compiles.clear()
+    narrow = run(rel_narrow)
+    assert len(compiles) >= 1, "changed candidate set must recompile"
+    want_narrow = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel_narrow, registry, chunk_size=100, prefilter=False
+        ).collect()
+    }
+    assert narrow == want_narrow
+
+    # expansion atoms: vocab-dependent bundles must never enter the cache
+    # (the fixture corpus vocabulary is ~60 terms — cycle it)
+    nv = len(vocab_terms)
+    exp_registry = registry[:150] + [
+        (
+            30_000 + i,
+            f"{vocab_terms[i % nv][:4]}* AND {vocab_terms[(i + 1) % nv]}",
+        )
+        for i in range(140)
+    ]
+    exp_term_df = spark.createDataFrame(
+        P.term_index_rows(exp_registry), P.TERM_INDEX_SCHEMA
+    )
+    vocab = rel_all.select("term").distinct()
+    exp_cache: dict = {}
+    compiles.clear()
+    r1 = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel_all, exp_registry, vocab=vocab, chunk_size=100,
+            term_index=exp_term_df, compile_cache=exp_cache,
+        ).collect()
+    }
+    n1 = len(compiles)
+    compiles.clear()
+    r2 = {
+        (int(r.query_id), int(r.doc_id))
+        for r in P.percolate_matches(
+            rel_all, exp_registry, vocab=vocab, chunk_size=100,
+            term_index=exp_term_df, compile_cache=exp_cache,
+        ).collect()
+    }
+    assert r2 == r1 and r1
+    # chunks containing expansion atoms recompiled; pure-term chunks hit
+    assert 0 < len(compiles) <= n1

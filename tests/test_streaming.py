@@ -1160,3 +1160,82 @@ def test_stream_percolate_at_registry_scale_1k(spark, tmp_path):
         (r.query_id, r.doc_id) for r in spark.read.parquet(out).collect()
     }
     assert got2 == want
+
+
+def test_stream_percolate_candidate_set_changes_mid_stream(spark, tmp_path):
+    """r12 (VERDICT r11 #5): the per-stream compile cache must stay
+    EXACT when the candidate set changes between micro-batches — two
+    batches with disjoint topic vocabularies activate disjoint registry
+    slices (different chunk keys → cache miss → fresh compile), and the
+    drained alert log equals batch percolation of the union. Also pins
+    the r12 cache-hygiene contract (ADVICE r11): the term index cached
+    at stream start is unpersisted once the stream terminates."""
+    import time as _time
+
+    from sparkfulltextquery_spark.functions import fulltext as FT
+    from sparkfulltextquery_spark.functions.percolate import (
+        percolate_matches,
+        register_percolator_queries,
+        stream_percolate_alerts,
+    )
+
+    # batch 1's docs speak topic A, batch 2's topic B — the registry's
+    # two 150-query slices are candidates in exactly one batch each
+    docs_a = [(j, f"ga{j} gshared") for j in range(50)]
+    docs_b = [(100 + j, f"gb{j} hshared") for j in range(50)]
+    registry = [(i, f"ga{i} AND gshared") for i in range(150)] + [
+        (1000 + i, f"gb{i} AND hshared") for i in range(150)
+    ]
+    tbl = register_percolator_queries(
+        spark, registry, table="t_stream_perc_candshift"
+    )
+
+    src = f"file://{tmp_path}/shift_src"
+    out = f"file://{tmp_path}/shift_alerts"
+    ck = f"file://{tmp_path}/shift_ck"
+    schema = "doc_id long, text string"
+    for batch in (docs_a, docs_b):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    storage_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    q = stream_percolate_alerts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        tbl, out, ck,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.query_id, r.doc_id)
+        for r in spark.read.parquet(out).select("query_id", "doc_id").collect()
+    }
+    want = {(j, j) for j in range(50)} | {(1000 + j, 100 + j) for j in range(50)}
+    assert got == want
+    # cross-check against batch percolation of the union
+    all_docs = spark.createDataFrame(docs_a + docs_b, schema)
+    rel = FT.positional_postings(all_docs).select("doc_id", "term", "positions")
+    batch = {
+        (r.query_id, r.doc_id)
+        for r in percolate_matches(rel, registry).collect()
+    }
+    assert got == batch
+
+    # the cached term index is released after termination (listener runs
+    # on the streaming event thread — poll briefly)
+    deadline = _time.time() + 20
+    while _time.time() < deadline:
+        if (
+            len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+            <= storage_before
+        ):
+            break
+        _time.sleep(0.5)
+    assert (
+        len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+        <= storage_before
+    ), "term-index cache not unpersisted after stream termination"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_terms")
