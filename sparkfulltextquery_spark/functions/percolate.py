@@ -383,6 +383,35 @@ def term_index_rows(
     return rows
 
 
+def _candidate_id_df(
+    rel: DataFrame,
+    term_index: DataFrame,
+    term_index_rows: int | None = None,
+) -> DataFrame:
+    """Distinct candidate query ids as a RELATION: the term-index join
+    against the batch's posting terms, union the NULL-term
+    always-candidates, distinct — with the r12 broadcast-side
+    auto-select (see _prefilter_candidates_indexed). Kept as a DataFrame
+    so callers choose between collecting the (bounded) id set and
+    joining it back against the registry table (percolate_from_table's
+    candidate-slice fetch)."""
+    nn = term_index.filter(F.col("term").isNotNull()).select(
+        "term", "query_id"
+    )
+    if term_index_rows is None:
+        term_index_rows = term_index.count()
+    if term_index_rows > PREFILTER_INDEX_BROADCAST_MAX_ROWS:
+        hit = nn.join(
+            F.broadcast(rel.select("term").distinct()), "term"
+        ).select("query_id")
+    else:
+        hit = rel.select("term").join(F.broadcast(nn), "term").select(
+            "query_id"
+        )
+    always = term_index.filter(F.col("term").isNull()).select("query_id")
+    return hit.union(always).distinct()
+
+
 def _prefilter_candidates_indexed(
     rel: DataFrame,
     queries: list[tuple[int, str]],
@@ -410,21 +439,8 @@ def _prefilter_candidates_indexed(
     the shipped side is bounded by batch vocabulary, not registry size.
     ``term_index_rows`` lets long-lived callers (streams, table readers)
     pin the count once instead of paying a count job per percolate."""
-    nn = term_index.filter(F.col("term").isNotNull()).select(
-        "term", "query_id"
-    )
-    if term_index_rows is None:
-        term_index_rows = term_index.count()
-    if term_index_rows > PREFILTER_INDEX_BROADCAST_MAX_ROWS:
-        hit = nn.join(
-            F.broadcast(rel.select("term").distinct()), "term"
-        ).select("query_id")
-    else:
-        hit = rel.select("term").join(F.broadcast(nn), "term").select(
-            "query_id"
-        )
-    always = term_index.filter(F.col("term").isNull()).select("query_id")
-    cand = {int(r.query_id) for r in hit.union(always).distinct().collect()}
+    cand_df = _candidate_id_df(rel, term_index, term_index_rows)
+    cand = {int(r.query_id) for r in cand_df.collect()}
     survivors = [q for q in queries if q[0] in cand]
     if not survivors:
         return [], {}
@@ -1207,21 +1223,43 @@ def percolate_from_table(
     stored queries back, compile, and run — the summary form by default,
     the (query_id, doc_id) alerting table with ``matches=True``. When the
     registry was written with its ``{table}_terms`` query-term index
-    (r11), the chunked path prefilters through it — one broadcast join,
+    (r11), the prefilter runs through it — one broadcast join,
     candidates-only parse — instead of building driver-side term sets;
     the index is trusted only after the _usable_term_index consistency
     guard (r12, ADVICE r11), and its pinned row count drives the
-    prefilter's broadcast-side auto-select."""
-    stored = [
-        (int(r.query_id), r.query)
-        for r in spark.table(table).orderBy("query_id").collect()
-    ]
+    prefilter's broadcast-side auto-select.
+
+    r12 candidate-slice FETCH: with a usable index, even the registry
+    READBACK is candidate-bounded — the candidate-id relation semi-joins
+    the registry table Spark-side and only the matching rows collect, so
+    per-percolate driver transfer is proportional to candidates, not
+    registry size (measured at the 1M-query registry: the whole-registry
+    collect was the dominant per-call cost). Registration enforces
+    distinct ids at write time, which is what makes skipping the
+    registry-wide driver-side re-check sound here."""
     term_index, ti_rows = _usable_term_index(spark, table)
     fn = percolate_matches if matches else _percolate_bool
-    return fn(
-        rel, stored, vocab=vocab,
-        term_index=term_index, term_index_rows=ti_rows,
-    )
+    if term_index is None:
+        stored = [
+            (int(r.query_id), r.query)
+            for r in spark.table(table).orderBy("query_id").collect()
+        ]
+        return fn(rel, stored, vocab=vocab)
+    cand_df = _candidate_id_df(rel, term_index, ti_rows)
+    survivors = [
+        (int(r.query_id), r.query)
+        for r in spark.table(table)
+        .join(cand_df, "query_id")
+        .orderBy("query_id")
+        .collect()
+    ]
+    if not survivors:
+        schema = _matches_schema(rel) if matches else _bool_schema(rel)
+        return spark.createDataFrame([], schema=schema)
+    # already prefiltered: the (bounded) survivor slice compiles directly
+    # — at or under MAX_COMPILE_QUERIES that is the plain leaf path, and
+    # wider slices chunk without re-prefiltering
+    return fn(rel, survivors, vocab=vocab, prefilter=False)
 
 
 from pyspark.sql.streaming import StreamingQueryListener  # noqa: E402
