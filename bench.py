@@ -22,6 +22,21 @@ r06 hygiene (VERDICT r05):
   scripts/make_sf10.py if absent, times the headline set + the 15
   heaviest extra rows, writes BENCH_SF10_LOCAL.json. Gate it with
   `python scripts/check_scaling.py --sf10` (sf1 -> sf10 ratios).
+
+Adjudicating driver-window deltas (r12, VERDICT r11 #3): BENCH_ISOLATED.json
+carries a fresh-JVM isolated wall for EVERY headline row at sf0.1
+(scripts/bench_isolated.py — one query per process, 1 warm + median of
+3). When a driver-epoch bench inflates uniformly against the committed
+BENCH_LOCAL.json epoch (the r11 +20% case: near-uniform 1.04-1.27x
+including rows whose code no commit touched), compare per-row against
+the isolated sidecar measured at the SAME commit: an inflation that
+does not reproduce under a fresh JVM on an idle host is host-window
+noise (page-cache eviction, co-tenant load), not code. A real
+regression reproduces in the isolated number for the specific rows
+whose code changed. Isolated walls are expected to sit somewhat ABOVE
+the in-suite medians (cold JVM/codegen per process versus a warmed
+long-lived session) — compare isolated-to-isolated across epochs, not
+isolated-to-suite.
 """
 
 from __future__ import annotations

@@ -134,7 +134,7 @@ def test_sample_names_are_registered():
     assert len(SF01_SAMPLE) >= 30
     # rotation is drawn from the registry by construction; pin its shape
     # and determinism so the seed is auditable from the test output
-    assert len(SF01_ROTATION) == 25, (ROTATION_SEED, SF01_ROTATION)
+    assert len(SF01_ROTATION) == 40, (ROTATION_SEED, SF01_ROTATION)
     assert SF01_ROTATION == _rotation_sample(ROTATION_SEED)
     assert not set(SF01_ROTATION) & set(SF01_SAMPLE)
 
