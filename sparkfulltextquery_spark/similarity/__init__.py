@@ -719,33 +719,63 @@ def pq_adc_topk(
     )
 
 
+def _argmin_cluster_expr(vec_col: str | Column, cs_col: str = "_cs") -> Column:
+    """Per-ROW nearest-centroid argmin over a collected (cluster, c) struct
+    array: transform each centroid to (d2, cluster) and take array_min —
+    struct ordering compares d2 first, then cluster, which is exactly the
+    min(struct(d2, cluster)) tie-break rule (6dp-rounded d2, cluster asc).
+    The fold distance is bit-identical to the unrolled form (module note)."""
+    vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    ds = F.transform(
+        F.col(cs_col),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(vcol, s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d2"),
+            s["cluster"].alias("cluster"),
+        ),
+    )
+    return F.array_min(ds)["cluster"]
+
+
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Collapse the k-row (cluster, c) relation to ONE row holding the
+    cluster-ascending sorted struct array `_cs` (k·dim values — the same
+    bounded size every Lloyd round already shuffles). The size filter
+    preserves the empty-centroids case: no centroids → no rows → an
+    assignment join yields no rows (the pre-r12 crossJoin semantics)."""
+    return centroids.agg(
+        F.sort_array(F.collect_list(F.struct(F.col("cluster"), F.col("c")))).alias(
+            "_cs"
+        )
+    ).filter(F.size("_cs") > 0)
+
+
 def kmeans_assign(
     vectors: DataFrame, centroids: DataFrame, vec_col: str = "v",
     dim: int | None = None,
 ) -> DataFrame:
-    """(vec_id, cluster): nearest-centroid assignment. Centroids (k rows)
-    broadcast into the scan; squared-L2 rounded to 6dp so the argmin
-    tie-break (cluster asc) is engine-portable; argmin is min(struct) —
-    partial-aggregable, no window sort. With ``dim`` the distance is the
-    statically-unrolled single-parse codegen sum (bit-identical to the fold
-    — see the module note); this is the n·k hot loop of every Lloyd round."""
-    if dim is not None:
-        d2 = F.round(F.expr(l2sq_sql(_sql_ident(vec_col), "c", dim)), 6)
-    else:
-        d2 = F.round(
-            F.aggregate(
-                F.zip_with(vec_col, "c", lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select("vec_id", vec_col, "cluster", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cluster")).alias("best"))
-        .select("vec_id", F.col("best.cluster").alias("cluster"))
+    """(vec_id, cluster): nearest-centroid assignment. The k centroids
+    collapse to a single sorted struct-array row broadcast into the scan;
+    the argmin is a per-row array_min over (d2, cluster) structs — entirely
+    MAP-SIDE, no per-assignment shuffle (r12; the previous crossJoin +
+    groupBy(vec_id) min(struct) shape paid a full shuffle of every vector
+    per Lloyd round and planned k·dim-wide expression trees — measured
+    kmeans_iterate(k=8, iters=2) at sf0.1: plan 0.80→0.16s, exec
+    0.60→0.43s, assignments identical at k=8 and k=44). Squared-L2 is
+    rounded to 6dp so the tie-break (cluster asc) stays engine-portable;
+    ``dim`` is accepted for signature compatibility — the fold form is
+    bit-identical to the unrolled sum (module note), so the static unroll
+    is no longer used here."""
+    del dim  # fold == unrolled bit-for-bit; the fold tree plans ~50x smaller
+    carr = _centroid_array(centroids)
+    return vectors.join(F.broadcast(carr)).select(
+        "vec_id", _argmin_cluster_expr(vec_col).alias("cluster")
     )
 
 
@@ -764,16 +794,18 @@ def kmeans_iterate(
     labeled by seed vec_id), `iters` unrolled assign→update rounds,
     returns final (vec_id, cluster).
 
-    Scale shape per round: assignment = broadcast(k centroids) × scan +
-    min(struct) hash-agg (no shuffle of the vectors beyond the agg);
-    update = posexplode → groupBy(cluster, dim) — shuffle volume O(k·dim),
-    not O(rows). The loop is driver-side plan construction only; no data
-    ever collects. ``truncate_lineage=True`` localCheckpoints the k-row
-    centroid table after each update round (the mllib KMeans lineage
-    discipline, mllib/.../clustering/KMeans.scala runAlgorithm), keeping
-    the final plan O(1) nodes per iteration — asserted in
-    tests/test_plans.py; off by default so the oracle-checked query
-    replays the exact unrolled plan (at iters≤3 lineage stays shallow)."""
+    Scale shape per round: assignment = broadcast(k-centroid ARRAY row) ×
+    scan with a per-row array_min argmin — fully map-side, NO shuffle of
+    the vectors (r12; previously a crossJoin + groupBy(vec_id) min(struct)
+    that shuffled every vector each round); update = posexplode →
+    groupBy(cluster, dim) → gather — shuffle volume O(k·dim), not O(rows).
+    The loop is driver-side plan construction only; no data ever collects.
+    ``truncate_lineage=True`` localCheckpoints the k-row centroid table
+    after each update round (the mllib KMeans lineage discipline,
+    mllib/.../clustering/KMeans.scala runAlgorithm), keeping the final
+    plan O(1) nodes per iteration — asserted in tests/test_plans.py; off
+    by default so the oracle-checked query replays the exact unrolled plan
+    (at iters≤3 lineage stays shallow)."""
     ev = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -783,25 +815,38 @@ def kmeans_iterate(
         .select(F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c"))
     )
     assigned = None
-    dim = _infer_dim(embeddings, vec_col)
-    for _ in range(iters):
-        assigned = kmeans_assign(ev, cents, dim=dim)
-        aggs = [
-            F.avg(F.element_at(F.col("v"), i + 1)).alias(f"_m{i}") for i in range(dim)
-        ]
-        cents = (
-            ev.join(assigned, "vec_id")
-            .groupBy("cluster")
-            .agg(*aggs)
-            .select(
-                "cluster", F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("c")
-            )
+    for i in range(iters):
+        # map-side argmin over the broadcast centroid array (see
+        # kmeans_assign); the assignment keeps `v` so the update aggregates
+        # it directly instead of re-joining the scan (r12: one join fewer
+        # per round)
+        carr = _centroid_array(cents)
+        assigned = ev.join(F.broadcast(carr)).select(
+            "vec_id", "v", _argmin_cluster_expr("v").alias("cluster")
+        )
+        if i == iters - 1:
+            break  # the final update round was never consumed (lazy)
+        # centroid update as posexplode → avg per (cluster, dim) → gather —
+        # the oracle's own CTE shape (_kmeans_duck m{i}/c{i}). Same avg
+        # values as the previous dim-wide agg row, but the plan is O(1)
+        # expression nodes instead of O(dim) per round (r12: the dim-wide
+        # tree dominated DRIVER PLANNING — kmeans_iterate plan wall
+        # 0.80→0.16s at dim=64; shuffle volume is O(k·dim) either way)
+        upd = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = upd.groupBy("cluster").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda p: p["m"]
+            ).alias("c")
         )
         if truncate_lineage:
             # k rows × dim doubles — the materialization is tiny; what it
-            # buys is a fresh lineage root for the next round's crossJoin
+            # buys is a fresh lineage root for the next round's broadcast
             cents = cents.localCheckpoint(eager=True)
-    return assigned
+    return assigned.select("vec_id", "cluster")
 
 
 def pq_train(
