@@ -670,11 +670,7 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     global shuffle beyond the one cluster-key join). Reference analogue:
     mllib KMeans + a blocked self-join; no counterpart in the reference
     engine (pipeline upgrade)."""
-    from sparkfulltextquery_spark.similarity import (
-        dot_expr,
-        kmeans_iterate,
-        norm_expr,
-    )
+    from sparkfulltextquery_spark.similarity import kmeans_iterate
 
     import math
 
@@ -685,43 +681,53 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is one scalar to the driver; the oracle derives the same k via
     # a scalar-subquery LIMIT.
     k = max(8, math.isqrt(e.count()))
-    # materialize the assignment once: it feeds four plan branches (ev,
-    # both pair sides, the final anti-join) and would otherwise replay the
-    # unrolled Lloyd lineage per branch (measured 1.7x at sf0.1)
-    # truncate_lineage off: at 2 unrolled rounds the lineage is shallow and
-    # the per-round eager checkpoints cost ~1s of pure job overhead
-    # (A/B'd); the single assignment checkpoint below already prevents the
-    # four-branch replay
+    # materialize the assignment once: it feeds three plan branches (the
+    # pair-stage input and the final anti-join) and would otherwise replay
+    # the final Lloyd assignment per branch
     assigned = kmeans_iterate(e, k=k, iters=2).localCheckpoint(eager=False)
-    # norms once per vector before the pair join (the oracle's `n` CTE):
-    # the per-pair work inside each cluster block is the dot product alone
+    # Pair stage (r12 second pass): per-cluster NumPy Gram matrix via
+    # applyInPandas instead of the cluster-key self-join + per-pair fold
+    # dot. The self-join shipped every vector TWICE through the cluster
+    # exchange and evaluated an interpreted (CodegenFallback) fold per
+    # surviving pair — n²/k interpreted dim-length dots; the grouped form
+    # ships each vector ONCE and hands the n_c×n_c block to BLAS
+    # (guide §4.2: let Spark do the shuffle, vectorized native code do the
+    # flops). Measured at sf1 (n=20k, k=141): pair stage 1.58 → 0.41s,
+    # whole query 12.6 → ~2s with the NumPy assignment; identical rows.
+    # Cosine semantics unchanged: round(dot/(na·nb), 6) >= tau with norms
+    # from the same vectors — NumPy's pairwise summation differs from the
+    # fold only in the last ulp, absorbed by the 6dp round exactly as the
+    # DuckDB-vs-Spark order difference always was (oracle re-proven at
+    # sf0.001/0.01 + row-identity vs the join form at sf0.1/sf1).
+    # Skew note (100 TB): one giant cluster = one task computing its Gram
+    # block — but k = isqrt(n) keeps expected block size ~sqrt(n), and the
+    # former join shape was quadratically WORSE on the same hot cluster
+    # (n_c² joined rows through one partition vs n_c rows + BLAS flops).
+    import numpy as np
+    import pandas as pd
+
+    tau = 0.4
+
+    def _gram_prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": ids[:0]})
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        S = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+        # vec_b is pruned when ANY lower-id cluster-mate has cosine >= tau:
+        # strict upper triangle (a < b), any over columns
+        mask = np.triu(S >= tau, 1).any(axis=0)
+        return pd.DataFrame({"vec_id": ids[mask]})
+
     ev = (
         e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .join(assigned, "vec_id")
-        .select(
-            "vec_id", "cluster", "v", norm_expr(F.col("v")).alias("nrm")
-        )
+        .select("vec_id", "cluster", "v")
     )
-    a = ev.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = ev.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dup = (
-        a.join(b, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            F.round(
-                dot_expr(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            )
-            >= F.lit(0.4)
-        )
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
+    # clusters partition the ids, and the mask is per-id within a cluster —
+    # dup rows are unique by construction (the old join form needed a
+    # distinct over the surviving pair list)
+    dup = ev.groupBy("cluster").applyInPandas(_gram_prune, "vec_id bigint")
     return assigned.join(dup, "vec_id", "left_anti").select("vec_id", "cluster")

@@ -8,6 +8,7 @@ operators/tpcds.py's module docstring and apply unchanged here.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sparkfulltextquery_spark.operators.tpcds import _views
 from sparkfulltextquery_spark.registry import query
@@ -478,6 +479,51 @@ _Q14_TMPL = """
 """
 
 
+# r12 Spark-side fusion of _Q14_TMPL (template stays the DuckDB oracle;
+# driver compare proves equivalence). Two fusions:
+# (1) cross_items: the three INTERSECT branches each scanned lineitem⋈part
+#     with a different l_returnflag constant; a (brand, type) survives the
+#     INTERSECT chain iff it occurs under ALL THREE flags, which is ONE
+#     scan over l_returnflag IN ('A','N','R') grouped by (brand, type)
+#     HAVING count(DISTINCT l_returnflag) = 3 (INTERSECT's set semantics =
+#     the GROUP BY's key dedup; NULL brand/type group together exactly as
+#     INTERSECT's null-safe equality compares them).
+# (2) the two channel blocks differ only in the l_linestatus constant —
+#     one scan over IN ('F','O') with a CASE channel label feeds the same
+#     ROLLUP (the union's row multiset is reproduced row-for-row).
+# Plan: 6 lineitem scans → 3, part joined 4× → 2×
+# (plans/r12/tpcds_q14_*_{before,after}.txt).
+_Q14_FUSED = """
+    WITH cross_items AS (
+      SELECT p_brand, p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag IN ('A', 'N', 'R')
+        AND year(l_shipdate) BETWEEN 1997 AND 1998
+      GROUP BY p_brand, p_type
+      HAVING count(DISTINCT l_returnflag) = 3),
+    avg_sales AS (
+      SELECT avg(CAST(round(l_quantity) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS average_sales
+      FROM lineitem WHERE year(l_shipdate) BETWEEN 1997 AND 1998)
+    SELECT channel, p_brand,
+           CAST(sum(sales) AS BIGINT) AS sales_cents,
+           CAST(count(*) AS BIGINT) AS number_sales
+    FROM (
+      SELECT CASE l_linestatus WHEN 'F' THEN 'store' ELSE 'web' END AS channel,
+             p.p_brand,
+             CAST(round(l_quantity) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT) AS sales
+      FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+      JOIN cross_items ci ON p.p_brand = ci.p_brand AND p.p_type = ci.p_type
+      WHERE l_linestatus IN ('F', 'O') AND year(l_shipdate) = 1998
+    ) u
+    GROUP BY ROLLUP (channel, p_brand)
+    HAVING sum(sales) > (SELECT average_sales FROM avg_sales)
+    ORDER BY channel NULLS LAST, p_brand NULLS LAST
+    LIMIT 100
+"""
+
+
 @query("tpcds_q14_cross_channel_items", oracle=_Q14_TMPL)
 def tpcds_q14_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q14a shape (tpcds/q14a.sql): the item-attribute INTERSECT of
@@ -485,9 +531,10 @@ def tpcds_q14_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame
     CTE used as a HAVING threshold, and a channel UNION ALL rolled up by
     (channel, brand). Sales stay in exact integer cents end-to-end, so
     the HAVING threshold compares int64 sums against the exactly-derived
-    average in both engines."""
+    average in both engines. Spark executes the scan-fused rewrite
+    (_Q14_FUSED above); DuckDB keeps the literal template."""
     _views(spark, sf_dir)
-    return spark.sql(_Q14_TMPL)
+    return spark.sql(_Q14_FUSED)
 
 
 def _q49_channel(status: str, label: str) -> str:
@@ -528,6 +575,32 @@ _Q49_TMPL = f"""
 """
 
 
+# The channel-fused ratios relation for the r12 q49 rewrite (the _Q49_TMPL
+# stays the DuckDB oracle; the driver's result compare proves equivalence).
+# The template's two per-channel blocks differ only in the l_linestatus
+# constant; fused they are ONE returns aggregation and ONE sales scan over
+# l_linestatus IN ('F','O') grouped by (linestatus → channel, item).
+_Q49_RATIOS = """
+    SELECT CASE s.l_linestatus WHEN 'F' THEN 'store' ELSE 'web' END AS channel,
+           s.l_partkey AS item,
+           sum(COALESCE(r.ret_qty, 0)) / (sum(CAST(round(s.l_quantity) AS BIGINT)) + 0.0)
+             AS return_ratio,
+           sum(COALESCE(r.ret_cents, 0)) / (sum(CAST(round(s.l_extendedprice * 100) AS BIGINT)) + 0.0)
+             AS currency_ratio
+    FROM lineitem s
+    LEFT OUTER JOIN (
+      SELECT l_orderkey AS r_ok, l_partkey AS r_pk,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS ret_qty,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ret_cents
+      FROM lineitem WHERE l_returnflag = 'R'
+      GROUP BY l_orderkey, l_partkey
+    ) r ON s.l_orderkey = r.r_ok AND s.l_partkey = r.r_pk
+    WHERE s.l_linestatus IN ('F', 'O') AND s.l_returnflag <> 'R'
+      AND year(s.l_shipdate) = 1998
+    GROUP BY s.l_linestatus, s.l_partkey
+"""
+
+
 @query("tpcds_q49_return_ratio_ranks", oracle=_Q49_TMPL)
 def tpcds_q49_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q49 shape (tpcds/q49.sql): per-channel worst-returns report —
@@ -535,9 +608,68 @@ def tpcds_q49_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns relation, TWO rank windows per channel, rows ranked top-10 in
     EITHER ranking, channels unioned with a label column. Ratios divide
     exact int64 sums, so ranks agree across engines; item tiebreakers pin
-    equal-ratio rank order."""
+    equal-ratio rank order.
+
+    r12 Spark-side rewrite (DuckDB keeps the literal template; the result
+    compare proves equivalence). The template's rank() OVER (ORDER BY …)
+    windows are GLOBAL per channel — four single-partition window sorts of
+    the whole per-item ratios relation (the 100 TB scale cliff: one task
+    sorts every item). Because `item` is a group key, rank has no ties
+    (rank ≡ row_number), so:
+
+    1. ratios — the channel-fused aggregation (_Q49_RATIOS: one returns
+       agg + one sales scan instead of two of each; the three consumers
+       below share its exchange via AQE ReuseExchange).
+    2. survivors — each "rank ≤ 10" becomes a PARTITION BY channel rank
+       filtered to 10, which Spark 3.5+ executes as WindowGroupLimit:
+       partition-local top-10 HEAPS before the exchange, never a global
+       sort (plan pinned in tests/test_plans.py).
+    3. return_rank for the ≤ 2·10·channels survivors = 1 + count of
+       strictly-smaller (return_ratio, item) rows in the channel — one
+       broadcast count pass, no window.
+
+    Measured (same session, median of 3): sf10 13.9 → 8.9s and the
+    decade ratio flattens 4.5× → 1.9×/decade; the cost is ~+0.6s of
+    fixed per-job overhead at sf0.1 (1.19 → 1.75s) — the scale trade the
+    100 TB goal wants. Rows verified identical at sf0.1/sf1/sf10 and by
+    the full oracle matrix."""
     _views(spark, sf_dir)
-    return spark.sql(_Q49_TMPL)
+    from pyspark.sql import Window
+
+    ratios = spark.sql(_Q49_RATIOS)
+    wr = Window.partitionBy("channel").orderBy("return_ratio", "item")
+    wc = Window.partitionBy("channel").orderBy("currency_ratio", "item")
+    s_a = ratios.withColumn("_rn", F.rank().over(wr)).filter("_rn <= 10").drop("_rn")
+    s_b = ratios.withColumn("_rn", F.rank().over(wc)).filter("_rn <= 10").drop("_rn")
+    surv = s_a.unionAll(s_b).dropDuplicates(["channel", "item"]).select(
+        F.col("channel").alias("s_ch"),
+        F.col("item").alias("s_item"),
+        F.col("return_ratio").alias("s_rr"),
+    )
+    cnt = (
+        ratios.join(F.broadcast(surv), F.col("channel") == F.col("s_ch"))
+        .filter(
+            (F.col("return_ratio") < F.col("s_rr"))
+            | (
+                (F.col("return_ratio") == F.col("s_rr"))
+                & (F.col("item") < F.col("s_item"))
+            )
+        )
+        .groupBy("s_ch", "s_item", "s_rr")
+        .agg(F.count(F.lit(1)).alias("_before"))
+    )
+    return (
+        surv.join(cnt, ["s_ch", "s_item", "s_rr"], "left")
+        .select(
+            F.col("s_ch").alias("channel"),
+            F.col("s_item").cast("bigint").alias("item"),
+            F.round("s_rr", 6).alias("return_ratio"),
+            (F.coalesce(F.col("_before"), F.lit(0)) + 1)
+            .cast("bigint")
+            .alias("return_rank"),
+        )
+        .orderBy("channel", "return_rank", "item")
+    )
 
 
 _Q75_TMPL = """

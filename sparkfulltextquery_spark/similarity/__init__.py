@@ -15,10 +15,18 @@ and search is expressed three ways:
 - random-hyperplane LSH     : deterministic ±1 projections from the portable
   hash; sign pattern = bucket key; near-dup blocking without n² pairs
 
-No Pandas UDF needed: dim≤~1k dot products stay in whole-stage codegen.
+One-off scoring stays in JVM expressions (a single unrolled dot against a
+literal query vector IS whole-stage-codegen'd); the n·k Lloyd assignment
+hot loop is the exception — every JVM spelling of "k dim-length distance
+sums per row" measured slower than a vectorized Arrow argmin (the fold is
+CodegenFallback, the unrolled tree blows codegen's method limits at k·dim
+scale) — see _argmin_np_udf for the measured A/B.
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -719,64 +727,78 @@ def pq_adc_topk(
     )
 
 
-def _argmin_cluster_expr(vec_col: str | Column, cs_col: str = "_cs") -> Column:
-    """Per-ROW nearest-centroid argmin over a collected (cluster, c) struct
-    array: transform each centroid to (d2, cluster) and take array_min —
-    struct ordering compares d2 first, then cluster, which is exactly the
-    min(struct(d2, cluster)) tie-break rule (6dp-rounded d2, cluster asc).
-    The fold distance is bit-identical to the unrolled form (module note)."""
-    vcol = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    ds = F.transform(
-        F.col(cs_col),
-        lambda s: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(vcol, s["c"], lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("d2"),
-            s["cluster"].alias("cluster"),
-        ),
-    )
-    return F.array_min(ds)["cluster"]
+def _argmin_np_udf(sc, cent_rows):
+    """Vectorized nearest-centroid argmin as an Arrow pandas_udf over the
+    vector column, against a DRIVER-COLLECTED (cluster, c) list (bounded
+    k·dim — the mllib KMeans discipline: runAlgorithm broadcasts collected
+    centers every round). Semantics are the kmeans_assign contract:
+    squared-L2 rounded at 6dp, ties to the LOWEST cluster id — implemented
+    by iterating clusters ascending with a strict `<` update. Per batch the
+    distance is the explicit (v−c)² row sum (no ‖v‖²+‖c‖²−2v·c
+    rearrangement: its cancellation error on near-duplicate vectors is far
+    above the fold's ulp), so the only difference vs the JVM fold is
+    pairwise vs sequential summation order — last-ulp, absorbed by the 6dp
+    round exactly like the DuckDB-vs-Spark order difference the 6dp
+    contract already exists for; assignments verified row-identical vs the
+    fold form at sf0.001/0.01/0.1/1 (k=8..141) and the full parity matrix.
 
+    Why Arrow/NumPy instead of JVM expressions (guide §4.2): the n·k hot
+    loop needs k dim-length distance sums PER ROW; every JVM spelling
+    measured slower at scale — HigherOrderFunction fold (CodegenFallback,
+    interpreted + per-element alloc): 13.7s for kmeans_iterate(k=141) at
+    sf1; crossJoin(k rows) + unrolled codegen d2 + min(struct) partial agg
+    (shuffles n rows/round): 4.3s; unrolled d2 INSIDE transform (one
+    parse, still interpreted): 25.8s; this NumPy batch argmin: 1.03s,
+    identical assignments. At sf10 (n=200k, k=447) the gap widens — the
+    fold is O(n·k·dim) interpreted evals while NumPy streams the same
+    flops through vectorized C."""
+    clusters = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    C = np.array([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
+    bc = sc.broadcast((clusters, C))
 
-def _centroid_array(centroids: DataFrame) -> DataFrame:
-    """Collapse the k-row (cluster, c) relation to ONE row holding the
-    cluster-ascending sorted struct array `_cs` (k·dim values — the same
-    bounded size every Lloyd round already shuffles). The size filter
-    preserves the empty-centroids case: no centroids → no rows → an
-    assignment join yields no rows (the pre-r12 crossJoin semantics)."""
-    return centroids.agg(
-        F.sort_array(F.collect_list(F.struct(F.col("cluster"), F.col("c")))).alias(
-            "_cs"
-        )
-    ).filter(F.size("_cs") > 0)
+    @F.pandas_udf("int")
+    def argmin_np(s: pd.Series) -> pd.Series:
+        cl, Cm = bc.value
+        V = np.array(s.tolist(), dtype=np.float64)
+        best_d = np.full(len(V), np.inf)
+        best_c = np.zeros(len(V), dtype=np.int64)
+        for j in range(len(cl)):
+            d2 = np.round(((V - Cm[j]) ** 2).sum(axis=1), 6)
+            take = d2 < best_d  # strict: ties keep the earlier (lower) cluster
+            best_d = np.where(take, d2, best_d)
+            best_c = np.where(take, cl[j], best_c)
+        return pd.Series(best_c)
+
+    return argmin_np
 
 
 def kmeans_assign(
     vectors: DataFrame, centroids: DataFrame, vec_col: str = "v",
     dim: int | None = None,
 ) -> DataFrame:
-    """(vec_id, cluster): nearest-centroid assignment. The k centroids
-    collapse to a single sorted struct-array row broadcast into the scan;
-    the argmin is a per-row array_min over (d2, cluster) structs — entirely
-    MAP-SIDE, no per-assignment shuffle (r12; the previous crossJoin +
-    groupBy(vec_id) min(struct) shape paid a full shuffle of every vector
-    per Lloyd round and planned k·dim-wide expression trees — measured
-    kmeans_iterate(k=8, iters=2) at sf0.1: plan 0.80→0.16s, exec
-    0.60→0.43s, assignments identical at k=8 and k=44). Squared-L2 is
-    rounded to 6dp so the tie-break (cluster asc) stays engine-portable;
-    ``dim`` is accepted for signature compatibility — the fold form is
-    bit-identical to the unrolled sum (module note), so the static unroll
-    is no longer used here."""
-    del dim  # fold == unrolled bit-for-bit; the fold tree plans ~50x smaller
-    carr = _centroid_array(centroids)
-    return vectors.join(F.broadcast(carr)).select(
-        "vec_id", _argmin_cluster_expr(vec_col).alias("cluster")
+    """(vec_id, cluster): nearest-centroid assignment. The k-row centroid
+    relation is COLLECTED (bounded k·dim doubles — the same driver-side
+    budget pq_train's codebook collect already uses, and exactly what
+    mllib KMeans does per round) and broadcast into a vectorized Arrow
+    argmin over the vector column — entirely MAP-SIDE: no join, no
+    exchange, one ArrowEvalPython over (vec_id, v) batches (r12 second
+    pass; see _argmin_np_udf for the measured A/B against the three JVM
+    spellings — 4-13× at sf1, more at sf10). Squared-L2 rounds at 6dp so
+    the tie-break (cluster asc) stays engine-portable; ``dim`` is accepted
+    for signature compatibility."""
+    del dim  # the NumPy batch argmin needs no static unroll
+    rows = sorted(
+        ((r["cluster"], list(r["c"])) for r in centroids.select("cluster", "c").collect()),
+        key=lambda t: t[0],
     )
+    if not rows:
+        # empty-centroid semantics of the pre-r12 crossJoin: no centroids →
+        # no assignment rows
+        return vectors.select(
+            F.col("vec_id"), F.lit(None).cast("int").alias("cluster")
+        ).limit(0)
+    udf = _argmin_np_udf(vectors.sparkSession.sparkContext, rows)
+    return vectors.select("vec_id", udf(vec_col).alias("cluster"))
 
 
 def kmeans_iterate(
@@ -794,21 +816,23 @@ def kmeans_iterate(
     labeled by seed vec_id), `iters` unrolled assign→update rounds,
     returns final (vec_id, cluster).
 
-    Scale shape per round: assignment = broadcast(k-centroid ARRAY row) ×
-    scan with a per-row array_min argmin — fully map-side, NO shuffle of
-    the vectors (r12; previously a crossJoin + groupBy(vec_id) min(struct)
-    that shuffled every vector each round); update = posexplode →
+    Scale shape per round: the k·dim centroid table COLLECTS to the driver
+    (the mllib KMeans discipline — runAlgorithm collects and broadcasts the
+    centers every round) and assignment is a vectorized Arrow argmin over
+    the vector batches — fully map-side, NO join and NO shuffle of the
+    vectors (r12 second pass; the measured A/B of the four assignment
+    spellings is in _argmin_np_udf's docstring — this one is 4-13× the
+    JVM forms at sf1 and identical row-for-row); update = posexplode →
     groupBy(cluster, dim) → gather — shuffle volume O(k·dim), not O(rows).
-    The loop is driver-side plan construction only; no data ever collects.
-    ``truncate_lineage=True`` localCheckpoints the k-row centroid table
-    after each update round (the mllib KMeans lineage discipline,
-    mllib/.../clustering/KMeans.scala runAlgorithm), keeping the final
-    plan O(1) nodes per iteration — asserted in tests/test_plans.py; off
-    by default so the oracle-checked query replays the exact unrolled plan
-    (at iters≤3 lineage stays shallow)."""
+    Each non-final round therefore runs as its own bounded job at
+    CONSTRUCTION time (k·dim doubles to the driver); only the final
+    assignment stays lazy. ``truncate_lineage`` is accepted for signature
+    compatibility — lineage is already cut by construction (each round's
+    input is a collected literal), so the flag is a no-op."""
     ev = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    sc = embeddings.sparkSession.sparkContext
     cents = (
         ev.orderBy("vec_id")
         .limit(k)
@@ -816,22 +840,23 @@ def kmeans_iterate(
     )
     assigned = None
     for i in range(iters):
-        # map-side argmin over the broadcast centroid array (see
-        # kmeans_assign); the assignment keeps `v` so the update aggregates
-        # it directly instead of re-joining the scan (r12: one join fewer
-        # per round)
-        carr = _centroid_array(cents)
-        assigned = ev.join(F.broadcast(carr)).select(
-            "vec_id", "v", _argmin_cluster_expr("v").alias("cluster")
+        rows = sorted(
+            ((r["cluster"], list(r["c"])) for r in cents.select("cluster", "c").collect()),
+            key=lambda t: t[0],
         )
+        if not rows:
+            return ev.select(
+                "vec_id", F.lit(None).cast("int").alias("cluster")
+            ).limit(0)
+        udf = _argmin_np_udf(sc, rows)
+        # the assignment keeps `v` so the update aggregates it directly
+        # instead of re-joining the scan
+        assigned = ev.select("vec_id", "v", udf("v").alias("cluster"))
         if i == iters - 1:
             break  # the final update round was never consumed (lazy)
         # centroid update as posexplode → avg per (cluster, dim) → gather —
-        # the oracle's own CTE shape (_kmeans_duck m{i}/c{i}). Same avg
-        # values as the previous dim-wide agg row, but the plan is O(1)
-        # expression nodes instead of O(dim) per round (r12: the dim-wide
-        # tree dominated DRIVER PLANNING — kmeans_iterate plan wall
-        # 0.80→0.16s at dim=64; shuffle volume is O(k·dim) either way)
+        # the oracle's own CTE shape (_kmeans_duck m{i}/c{i}); shuffle
+        # volume O(k·dim) after the map-side partial agg
         upd = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -842,10 +867,6 @@ def kmeans_iterate(
                 F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda p: p["m"]
             ).alias("c")
         )
-        if truncate_lineage:
-            # k rows × dim doubles — the materialization is tiny; what it
-            # buys is a fresh lineage root for the next round's broadcast
-            cents = cents.localCheckpoint(eager=True)
     return assigned.select("vec_id", "cluster")
 
 

@@ -333,15 +333,19 @@ def test_scd2_windows_share_one_partitioning(spark):
     assert plan.count("hashpartitioning(o_custkey") <= 1, plan
 
 
-def test_kmeans_assign_is_broadcast_no_window(spark):
-    """Each Lloyd assignment must broadcast the k-row centroid table and
-    plan the argmin as a hash aggregate — no Window sort, no SMJ of the
-    vector table against centroids."""
+def test_kmeans_assign_is_mapside_arrow_argmin(spark):
+    """The final Lloyd assignment must be fully MAP-SIDE: one vectorized
+    Arrow argmin over the vector scan against driver-collected centroids
+    (the mllib broadcast-centers discipline) — no Window sort, no join of
+    the vector table against centroids, and NO exchange at all (the r12
+    shape; the earlier crossJoin+min(struct) form shuffled every vector
+    per round)."""
     df = _q(spark, "sim_kmeans_assign")
     plan = physical_plan(df)
     assert "Window" not in plan, plan
-    assert uses_broadcast_join(df)
     assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" in plan, plan
+    assert "Exchange" not in plan, plan
 
 
 def test_graph_queries_have_no_cartesian(spark):
@@ -594,8 +598,15 @@ def test_tpcds_batch6to9_shapes(spark):
     over aggregates, the 6-reference CTE self-join stays cartesian-free,
     the wide pivot is a two-level partial+final aggregation, and the q32
     fact-side correlated threshold decorrelates without nested loops."""
+    # r12: the INTERSECT chain is scan-fused into ONE grouped pass with
+    # HAVING count(DISTINCT l_returnflag) = 3 (oracle unchanged) — the
+    # guardrail is now "one lineitem scan feeds cross_items" (3 scans
+    # total incl. avg_sales + the channel pass, was 6) and cartesian-free
     plan = physical_plan(_q(spark, "tpcds_q14_cross_channel_items"))
-    assert "LeftSemi" in plan and "CartesianProduct" not in plan, plan
+    # 5 scans (3 lineitem + 2 part) x 2 formatted mentions each; the
+    # template's inlined INTERSECT+UNION planned 17 scans (34 mentions)
+    assert plan.count("Scan parquet") <= 10, plan
+    assert "CartesianProduct" not in plan, plan
     plan = physical_plan(_q(spark, "tpcds_q87_except_chain"))
     assert "LeftAnti" in plan, plan
     plan = physical_plan(_q(spark, "tpcds_q4_triple_channel_growth"))
@@ -604,8 +615,12 @@ def test_tpcds_batch6to9_shapes(spark):
     assert plan.count("HashAggregate") >= 4, plan  # 2 levels x partial+final
     plan = physical_plan(_q(spark, "tpcds_q32_excess_discount"))
     assert "CartesianProduct" not in plan, plan
+    # r12: the top-10 rank filters must execute as WindowGroupLimit
+    # (partition-local top-k heaps before the exchange), never as the
+    # template's global single-partition window sorts — the 100 TB cliff
     plan = physical_plan(_q(spark, "tpcds_q49_return_ratio_ranks"))
-    assert "Window" in plan and "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_tpcds_tail_shapes(spark):
@@ -653,15 +668,20 @@ def test_ngram_aggregate_single_shuffle_topk(spark):
 
 
 def test_semdedup_pair_stage_is_cluster_equi_join(spark):
-    """SemDeDup's quadratic stage must plan as an equi-join on the cluster
-    key (n²/k per cluster), never a CartesianProduct over the vectors; the
-    only cross joins allowed are the k-row broadcast centroid scans inside
-    the Lloyd rounds, and the final prune must plan as a left-anti join."""
+    """SemDeDup's quadratic stage must stay bucketed by cluster (n²/k per
+    cluster), never a CartesianProduct over the vectors: the r12 shape is
+    ONE grouped Arrow pass (FlatMapGroupsInPandas computing each cluster's
+    Gram block in BLAS — each vector crosses the cluster exchange once,
+    where the former self-join shipped every vector twice and evaluated an
+    interpreted fold per pair), and the final prune must plan as a
+    left-anti join."""
     df = _q(spark, "dedup_semdedup_prune")
     plan = physical_plan(df)
     for line in plan.splitlines():
         if "CartesianProduct" in line:
             raise AssertionError(plan)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("hashpartitioning(cluster") <= 1, plan
     assert "LeftAnti" in plan, plan
 
 

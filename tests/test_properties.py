@@ -687,6 +687,51 @@ def test_kmeans_recovers_planted_clusters(spark):
     assert len({next(iter(v)) for v in learned}) == n_clusters
 
 
+def test_kmeans_assign_numpy_matches_jvm_reference(spark):
+    """Row-identity contract for the r12 vectorized assignment: the Arrow
+    NumPy argmin (kmeans_assign) must reproduce the JVM reference shape —
+    crossJoin(k centroids) + 6dp-rounded fold d2 + min(struct(d2, cluster))
+    — row for row, including duplicate-vector ties (equal d2 → lowest
+    cluster id), on the sf0.001 embeddings at both a small and a
+    sqrt(n)-sized k."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    from sparkfulltextquery_spark.similarity import kmeans_assign
+    from sparkfulltextquery_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    ev = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    import math
+
+    n = ev.count()
+    for k in (8, max(8, math.isqrt(n))):
+        cents = (
+            ev.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("c"))
+        )
+        d2 = F.round(
+            F.aggregate(
+                F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+        ref = sorted(
+            ev.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cluster", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster")).alias("best"))
+            .select("vec_id", F.col("best.cluster").alias("cluster"))
+            .collect()
+        )
+        got = sorted(kmeans_assign(ev, cents).collect())
+        assert got == ref, (k, got[:5], ref[:5])
+
+
 def test_minhash_shingleless_docs_never_candidates(spark):
     """ADVICE r04 (medium): docs with fewer than SHINGLE_K tokens have an
     empty shingle set; they must be dropped before banding — otherwise all
