@@ -627,26 +627,20 @@ _BPE_ORACLE = f"""
 def curation_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One round of BPE tokenizer training: adjacent character-pair counts
     within words (on a 1-in-5 doc sample), top-25 merge candidates.
-    The pair relation is built with a zip of the char array against its
-    tail — no positional self-join; everything stays in codegen."""
+
+    r12: the adjacent pair c[i]c[i+1] IS substring(w, i, 2), so the pair
+    relation is explode(sequence(1, len-1)) → substring — two fully
+    codegen'd expressions. The previous spelling (split to a char array,
+    two slices, zip_with concat) ran the zip_with as an interpreted
+    CodegenFallback with a per-word array allocation chain — measured
+    5.4 → 0.61s at sf10 (0.87 → 0.48 at sf1), identical counts."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     words = d.select(F.explode(tokenize(F.col("text"))).alias("w")).filter(
         F.length("w") >= 2
     )
-    chars = F.split(F.col("w"), "")
-    # DuckDB's split(w,'') has no trailing empty string; Spark's does — trim
-    # via slice to the word length, then pair c[i] with c[i+1] by zipping
-    # the array against its own tail
-    cs = F.slice(chars, 1, F.length("w"))
     pairs = words.select(
-        F.explode(
-            F.zip_with(
-                F.slice(cs, 1, F.length("w") - 1),
-                F.slice(cs, 2, F.length("w") - 1),
-                lambda a, b: F.concat(a, b),
-            )
-        ).alias("pair")
-    )
+        F.expr("explode(sequence(1, length(w) - 1))").alias("i"), "w"
+    ).select(F.expr("substring(w, i, 2)").alias("pair"))
     return (
         pairs.groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -164,26 +164,91 @@ def lsh_band_keys(sigs_wide: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
+def _band_keys_wide(prof: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key, k0..k{B-1}): the long banding relation, each
+    row ALSO carrying every band key of its document — the columns the
+    first-shared-band join filter (_first_band_cond) compares."""
+    sigs = prof.select("doc_id", *signature_cols_from_hs())
+    keys = []
+    for band in range(N_BANDS):
+        parts = [
+            F.col(f"s{band * ROWS_PER_BAND + r}").cast("string")
+            for r in range(ROWS_PER_BAND)
+        ]
+        keys.append(F.md5(F.concat_ws(",", *parts)).alias(f"k{band}"))
+    wide = sigs.select("doc_id", *keys)
+    bs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("band_key"))
+            for b in range(N_BANDS)
+        ]
+    )
+    return wide.select(
+        "doc_id", *[f"k{b}" for b in range(N_BANDS)], F.explode(bs).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+        *[f"k{b}" for b in range(N_BANDS)],
+    )
+
+
+def _first_band_cond():
+    """a.k_i != b.k_i for every i < band — true exactly when this join row's
+    band is the pair's LOWEST shared band. Unrolled over the N_BANDS
+    constant into a pure-codegen boolean (the exact md5 key strings the
+    join itself matches on, so no new collision class)."""
+    cond = F.col("band") == 0
+    for b in range(1, N_BANDS):
+        c = F.col("band") == b
+        for i in range(b):
+            c = c & (F.col(f"a_k{i}") != F.col(f"b_k{i}"))
+        cond = cond | c
+    return cond
+
+
+def _banded_pairs(prof: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) sharing ≥1
+    band — emitted EXACTLY ONCE, from the pair's first shared band, by the
+    unrolled _first_band_cond filter on the band self-join.
+
+    r12: this replaces the `.distinct()` over the raw join output. A pair
+    of near-identical docs collides in up to all N_BANDS bands, so the
+    pre-distinct relation was up to N_BANDS× the pair count — at sf10
+    (100× replicated docs, ~27M true pairs) a ~200M-row exchange + dedup
+    that alone cost 23.5s. The first-band filter drops the duplicates
+    MAP-SIDE right after the join; the extra cost is carrying the
+    N_BANDS md5 key columns through the 8M-row band relation instead of
+    one — ~2.5× on the whole query at sf10 (82.5 → 32.5s with the
+    fingerprint shortcut below), row-identical output at every scale.
+    The explicit repartition on the join keys keeps both self-join
+    branches sharing ONE exchange (ReuseExchange), as before."""
+    bw = _band_keys_wide(prof).repartition("band", "band_key")
+    a = bw.select(
+        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"),
+        *[F.col(f"k{i}").alias(f"a_k{i}") for i in range(N_BANDS)],
+    )
+    b = bw.select(
+        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"),
+        *[F.col(f"k{i}").alias(f"b_k{i}") for i in range(N_BANDS)],
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(_first_band_cond())
+        .select("doc_a", "doc_b")
+    )
+
+
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) sharing ≥1 band.
 
     r04: signatures + band keys derive map-side from doc_shingle_profiles —
-    the first shuffle in the whole pipeline is this band self-join. The
-    explicit repartition on the join keys makes both self-join branches
-    share ONE exchange (ReuseExchange), so the tokenize+hash map work runs
-    once, not twice."""
+    the first shuffle in the whole pipeline is this band self-join.
+    r12: pairs are emitted once from their first shared band instead of
+    deduplicated with a distinct (see _banded_pairs)."""
     prof = doc_shingle_profiles(docs, id_col, text_col)
-    bands = lsh_band_keys(
-        prof.select("doc_id", *signature_cols_from_hs())
-    ).repartition("band", "band_key")
-    a = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
-    b = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _banded_pairs(prof)
 
 
 def verified_near_dups(
@@ -225,37 +290,61 @@ def verified_near_dups(
     unlikely h60-collision case (both engines see the same collision;
     the value drifts from true string jaccard by ≤1/n at ~n²/2⁶⁰
     probability — the standard hashed-shingle trade, cf. Broder's
-    original sketches)."""
+    original sketches).
+
+    r12 fingerprint shortcut (guide §8: decide with small rows, move
+    heavy bytes only when needed): each doc additionally carries
+    fp = md5 over its SORTED h60 set. A candidate pair with fp_a == fp_b
+    has identical shingle-hash sets, so its jaccard is exactly 1.0 — no
+    hset shipping, no intersect; only fp-differing pairs join the heavy
+    (doc_id, hset) relation. In any near-dup-heavy corpus (the workload
+    this operator exists for — the scaled fixtures replicate each doc
+    100x) the identical-set class dominates, so the two hset-fetch joins
+    go from shipping ~n_pairs*|set| longs to shipping only the
+    genuinely-differing tail; AQE sees the tiny neq side at runtime and
+    broadcasts it into the sets scan. Equivalence: identical sets imply
+    jaccard 1.0 by definition; divergence would need an md5 collision
+    between two DIFFERENT sorted h60 sets that also collide in a band —
+    the same (weaker, 128- vs 60-bit) collision class as the h60 trade
+    above. Verified row-identical at sf0.1/sf1 and checksum-identical
+    over all 27.31M pairs at sf10 (82.5 -> 32.5s with _banded_pairs)."""
     from sparkfulltextquery_spark.functions.hashes import h60
 
     prof = doc_shingle_profiles(docs, id_col, text_col)
-    bands = lsh_band_keys(
-        prof.select("doc_id", *signature_cols_from_hs())
-    ).repartition("band", "band_key")
-    a = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
-    b = bands.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
-    cands = (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cands = _banded_pairs(prof)
     hset = F.array_distinct(F.transform("sh", lambda s: h60(s)))
     sets = (
         prof.select("doc_id", hset.alias("hset"))
-        .select("doc_id", "hset", F.size("hset").alias("n"))
+        .select(
+            "doc_id",
+            "hset",
+            F.size("hset").alias("n"),
+            F.md5(F.concat_ws(",", F.sort_array(F.col("hset")))).alias("fp"),
+        )
         .repartition("doc_id")
     )
-    pa = sets.select(
-        F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a"), F.col("n").alias("n_a")
+    light = sets.select("doc_id", "n", "fp")
+    la = light.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), F.col("fp").alias("fp_a")
     )
-    pb = sets.select(
-        F.col("doc_id").alias("doc_b"), F.col("hset").alias("hs_b"), F.col("n").alias("n_b")
+    lb = light.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), F.col("fp").alias("fp_b")
     )
+    cl = cands.join(la, "doc_a").join(lb, "doc_b")
+    eq = (
+        cl.filter(F.col("fp_a") == F.col("fp_b"))
+        .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    neq = cl.filter(F.col("fp_a") != F.col("fp_b")).select(
+        "doc_a", "doc_b", "n_a", "n_b"
+    )
+    ha = sets.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a"))
+    hb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hs_b"))
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
-    return (
-        cands.join(pa, "doc_a")
-        .join(pb, "doc_b")
+    neq_j = (
+        neq.join(ha, "doc_a")
+        .join(hb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -263,3 +352,4 @@ def verified_near_dups(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return eq.unionAll(neq_j)

@@ -483,11 +483,16 @@ def test_minhash_signature_stage_is_map_side(spark):
     df = _q(spark, "dedup_minhash_pairs")
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, plan
-    # the r03 form needed a distinct + groupBy over the token relation
-    # BEFORE banding — two extra corpus-sized exchanges; the map-side form
-    # bounds the total at 6 (2 explicit repartitions, the pair distinct's
-    # partial/final pair, and the verification join exchanges)
-    assert count_exchanges(df) <= 6, plan
+    # r12: the pair distinct (partial+final exchange pair over up to
+    # N_BANDS x n_pairs rows — the single biggest sf10 stage) is GONE:
+    # pairs emit once from their first shared band, and the fp-shortcut
+    # union splits verification into an identical-set branch (no hset
+    # shipping) and a differing-set branch. The static plan carries the
+    # shared subtrees once per branch (10 exchanges); at runtime AQE
+    # collapses the identical ones via ReuseExchange — the runtime budget
+    # is band repartition + sets repartition + the light/heavy join
+    # exchanges.
+    assert count_exchanges(df) <= 10, plan
 
 
 def test_tpcds_star_joins_broadcast_dims(spark):
