@@ -8,7 +8,10 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
 
+
+@pytest.mark.heavy
 def test_hive_metastore_table_round_trip(tmp_path):
     script = textwrap.dedent(
         f"""
@@ -54,6 +57,7 @@ def test_hive_metastore_table_round_trip(tmp_path):
     assert "HIVE_OK" in out.stdout, f"stdout={out.stdout[-800:]}\nstderr={out.stderr[-800:]}"
 
 
+@pytest.mark.heavy
 def test_hive_udf_udaf_udtf_passthrough(tmp_path):
     """Hive UDF/UDAF/UDTF fallthrough (reference hiveUDFs.scala:41,114,183;
     HiveSessionCatalog.scala:227-230): CREATE TEMPORARY FUNCTION against

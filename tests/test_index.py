@@ -266,6 +266,7 @@ def test_autocomplete_ranked_by_df(spark, index_tables):
     assert dfs == sorted(dfs, reverse=True)
 
 
+@pytest.mark.heavy
 def test_pq_codes_persisted_equals_inline(spark, tmp_path):
     """The persisted PQ code table (m ints/vector, partitioned by coarse
     label) must reproduce the inline PQ search exactly — and its scan must
@@ -909,6 +910,7 @@ def test_generation_pointer_non_ascii_path_roundtrip(spark, tmp_path):
     assert _hadoop_read_pointer(spark, root) == gen
 
 
+@pytest.mark.heavy
 def test_ann_index_lifecycle_recall_and_swap(spark, tmp_path):
     """ANN index lifecycle retrieval-quality gate (r11, VERDICT r10 #3):
     all prior recall evidence was on freshly built indexes — this grows
@@ -1045,6 +1047,7 @@ def test_ann_index_lifecycle_recall_and_swap(spark, tmp_path):
     full.unpersist()
 
 
+@pytest.mark.heavy
 def test_ann_lifecycle_drift_reclustered_compaction(spark, tmp_path):
     """Distribution-shift lifecycle contract (r11): appends drawn from 5
     clusters the gen-1 structure never saw are ingest-assigned to the
@@ -1122,6 +1125,7 @@ def test_ann_lifecycle_drift_reclustered_compaction(spark, tmp_path):
     full.unpersist()
 
 
+@pytest.mark.heavy
 def test_stream_append_vectors_idempotent_replay(spark, tmp_path):
     """r12 (ADVICE r11): segments are segment=<batch_id> partition
     directories written with mode('overwrite') — a replayed batch (here:
@@ -1232,6 +1236,7 @@ def test_compact_unpublished_generations_get_distinct_dirs(spark, tmp_path):
     assert again == first
 
 
+@pytest.mark.heavy
 def test_compact_sample_trained_recluster_parity_and_determinism(
     spark, tmp_path
 ):

@@ -29,6 +29,7 @@ def test_oracle_parity(spark, duck, name):
     assert_query_matches_oracle(spark, duck, spec.fn, spec.oracle, name=name)
 
 
+@pytest.mark.heavy
 def test_no_query_degenerates_to_empty(spark):
     """An empty result passes the oracle comparison vacuously — make sure
     every registered query actually exercises rows at the test scale."""
@@ -44,6 +45,7 @@ def test_every_query_has_an_oracle():
     assert _ROWS_ONLY == [], _ROWS_ONLY
 
 
+@pytest.mark.heavy
 def test_all_query_schemas_deterministic(spark):
     """Two plan-builds of every registered query must yield identical
     schemas (the driver's stable-schema smoke, applied to all 200+):

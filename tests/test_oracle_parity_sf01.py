@@ -8,10 +8,12 @@ cluster count, minhash banding, window composites over longer
 partitions, and the indexed-search pruning paths. This module pins the
 heavy hitters at sf0.1 with their exact registered oracles.
 
-Marked ``sf01`` (registered in pytest.ini) and skipped automatically
-when the sf0.1 testdata directory is absent. Run explicitly:
+Marked ``sf01`` + ``heavy`` (registered in pytest.ini; ``heavy`` is
+deselected by the default addopts — the r13 driver-tier split) and
+skipped automatically when the sf0.1 testdata directory is absent. Run
+explicitly (the CLI -m overrides the addopts deselection):
 
-    python -m pytest tests/test_oracle_parity_sf01.py -q
+    python -m pytest tests/test_oracle_parity_sf01.py -q -m sf01
 
 It builds its own DuckDB connection over the sf0.1 parquet — the session
 ``duck`` fixture serves the default gate's SF_DIR.
@@ -31,7 +33,7 @@ from tests.conftest import TABLES, assert_query_matches_oracle
 
 SF01_DIR = os.environ.get("SPARK_GRAFT_SF01_DIR", "/root/testdata/sf0.1")
 
-pytestmark = pytest.mark.sf01
+pytestmark = [pytest.mark.sf01, pytest.mark.heavy]
 
 # Heavy hitters: the classes that only stress at scale. Keep ~30; every
 # name must exist in the registry (asserted below) so renames fail loudly.

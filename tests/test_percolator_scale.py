@@ -9,10 +9,17 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
+
 
 from scripts.measure_percolator_boundary import gen_registry
 from tests.conftest import SF_DIR
+
+# scale-matrix tier (r13): every test here drives a 1k-1M query registry —
+# stress coverage, not gating; the driver tier keeps the quick percolator
+# equivalence pins in test_querylang/test_streaming
+pytestmark = pytest.mark.heavy
 
 
 def _py_matches(queries, toks):

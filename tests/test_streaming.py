@@ -564,6 +564,7 @@ def test_incremental_rollup_dynamic_partition_overwrite(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.heavy
 def test_stream_stream_left_outer_join_watermark_flush(spark, tmp_path):
     """Left-outer stream-stream join: unmatched clicks must emit null-padded
     rows ONLY after the watermark passes their join horizon (outer rows are
@@ -684,6 +685,7 @@ def test_streaming_signature_store_feeds_incremental_dedup(spark, tmp_path):
     assert (501025, 1025) in got, got
 
 
+@pytest.mark.heavy
 def test_microbatch_latency_ceiling(spark, tmp_path):
     """Streaming latency evidence (VERDICT r05 #6): a rate source feeding a
     watermarked tumbling-window aggregation, with per-batch wall time read
@@ -1084,6 +1086,7 @@ def test_streaming_percolation_alerts_equal_batch(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.heavy
 def test_stream_percolate_at_registry_scale_1k(spark, tmp_path):
     """Streaming percolation at REGISTRY scale (r10, VERDICT r09 #6): a
     1,000-query registry — 4 chunked compiles per micro-batch plus the
@@ -1162,6 +1165,7 @@ def test_stream_percolate_at_registry_scale_1k(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.heavy
 def test_stream_percolate_candidate_set_changes_mid_stream(spark, tmp_path):
     """r12 (VERDICT r11 #5): the per-stream compile cache must stay
     EXACT when the candidate set changes between micro-batches — two

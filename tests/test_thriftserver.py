@@ -14,7 +14,11 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 from tests.conftest import SF_DIR
+
+pytestmark = pytest.mark.heavy
 
 
 def test_thrift_server_jdbc_round_trip(tmp_path):
