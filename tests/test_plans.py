@@ -486,13 +486,16 @@ def test_minhash_signature_stage_is_map_side(spark):
     # r12: the pair distinct (partial+final exchange pair over up to
     # N_BANDS x n_pairs rows — the single biggest sf10 stage) is GONE:
     # pairs emit once from their first shared band, and the fp-shortcut
-    # union splits verification into an identical-set branch (no hset
-    # shipping) and a differing-set branch. The static plan carries the
-    # shared subtrees once per branch (10 exchanges); at runtime AQE
-    # collapses the identical ones via ReuseExchange — the runtime budget
-    # is band repartition + sets repartition + the light/heavy join
-    # exchanges.
-    assert count_exchanges(df) <= 10, plan
+    # union splits verification into an identical-content branch (no hset
+    # shipping) and a differing branch. r13: the fingerprint rides
+    # THROUGH the band relation (no doc-keyed light joins), the pair
+    # relation sits behind ONE explicit doc_a repartition both branches
+    # reuse (without it the band self-join executed twice), and the band
+    # keys travel as one binary blob. Static budget tightened 10 → 8; at
+    # runtime AQE collapses the per-branch subtree copies via
+    # ReuseExchange — band repartition + pair repartition + sets
+    # repartition + the heavy-join exchanges.
+    assert count_exchanges(df) <= 8, plan
 
 
 def test_tpcds_star_joins_broadcast_dims(spark):
