@@ -57,10 +57,17 @@ def connected_components(
                 F.min(F.when(F.col("own"), F.col("lbl"))).alias("_old"),
             )
             .select("lv", "lbl", (F.col("lbl") != F.col("_old")).alias("changed"))
-            .localCheckpoint(eager=True)
+            # r13 (VERDICT r12 #8): ONE action per round instead of two —
+            # the checkpoint is LAZY and the convergence count is the
+            # materializing action: the aggregate scans every partition, so
+            # the marked RDD is fully persisted + lineage-truncated by the
+            # same job that answers "did anything change".
+            .localCheckpoint(eager=False)
         )
-        any_changed = new_labels.filter("changed").limit(1).count()
+        n_changed = new_labels.agg(
+            F.sum(F.col("changed").cast("int")).alias("n")
+        ).head()[0]
         labels = new_labels.select("lv", "lbl")
-        if any_changed == 0:
+        if not n_changed:
             break
     return labels.select(F.col("lv").alias("vertex"), F.col("lbl").alias("component"))
