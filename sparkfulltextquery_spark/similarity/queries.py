@@ -757,4 +757,14 @@ def sim_pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     lit = pq_train(e, m=4, codes=8, train_iters=2)
     enc = pq_encode(e, m=4, literals=lit)
-    return enc.select("vec_id", F.posexplode("codes").alias("s", "code"))
+    # stack, NOT posexplode (r13): the codes array is a large derived
+    # expression (m·L unrolled code argmins), and on a session without
+    # this engine's InferFiltersFromGenerate exclusion the rule copies
+    # that whole expression into an inferred size()/isnotnull() filter
+    # below the Generate — the optimizer's substitution blow-up OOMs a
+    # default-heap driver. stack emits the identical (s, code) rows
+    # (positions 0..m-1 in order) from plain element_at projections the
+    # rule never touches.
+    m = lit["m"]
+    pairs = ", ".join(f"{s}, element_at(codes, {s + 1})" for s in range(m))
+    return enc.selectExpr("vec_id", f"stack({m}, {pairs}) as (s, code)")

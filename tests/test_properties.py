@@ -395,6 +395,7 @@ def _planted_cluster_corpus(n=2000, dim=64, k=10, sigma=0.2, seed=11):
     ]
 
 
+@pytest.mark.heavy
 def test_ivf_recall_contract_at_default_probe(spark):
     """ANN recall contract (r9, VERDICT r08 #7): on a clustered corpus
     (10 planted Gaussian clusters, 2,000 vectors, dim 64), IVF at its
@@ -442,6 +443,7 @@ def test_ivf_recall_contract_at_default_probe(spark):
     assert mean_pq >= 0.9, f"IVF-PQ recall@10 {mean_pq:.3f} < 0.9 at n_probe=2"
 
 
+@pytest.mark.heavy
 def test_trained_pq_codebook_recall_contract(spark):
     """Trained-codebook contract (r10, VERDICT r09 #1): pq_train(codes=256)
     replaces the label-centroid codebook with a per-subspace 256-code
@@ -1005,6 +1007,7 @@ def _ast_to_query(node) -> str:
     return "(" + " OR ".join(_ast_to_query(c) for c in node.children) + ")"
 
 
+@pytest.mark.heavy
 def test_random_query_asts_three_way_equivalence(spark, tmp_path):
     import random
 
@@ -1124,6 +1127,7 @@ def test_rrf_fusion_invariants(spark):
             assert s <= single_max + 1e-9, (d, s)
 
 
+@pytest.mark.heavy
 def test_random_simple_queries_three_way_equivalence(spark, tmp_path):
     """r7: randomized simple_query_string trials — random +MUST / bare
     SHOULD / -MUST_NOT draws from the corpus vocabulary, evaluated three
@@ -1186,6 +1190,7 @@ def test_random_simple_queries_three_way_equivalence(spark, tmp_path):
         assert inline == indexed, f"trial {trial}: {q}"
 
 
+@pytest.mark.heavy
 def test_random_percolator_registries_three_way_equivalence(spark, tmp_path):
     """Percolation fuzzer (r8): random registries of stored boolean queries
     (term/phrase/prefix/fuzzy/range/regex/wildcard atoms under AND/OR/NOT)
@@ -1356,6 +1361,7 @@ def test_resolver_core_property_dictionary_equals_bruteforce(spark):
         resolve_expansions_over(vocab, atoms[:1], max_expansions=n_pfx)
 
 
+@pytest.mark.heavy
 def test_auto_pq_config_recall_and_retention_contract(spark):
     """Full-auto IVF-PQ contract (r11, VERDICT r10 #2+#4): with NO knobs
     passed anywhere — pq_train(emb), pq_encode(emb, literals=lit),
@@ -1445,19 +1451,82 @@ def test_pq_trainer_split_reseed_deterministic(spark):
         ],
         "vec_id long, s int, best struct<d2:double,code:int>, msv array<double>",
     )
-    cents = spark.createDataFrame(
-        [(0, 1, [1.0, 1.0]), (1, 2, [0.0, 0.0])],
-        "s int, code int, c array<double>",
-    )
-    out = _reseed_codes(assigned, cents, [(0, 2), (0, 3), (1, 3)])
-    got = {
-        (r.s, r.code): tuple(r.c)
-        for r in out.collect()
-    }
+    # r13: the trainer keeps the codebook as driver rows between rounds —
+    # _reseed_codes takes those rows and returns ONLY the new seeds (the
+    # caller concatenates them onto the survivors)
+    cents_rows = [
+        {"s": 0, "code": 1, "c": [1.0, 1.0]},
+        {"s": 1, "code": 2, "c": [0.0, 0.0]},
+    ]
+    out = _reseed_codes(assigned, cents_rows, [(0, 2), (0, 3), (1, 3)])
+    got = {(r["s"], r["code"]): tuple(r["c"]) for r in out}
     # subspace 0: vec_id 1 is farthest but 6dp-equals the surviving
     # codeword → skipped; code 2 seeds at vec_id 2 (d2 tie broken by
     # vec_id asc), code 3 at vec_id 3. subspace 1: code 3 at vec_id 5.
-    assert got[(0, 2)] == (0.9, 0.0)
-    assert got[(0, 3)] == (0.1, 0.1)
-    assert got[(1, 3)] == (0.3, 0.3)
-    assert got[(0, 1)] == (1.0, 1.0) and got[(1, 2)] == (0.0, 0.0)
+    assert got == {
+        (0, 2): (0.9, 0.0),
+        (0, 3): (0.1, 0.1),
+        (1, 3): (0.3, 0.3),
+    }
+    # survivors are untouched driver state
+    assert cents_rows[0]["c"] == [1.0, 1.0] and cents_rows[1]["c"] == [0.0, 0.0]
+
+
+def test_semdedup_gram_tiling_matches_untiled_on_skewed_cluster():
+    """r13 (VERDICT r12 #3): _gram_prune_pdf tiles the per-cluster Gram in
+    fixed row blocks so a skewed giant cluster no longer materializes its
+    n_c×n_c matrix in one Python worker. Fixture: one deliberately giant
+    cluster (n_c chosen so the tile loop runs MANY blocks: blk = 4M//n_c)
+    — the tiled mask must equal the untiled strict-upper-triangle mask
+    element for element."""
+    import pandas as pd
+
+    from sparkfulltextquery_spark.dedup.queries import _gram_prune_pdf
+
+    rng = np.random.RandomState(7)
+    n_c, dim, tau = 9000, 8, 0.4  # blk = 4M//9000 = 466 → 20 tiles
+    V = rng.randn(n_c, dim)
+    # plant exact duplicates and near-duplicates so the mask is non-trivial
+    V[1] = V[0]
+    V[100] = V[50] + 1e-9
+    pdf = pd.DataFrame({"vec_id": np.arange(n_c, dtype=np.int64), "v": list(V)})
+    got = set(_gram_prune_pdf(pdf, tau)["vec_id"])
+    nrm = np.sqrt((V * V).sum(axis=1))
+    S = np.round((V @ V.T) / np.outer(nrm, nrm), 6)
+    want = set(np.arange(n_c)[np.triu(S >= tau, 1).any(axis=0)])
+    assert got == want and 1 in got and 100 in got
+    # the tile really is bounded: the loop never allocates more than
+    # blk × n_c floats (~32 MB) per block
+    assert max(1, (4 << 20) // n_c) < n_c
+
+
+def test_argmin_broadcast_reused_per_centroid_generation(spark):
+    """r13 (VERDICT r12 #5): repeated kmeans_assign calls against the SAME
+    centroid generation (the ANN lifecycle's per-micro-batch ingest
+    assignment) must reuse ONE broadcast — and a new generation must
+    replace (unpersist) the old one instead of leaking it."""
+    from sparkfulltextquery_spark import similarity as S
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5)]) for i in range(20)],
+        "vec_id long, v array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [2.0, 4.0])], "cluster int, c array<double>"
+    )
+    before = S._BC_CREATED
+    outs = [
+        {tuple(r) for r in S.kmeans_assign(vecs, cents, vec_col="v").collect()}
+        for _ in range(4)
+    ]
+    assert S._BC_CREATED == before + 1  # 4 micro-batches, ONE broadcast
+    assert all(o == outs[0] for o in outs)
+    cents2 = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [3.0, 3.0])], "cluster int, c array<double>"
+    )
+    S.kmeans_assign(vecs, cents2, vec_col="v").collect()
+    assert S._BC_CREATED == before + 2  # new generation → one new broadcast
+    # and the first generation still works after being superseded
+    # (unpersist is recoverable — the driver re-ships on demand)
+    again = {tuple(r) for r in S.kmeans_assign(vecs, cents, vec_col="v").collect()}
+    assert again == outs[0]
