@@ -648,10 +648,16 @@ def tpcds_q49_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = (
         ratios.join(F.broadcast(surv), F.col("channel") == F.col("s_ch"))
+        # null-safe "strictly before in (return_ratio ASC NULLS FIRST,
+        # item ASC)" — the exact window order the template ranks by
+        # (ADVICE r12: a plain `<` would DROP a NULL-ratio row, diverging
+        # from rank()'s NULLS FIRST if a ratio group ever had a 0/NULL
+        # denominator; unreachable with quantities ≥ 1, guarded anyway)
         .filter(
-            (F.col("return_ratio") < F.col("s_rr"))
+            (F.col("return_ratio").isNull() & F.col("s_rr").isNotNull())
+            | (F.col("return_ratio") < F.col("s_rr"))
             | (
-                (F.col("return_ratio") == F.col("s_rr"))
+                F.col("return_ratio").eqNullSafe(F.col("s_rr"))
                 & (F.col("item") < F.col("s_item"))
             )
         )
