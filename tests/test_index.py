@@ -297,6 +297,7 @@ def test_pq_codes_persisted_equals_inline(spark, tmp_path):
     assert inline == stored and len(stored) == 10
 
 
+@pytest.mark.heavy
 def test_rebuild_invalidates_stats_cache(spark, tmp_path):
     """ADVICE r04: rebuilding an index under the same prefix over changed
     data must not serve the previous build's n_docs/avgdl/df literals."""
@@ -339,6 +340,7 @@ def test_force_bucketed_scan_restores(spark):
     restore_auto_bucketed_scan(spark)
 
 
+@pytest.mark.heavy
 def test_refresh_detects_external_rebuild(spark, tmp_path):
     """ADVICE r05: the index lives at a stable path shared across
     processes; a rebuild by ANOTHER process leaves this process's literal/
@@ -440,6 +442,7 @@ def test_indexed_dismax_equals_inline_full_list(spark, index_tables):
         assert node not in plan, plan
 
 
+@pytest.mark.heavy
 def test_rebuild_invalidates_dismax_field_stats_cache(spark, tmp_path):
     """r7 self-review fix: rebuilding an index under the same prefix must
     also drop the cached per-field avgdl/df literals that
@@ -565,6 +568,7 @@ def test_pure_negation_expansion_stays_equality_only(spark, index_tables):
     assert "LIKE " not in plan, plan
 
 
+@pytest.mark.heavy
 def test_compaction_crash_never_exposes_half_merged_index(spark, tmp_path):
     """Compaction crash injection (r8, VERDICT r07 #5, mirroring the
     exactly-once pattern of test_exactly_once_recovery_after_midstream
@@ -1188,6 +1192,7 @@ def test_stream_append_vectors_idempotent_replay(spark, tmp_path):
     assert again == first
 
 
+@pytest.mark.heavy
 def test_compact_unpublished_generations_get_distinct_dirs(spark, tmp_path):
     """r12 (ADVICE r11): with the default publish=False two-step flow,
     generation numbering derives from the EXISTING gen-* directories (not

@@ -623,6 +623,7 @@ def test_bm25f_title_boost_contract(spark):
     assert got[1] > got[2], got
 
 
+@pytest.mark.heavy
 def test_pq_adc_recall_vs_exact(spark):
     """PQ-ADC quality contract on PLANTED clustered vectors (the synthetic
     embeddings table is isotropic noise — its `label` is not a geometric
@@ -1484,7 +1485,7 @@ def test_semdedup_gram_tiling_matches_untiled_on_skewed_cluster():
     from sparkfulltextquery_spark.dedup.queries import _gram_prune_pdf
 
     rng = np.random.RandomState(7)
-    n_c, dim, tau = 9000, 8, 0.4  # blk = 4M//9000 = 466 → 20 tiles
+    n_c, dim, tau = 6000, 8, 0.4  # blk = 4M//6000 = 699 → 9 tiles
     V = rng.randn(n_c, dim)
     # plant exact duplicates and near-duplicates so the mask is non-trivial
     V[1] = V[0]

@@ -112,6 +112,7 @@ def fuzz_views(spark):
     return spark
 
 
+@pytest.mark.heavy
 def test_random_sql_two_engine_parity(fuzz_views, duck_con):
     spark = fuzz_views
     rng = random.Random(SEED)
@@ -490,6 +491,7 @@ def _gen_join_graph_query(rng: random.Random) -> str:
     return sql
 
 
+@pytest.mark.heavy
 def test_random_join_graphs_two_engine_parity(fuzz_views, duck_con):
     spark = fuzz_views
     from sparkfulltextquery_spark.sources import load_table

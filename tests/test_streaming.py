@@ -340,6 +340,7 @@ def test_append_mode_emits_only_closed_windows(spark, tmp_path):
     assert emitted < all_windows  # the open tail was withheld
 
 
+@pytest.mark.heavy
 def test_stream_stream_join_equals_batch(spark, tmp_path):
     """Stream-stream inner join with watermarks + time-range condition
     (StreamingSymmetricHashJoinExec): click→purchase attribution over a
@@ -850,6 +851,7 @@ def test_python_stream_source_feeds_windowed_agg(spark, tmp_path):
     assert q.lastProgress is not None
 
 
+@pytest.mark.heavy
 def test_streaming_scored_percolation_equals_batch(spark, tmp_path):
     """Streaming RANKED percolation (r9, VERDICT r08 #5): documents arrive
     in micro-batches, each batch's matches are BM25-scored with corpus
@@ -934,6 +936,7 @@ def test_streaming_scored_percolation_equals_batch(spark, tmp_path):
     assert got2 == want
 
 
+@pytest.mark.heavy
 def test_stream_percolate_alerts_from_registry_table(spark, tmp_path):
     """The one-call production loop (r9): register a persisted registry,
     stream documents, and the alert log equals batch percolation through
